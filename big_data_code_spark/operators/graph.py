@@ -1,0 +1,92 @@
+"""Connected components over an edge list — user-ID normalization.
+
+Parity: `EdgifyEquiv` / `BidirectionalEdge` / `IterateEdges` /
+`normalizeUserIds` (`BatchWorkflow.java:561-687`). The reference
+iterates a Cascalog job that per node emits edges from the smallest
+known id to every neighbor, looping until no new "progress" edges
+appear — O(diameter) MapReduce rounds.
+
+Spark-first upgrade: **min-label propagation + pointer doubling**.
+Each round does
+
+1. propagate: ``label(u) ← min(label(u), min_{v∈N(u)} label(v))``
+2. jump:      ``label(u) ← label(label(u))``
+
+The jump step composes the mapping with itself, so label chains
+compress geometrically — O(log n) rounds even on paths/cycles
+(where naive propagation needs O(diameter)). This is the classic
+pointer-jumping/short-cutting technique from Shiloach-Vishkin-style
+PRAM CC, the same ingredient behind the large-star/small-star
+MapReduce algorithm (Kiveris et al., SOCC'14).
+
+Scale notes: edges stay static (one shuffle-friendly table); each
+round is two hash joins + one aggregate on (node) — all partitioned
+by node id, so AQE reuses the layout. ``localCheckpoint``
+truncates lineage so the loop's plans stay flat. Convergence is a
+cheap count of changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 60,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable (the reference's "smallest
+    PersonID wins" rule). Node columns must be orderable (bigint)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    # symmetric neighbor list, deduped once; cached via checkpoint —
+    # reused every iteration
+    e = (
+        und.select("a", "b")
+        .union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # 1. propagate: min label among self + neighbors
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        prop = labels.join(nbr, "node", "left").select(
+            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        # 2. pointer jump: label ← label(label)
+        as_parent = prop.select(F.col("node").alias("label"), F.col("label").alias("plabel"))
+        jumped = prop.join(as_parent, "label", "left").select(
+            "node", F.coalesce("plabel", "label").alias("label")
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+
+    return labels.select("node", F.col("label").alias("component"))

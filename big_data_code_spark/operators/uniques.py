@@ -1,0 +1,64 @@
+"""Unique-visitor views: exact and HyperLogLog.
+
+Parity: `uniquesView` + `ConstructHyperLogLog`/`MergeHyperLogLog`
+(`BatchWorkflow.java:428-493`). The reference stores a mergeable
+HLL(lgK=14) sketch per (url, hour) and merges sketches up to
+coarser granularities — we use Spark's native Apache DataSketches
+HLL (`hll_sketch_agg` / `hll_union_agg`, JVM-side, map-side
+partial agg) with the same two-level shape, so the only full-data
+shuffle is the hourly sketch build.
+
+The exact variant exists because the driver's DuckDB oracle can
+check it; it fans hour rows to all granularities *before* a
+count-distinct (distinct counts aren't summable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timebuckets import emit_granularities, hour_bucket
+
+HLL_LGK = 14  # parity: new HyperLogLog(14), BatchWorkflow.java:430
+
+
+def _fan_granularities(df: DataFrame, key: str, ts: str, extra: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(key),
+            F.explode(emit_granularities(hour_bucket(F.col(ts)))).alias("gb"),
+            F.col(extra),
+        )
+        .select(key, F.col("gb.granularity").alias("granularity"), F.col("gb.bucket").alias("bucket"), extra)
+    )
+
+
+def uniques_exact(df: DataFrame, key: str, ts: str, user: str) -> DataFrame:
+    """Exact distinct users per (key, granularity, bucket)."""
+    fanned = _fan_granularities(df, key, ts, user)
+    return fanned.groupBy(key, "granularity", "bucket").agg(
+        F.count_distinct(F.col(user)).alias("unique_visitors")
+    )
+
+
+def uniques_hll(df: DataFrame, key: str, ts: str, user: str) -> DataFrame:
+    """HLL-estimated distinct users per (key, granularity, bucket).
+
+    Two-level: hourly sketches over the fact table (one shuffle with
+    map-side partials), then sketch *union* — not re-scan — for the
+    coarser granularities, exactly the reference's merge strategy.
+    """
+    hourly = (
+        df.select(F.col(key), hour_bucket(F.col(ts)).alias("hour_bucket"), F.col(user))
+        .groupBy(key, "hour_bucket")
+        .agg(F.hll_sketch_agg(F.col(user), F.lit(HLL_LGK)).alias("sketch"))
+    )
+    fanned = hourly.select(
+        key,
+        F.explode(emit_granularities(F.col("hour_bucket"))).alias("gb"),
+        "sketch",
+    ).select(key, F.col("gb.granularity").alias("granularity"), F.col("gb.bucket").alias("bucket"), "sketch")
+    return fanned.groupBy(key, "granularity", "bucket").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("unique_visitors_est")
+    )

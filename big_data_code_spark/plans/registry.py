@@ -12,14 +12,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import swa
+from . import swa, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     "pageviews_over_time": swa.pageviews_over_time,
+    "uniques_over_time": swa.uniques_over_time,
+    "uniques_over_time_hll": swa.uniques_over_time_hll,
+    "bounce_rate": swa.bounce_rate,
+    "dedup_events": swa.dedup_events,
+    "normalize_urls": swa.normalize_urls,
+    "user_id_normalization": swa.user_id_normalization,
+    "normalized_events": swa.normalized_events,
+    "q1_pricing_summary": tpch.q1_pricing_summary,
+    "q3_shipping_priority": tpch.q3_shipping_priority,
+    "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+    "q6_forecast_revenue": tpch.q6_forecast_revenue,
+    "top_users_by_event_type": tpch.top_users_by_event_type,
+    "running_daily_revenue": tpch.running_daily_revenue,
+    "customers_no_orders": tpch.customers_no_orders,
+    "sales_rollup": tpch.sales_rollup,
 }
 
-ORACLES: dict[str, str] = {
+#: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
+#: the driver records a rows-only check.
+ORACLES: dict[str, str | None] = {
     "pageviews_over_time": swa.PAGEVIEWS_OVER_TIME_SQL,
+    "uniques_over_time": swa.UNIQUES_OVER_TIME_SQL,
+    "uniques_over_time_hll": None,
+    "bounce_rate": swa.BOUNCE_RATE_SQL,
+    "dedup_events": swa.DEDUP_EVENTS_SQL,
+    "normalize_urls": swa.NORMALIZE_URLS_SQL,
+    "user_id_normalization": swa.USER_ID_NORMALIZATION_SQL,
+    "normalized_events": swa.NORMALIZED_EVENTS_SQL,
+    "q1_pricing_summary": tpch.Q1_SQL,
+    "q3_shipping_priority": tpch.Q3_SQL,
+    "q5_local_supplier_volume": tpch.Q5_SQL,
+    "q6_forecast_revenue": tpch.Q6_SQL,
+    "top_users_by_event_type": tpch.TOP_USERS_SQL,
+    "running_daily_revenue": tpch.RUNNING_DAILY_SQL,
+    "customers_no_orders": tpch.CUSTOMERS_NO_ORDERS_SQL,
+    "sales_rollup": tpch.SALES_ROLLUP_SQL,
 }

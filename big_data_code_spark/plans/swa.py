@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.urls import normalize_url
+from ..operators.graph import connected_components
 from ..operators.rollup import multi_granularity_rollup
+from ..operators.sessionize import visit_stats
+from ..operators.uniques import uniques_exact, uniques_hll
 from ..sources.tables import load_table
 
 
@@ -58,3 +62,224 @@ SELECT event_type, granularity, bucket,
 FROM fanned
 GROUP BY 1, 2, 3
 """
+
+
+def uniques_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct visitors per page×granularity×bucket.
+
+    Parity: `uniquesView` (`BatchWorkflow.java:471-493`), exact
+    variant so the DuckDB oracle can check it bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return uniques_exact(events, key="event_type", ts="ts", user="user_id")
+
+
+UNIQUES_OVER_TIME_SQL = """
+WITH fanned AS (
+  SELECT event_type, user_id,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT)
+           WHEN 'd' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24
+           WHEN 'w' THEN (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 7
+           ELSE (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 28
+         END AS bucket
+  FROM events
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+)
+SELECT event_type, granularity, bucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_visitors
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+
+
+def uniques_over_time_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch uniques (approximate, mergeable — the reference's
+    actual serving representation). Rows-only driver check."""
+    events = load_table(spark, sf_dir, "events")
+    return uniques_hll(events, key="event_type", ts="ts", user="user_id")
+
+
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visits + bounces per domain (event_type plays the domain).
+
+    Parity: `bouncesView`/`AnalyzeVisits`
+    (`BatchWorkflow.java:507-559`): visit gap > 15 min, bounce =
+    1-pageview visit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return visit_stats(events, group_key="event_type", user_key="user_id", ts="ts")
+
+
+BOUNCE_RATE_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT event_type, user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w > 900 THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY es)
+),
+sess AS (
+  SELECT event_type, user_id,
+         sum(is_new) OVER (PARTITION BY event_type, user_id ORDER BY es
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT event_type, user_id, session_id, count(*) AS n_events
+  FROM sess
+  GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS num_visits,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_bounces
+FROM per_session
+GROUP BY 1
+"""
+
+
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct facts — `deduplicatePageviews`
+    (`BatchWorkflow.java:223-233`): DISTINCT over the pageview's
+    identity (person, page, timestamp)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type", "ts").distinct()
+
+
+DEDUP_EVENTS_SQL = """
+SELECT DISTINCT user_id, event_type, ts FROM events
+"""
+
+
+def normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — `NormalizeURL`
+    (`BatchWorkflow.java:183-221`): keep protocol://host/path, drop
+    query string and fragment. URLs are synthesized deterministically
+    from event columns (the test tables carry no raw URLs); the
+    operator itself is `functions.urls.normalize_url` (parse_url
+    built-ins, no Python UDF).
+    """
+    events = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".example.com/page/"),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("?ref=abc#frag")).otherwise(F.lit("")),
+    )
+    return events.select(
+        F.col("event_id"),
+        url.alias("url"),
+        normalize_url(url).alias("normalized_url"),
+    )
+
+
+NORMALIZE_URLS_SQL = """
+WITH raw AS (
+  SELECT event_id,
+         'https://site' || CAST(user_id % 7 AS VARCHAR)
+           || '.example.com/page/' || CAST(event_id % 100 AS VARCHAR)
+           || CASE WHEN event_id % 3 = 0 THEN '?ref=abc#frag' ELSE '' END
+           AS url
+  FROM events
+)
+SELECT event_id, url,
+       regexp_replace(url, '[?#].*$', '') AS normalized_url
+FROM raw
+"""
+
+
+def _equiv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic equiv graph over observed user ids
+    (the test tables carry no explicit EquivEdge facts): each user
+    links to its block-of-10 hub, and the lower half of each block
+    chains to its successor — components are id-blocks of 10 with
+    diameter > 1, exercising the iteration."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select(F.col("user_id").alias("u")).distinct()
+    star = users.select(F.col("u").alias("src"), (F.col("u") - F.col("u") % 10).alias("dst"))
+    chain = users.where(F.col("u") % 10 < 5).select(
+        F.col("u").alias("src"), (F.col("u") + 1).alias("dst")
+    )
+    return star.union(chain)
+
+
+EQUIV_EDGES_CTE = """
+users AS (SELECT DISTINCT user_id AS u FROM events),
+edges AS (
+  SELECT u AS a, u - (u % 10) AS b FROM users
+  UNION ALL
+  SELECT u AS a, u + 1 AS b FROM users WHERE u % 10 < 5
+),
+undirected AS (
+  SELECT a, b FROM edges WHERE a <> b
+  UNION
+  SELECT b, a FROM edges WHERE a <> b
+),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node
+),
+mapping AS (
+  SELECT node AS user_id, CAST(min(r) AS BIGINT) AS canonical_id
+  FROM reach
+  GROUP BY node
+)
+"""
+
+
+def user_id_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equiv-graph connected components, min-id labeling.
+
+    Parity: `normalizeUserIds` (`BatchWorkflow.java:623-687`).
+    """
+    edges = _equiv_edges(spark, sf_dir)
+    mapping = connected_components(edges, "src", "dst")
+    return mapping.select(
+        F.col("node").alias("user_id"), F.col("component").alias("canonical_id")
+    )
+
+
+USER_ID_NORMALIZATION_SQL = (
+    "WITH RECURSIVE " + EQUIV_EDGES_CTE + "SELECT user_id, canonical_id FROM mapping"
+)
+
+
+def normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite facts onto canonical user ids — `MakeNormalizedPageview`
+    applied via a left join + coalesce (`BatchWorkflow.java:607-687`)."""
+    events = load_table(spark, sf_dir, "events")
+    mapping = user_id_normalization(spark, sf_dir)
+    return (
+        events.join(F.broadcast(mapping), "user_id", "left")
+        .select(
+            "event_id",
+            F.col("user_id"),
+            F.coalesce(F.col("canonical_id"), F.col("user_id")).alias("canonical_user_id"),
+            "event_type",
+        )
+    )
+
+
+NORMALIZED_EVENTS_SQL = (
+    "WITH RECURSIVE "
+    + EQUIV_EDGES_CTE
+    + """
+SELECT e.event_id, e.user_id,
+       CAST(coalesce(m.canonical_id, e.user_id) AS BIGINT)
+         AS canonical_user_id,
+       e.event_type
+FROM events e
+LEFT JOIN mapping m ON e.user_id = m.user_id
+"""
+)
+

@@ -57,7 +57,8 @@ def assert_matches_oracle(spark, name: str, sf_dir: str = SF_SMOKE) -> None:
     # align column order by name, then compare as multisets
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
     didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s = sorted(tuple(row[i] for i in sidx) for row in spark_rows)
-    d = sorted(tuple(row[i] for i in didx) for row in duck_rows)
+    none_safe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    s = sorted((tuple(row[i] for i in sidx) for row in spark_rows), key=none_safe)
+    d = sorted((tuple(row[i] for i in didx) for row in duck_rows), key=none_safe)
     assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
     assert s == d, f"{name}: value mismatch (first diff: {next(((a, b) for a, b in zip(s, d) if a != b), None)})"

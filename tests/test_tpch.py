@@ -1,0 +1,90 @@
+"""Relational coverage: DuckDB oracle parity + physical-plan checks.
+
+The plan assertions are the scale gate: a filter that doesn't reach
+the parquet scan or a dimension join that shuffles instead of
+broadcasting is a 100 TB bug even when sf0.001 results match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+TPCH_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_users_by_event_type",
+    "running_daily_revenue",
+    "customers_no_orders",
+    "sales_rollup",
+)
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_oracle_smoke(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ("q1_pricing_summary", "q5_local_supplier_volume"))
+def test_oracle_sf001(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECT)
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark):
+    """Q6's range filters must reach the parquet scan."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    # at least the shipdate bounds are pushable
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark):
+    """Q6 reads only the 4 referenced columns, not all 11."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_returnflag", "l_comment", "l_tax"):
+        assert col not in read_schema
+
+
+def test_q5_broadcasts_dims(spark):
+    """region/nation/supplier joins must be broadcast, not shuffle."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["q5_local_supplier_volume"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_batch_views(spark):
+    """Hot-path views stay JVM-side (no BatchEvalPython / ArrowEval)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    for name in ("pageviews_over_time", "bounce_rate", "uniques_over_time",
+                 "q1_pricing_summary", "q3_shipping_priority"):
+        plan = physical_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_wholestage_codegen_q1(spark):
+    """After AQE finalizes, Q1 runs inside whole-stage codegen."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE only materializes the final plan on execution
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+    assert "partial_sum" in plan  # map-side combine before the shuffle

@@ -1,0 +1,373 @@
+"""LLM-data-pipeline queries over the `documents` / `embeddings`
+tables, each with a DuckDB oracle where SQL-expressible.
+
+The driver tables carry no natural duplicates, so the dedup queries
+build a deterministic *corpus* = documents ∪ exact copies (every
+10th doc) ∪ near copies (every 7th doc + a 3-token tail) — the same
+construction in the Spark plan and the oracle SQL, so the operators
+are exercised on real positives.
+
+Cross-engine determinism contract (mirrored in `functions/text.py`):
+tokenize = lower + split ``[^a-z0-9]+``; hashes = md5 hex strings;
+float ratios = integer/integer double division; cosine = sequential
+double accumulation (Spark ``aggregate`` ≡ DuckDB
+``list_dot_product`` on ``DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    bpe_token_count,
+    punct_count,
+    stopword_hits,
+    tokenize,
+    word_shingles,
+)
+from ..operators import ann, dedup
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------- corpus
+
+EXACT_DUP_MOD = 10
+NEAR_DUP_MOD = 7
+NEAR_DUP_TAIL = " near dup tail"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % {EXACT_DUP_MOD} = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{NEAR_DUP_TAIL}' AS text
+  FROM documents WHERE doc_id % {NEAR_DUP_MOD} = 0
+)
+"""
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, len(tokens) - 1),
+                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM tok
+)
+"""
+
+# ---------------------------------------------------------------- dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — one hash-agg on md5(text)."""
+    return dedup.exact_dedup(_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+
+NGRAM_JACCARD_THRESHOLD = 0.6
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard ≥ 0.6 over the dup-seeded corpus."""
+    return dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=NGRAM_JACCARD_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_id_a = sa.doc_id
+JOIN sizes sb ON i.doc_id_b = sb.doc_id
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+MINHASH_LSH_THRESHOLD = 0.5
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates, est-Jaccard ≥ 0.5."""
+    return dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir), threshold=MINHASH_LSH_THRESHOLD
+    )
+
+
+_SIG_SQL = """
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           j -> list_min(list_transform(shingles,
+                  s -> md5(j::VARCHAR || ':' || s)))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4),
+           b -> b::VARCHAR || ':' ||
+                md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' ||
+                    sig[b*4+3] || '|' || sig[b*4+4]))) AS bk
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL}
+SELECT c.doc_id_a, c.doc_id_b,
+       len(list_filter(list_transform(range(1, 17),
+             i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON c.doc_id_a = sa.doc_id
+JOIN sig sb ON c.doc_id_b = sb.doc_id
+WHERE len(list_filter(list_transform(range(1, 17),
+        i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0 >= {MINHASH_LSH_THRESHOLD}
+"""
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per corpus doc (rows-only check: bit-level
+    fingerprints aren't portably SQL-expressible)."""
+    out = dedup.simhash(_corpus(spark, sf_dir))
+    return out.select(F.col("id").alias("doc_id"), "fingerprint")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints: min shingle-hash per
+    sliding window of 4 shingle hashes, distinct per doc. Output is
+    a per-doc summary (count + global min) — rows-only check."""
+    docs = _corpus(spark, sf_dir)
+    sh = word_shingles(tokenize(F.col("text")), 3)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    win_mins = F.when(
+        F.size(hashes) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(hashes) - 4),
+                lambda i: F.array_min(F.slice(hashes, i + 1, 4)),
+            )
+        ),
+    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
+    return docs.select(
+        "doc_id",
+        F.size(win_mins).cast("long").alias("n_fingerprints"),
+        F.array_min(win_mins).alias("min_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------- ANN
+
+ANN_N_QUERIES = 8
+ANN_K = 10
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    out = ann.cosine_topk(emb, queries, k=ANN_K)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         list_dot_product(c.vec, q.q_vec) /
+           (sqrt(list_dot_product(c.vec, c.vec)) *
+            sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; recall vs brute force is
+    asserted in tests — rows-only driver check)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    out = ann.lsh_ann_topk(emb, queries, k=ANN_K)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
+# ---------------------------------------------------------------- text analysis
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats (all JVM-side expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        punct_count(F.col("text")).cast("long").alias("n_punct"),
+        stopword_hits(toks, "en").cast("long").alias("n_stop"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "tok_chars"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_punct",
+        F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars"))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(F.col("n_tokens") > 0, F.col("tok_chars") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_TOKENS} AS tokens FROM documents
+),
+base AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(tokens)::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT
+           AS n_punct,
+         len(list_filter(tokens, t -> list_contains({_STOP_EN_SQL}, t)))::BIGINT
+           AS n_stop,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t)))::BIGINT
+              ELSE 0 END AS tok_chars
+  FROM tok
+)
+SELECT doc_id, n_chars, n_tokens, n_punct,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_token_len
+FROM base
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; argmax hits, ties → lang asc,
+    no hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(STOPWORDS.items()) for w in words],
+        "sw_lang string, w string",
+    )
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+    hits = (
+        toks.join(F.broadcast(sw), toks.t == sw.w)
+        .groupBy("doc_id", "sw_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.col("sw_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("sw_lang"), F.lit("und")).alias("predicted_lang"),
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+    )
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in sorted(STOPWORDS.items()) for w in words
+)
+
+LANG_ID_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+ex AS (SELECT doc_id, unnest(tokens) AS t FROM tok),
+sw(sw_lang, w) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, sw_lang, COUNT(*) AS n_hits
+  FROM ex JOIN sw ON ex.t = sw.w
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, sw_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, sw_lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.sw_lang, 'und') AS predicted_lang,
+       COALESCE(b.n_hits, 0)::BIGINT AS n_hits
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import swa, tpch
+from . import llm, swa, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -33,6 +33,16 @@ QUERIES: dict[str, QueryFn] = {
     "running_daily_revenue": tpch.running_daily_revenue,
     "customers_no_orders": tpch.customers_no_orders,
     "sales_rollup": tpch.sales_rollup,
+    "dedup_exact": llm.dedup_exact,
+    "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": llm.dedup_minhash_lsh,
+    "simhash_fingerprint": llm.simhash_fingerprint,
+    "doc_fingerprint": llm.doc_fingerprint,
+    "ann_cosine_topk": llm.ann_cosine_topk,
+    "ann_lsh": llm.ann_lsh,
+    "text_stats": llm.text_stats,
+    "lang_id": llm.lang_id,
+    "token_counts": llm.token_counts,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
@@ -54,4 +64,14 @@ ORACLES: dict[str, str | None] = {
     "running_daily_revenue": tpch.RUNNING_DAILY_SQL,
     "customers_no_orders": tpch.CUSTOMERS_NO_ORDERS_SQL,
     "sales_rollup": tpch.SALES_ROLLUP_SQL,
+    "dedup_exact": llm.DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": llm.DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": llm.DEDUP_MINHASH_LSH_SQL,
+    "simhash_fingerprint": None,
+    "doc_fingerprint": None,
+    "ann_cosine_topk": llm.ANN_COSINE_TOPK_SQL,
+    "ann_lsh": None,
+    "text_stats": llm.TEXT_STATS_SQL,
+    "lang_id": llm.LANG_ID_SQL,
+    "token_counts": llm.TOKEN_COUNTS_SQL,
 }

@@ -1,0 +1,169 @@
+"""LLM-data-pipeline operators: oracle parity, semantic sanity on
+the seeded dup corpus, recall for approximate paths, plan checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+ORACLE_QUERIES = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+    "lang_id",
+    "token_counts",
+)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_smoke(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ("dedup_minhash_lsh", "text_stats"))
+def test_oracle_sf001(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECT)
+
+
+def test_exact_dedup_finds_seeded_copies(spark):
+    """Every 10th doc was duplicated → its hash group has 2 copies
+    and the keeper is the original (smaller) id."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["dedup_exact"](spark, SF_SMOKE).collect()
+    dup_groups = [r for r in rows if r["n_copies"] > 1]
+    assert dup_groups, "seeded exact duplicates must be found"
+    assert all(r["keeper_doc_id"] < 1_000_000 for r in dup_groups)
+
+
+def test_ngram_jaccard_finds_seeded_pairs(spark):
+    """Original ↔ near-copy (+3-token tail) pairs must pass τ=0.6."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    exact_pairs = [p for p in pairs if p[1] == p[0] + 1_000_000]
+    near_pairs = [p for p in pairs if p[1] == p[0] + 2_000_000]
+    assert exact_pairs, "exact copies are jaccard-1.0 pairs"
+    assert near_pairs, "near copies must clear the 0.6 threshold"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH candidates must recover the seeded exact-copy pairs
+    (identical signatures land in every band together)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    lsh_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    exact_pairs = [p for p in lsh_pairs if p[1] == p[0] + 1_000_000]
+    assert exact_pairs
+    assert all(
+        r["est_jaccard"] == 1.0
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE)
+        .where(
+            (F.col("doc_id_b") == F.col("doc_id_a") + 1_000_000)
+            & (F.col("doc_id_a") < 1_000_000)
+        )
+        .collect()
+    )
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    """Exact copies: distance 0. Near copies (3-token tail): small
+    distance. Random doc pairs: much larger distance."""
+    from big_data_code_spark.operators.dedup import hamming64
+    from big_data_code_spark.plans.registry import QUERIES
+
+    fp = QUERIES["simhash_fingerprint"](spark, SF_SMOKE)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    joined = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1_000_000)
+        .where(F.col("a.doc_id") < 1_000_000)
+        .select(hamming64(F.col("a.fingerprint"), F.col("b.fingerprint")).alias("d"))
+    )
+    dists = [r["d"] for r in joined.collect()]
+    assert dists and all(d == 0 for d in dists)
+
+    near = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 2_000_000)
+        .where(F.col("a.doc_id") < 1_000_000)
+        .select(hamming64(F.col("a.fingerprint"), F.col("b.fingerprint")).alias("d"))
+    )
+    near_dists = [r["d"] for r in near.collect()]
+    assert near_dists and sum(near_dists) / len(near_dists) < 16
+
+    rand = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 3)
+        .where(F.col("a.doc_id") < 1_000_000)
+        .select(hamming64(F.col("a.fingerprint"), F.col("b.fingerprint")).alias("d"))
+    )
+    rand_dists = [r["d"] for r in rand.collect()]
+    assert rand_dists and sum(rand_dists) / len(rand_dists) > 10
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN must recover a decent fraction of the true
+    top-10 (random-hyperplane LSH on random vectors is noisy, but
+    self-match + near neighbors share buckets)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"]) for r in QUERIES["ann_lsh"](spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # the self-pair is always in the same buckets
+    assert all((q, q) in got for q in {p[0] for p in truth})
+
+
+def test_doc_fingerprint_deterministic(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+
+    a = {tuple(r) for r in QUERIES["doc_fingerprint"](spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in QUERIES["doc_fingerprint"](spark, SF_SMOKE).collect()}
+    assert a == b and a
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_udf_in_llm_ops(spark):
+    """Every dedup / ANN / text operator stays JVM-side."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    for name in ORACLE_QUERIES + ("simhash_fingerprint", "ann_lsh"):
+        plan = physical_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["ann_cosine_topk"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_text_ops_prune_columns(spark):
+    """token_counts reads only (doc_id, text), not the whole row."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["token_counts"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema

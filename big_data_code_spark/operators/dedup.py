@@ -49,13 +49,33 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _exploded_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows, one per shingle *occurrence*.
+
+    Tokens are materialized as a column before shingling (see
+    `word_shingles` perf note), then exploded — dedup happens
+    relationally downstream where it's distributed, never as an
+    O(L²) per-row ``array_distinct``.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    sh = toks.select(
+        "id", word_shingles(F.col("tokens"), n, distinct=False).alias("shingles")
+    )
+    return sh.select("id", F.explode("shingles").alias("shingle"))
+
+
 def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle_hash) pairs — shingles hashed to int64 immediately
-    so all downstream shuffles move 8-byte keys."""
-    sh = word_shingles(tokenize(F.col(text_col)), n)
+    """Distinct (id, shingle_hash) pairs — shingles hashed to int64
+    immediately so all downstream shuffles move 8-byte keys."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        _exploded_shingles(docs, id_col, text_col, n)
         .select("id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
     )
 
 
@@ -102,18 +122,22 @@ def minhash_signatures(
     any engine, which is what makes the DuckDB oracle exact.
 
     Returns (id, sig: array<string>); docs with no shingles dropped.
-    """
-    sh = word_shingles(tokenize(F.col(text_col)), shingle_n)
-    with_sh = docs.select(F.col(id_col).alias("id"), sh.alias("shingles")).where(
-        F.size("shingles") > 0
-    )
-    def min_hash(j: int) -> Column:
-        # NB: a two-arg lambda would be treated by F.transform as
-        # (element, index) — bind the seed via closure instead.
-        return F.array_min(F.transform(F.col("shingles"), lambda s: seeded_md5(j, s)))
 
-    sig = F.array(*[min_hash(j) for j in range(n_hashes)])
-    return with_sh.select("id", sig.alias("sig"))
+    Shape: explode shingle occurrences → 16 ``min(md5(j:s))`` agg
+    columns. The mins are map-side-combinable partial aggregates, so
+    the shuffle carries one 16×32-byte row per doc per partition —
+    the right plan at any scale (duplicate occurrences don't affect
+    a min, so no per-row distinct is needed).
+    """
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n)
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(seeded_md5(j, F.col("shingle"))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
+    return agg.select("id", sig.alias("sig"))
 
 
 def _band_keys(sig: Column, n_bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
@@ -144,7 +168,15 @@ def minhash_lsh_pairs(
 
     Returns (doc_id_a, doc_id_b, est_jaccard), doc_id_a < doc_id_b.
     """
-    sigs = minhash_signatures(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # Three consumers (band explode + both sides of the est-similarity
+    # join) would otherwise recompute the 16×md5-per-shingle signature
+    # pass; persist it once. At cluster scale this is the "write the
+    # signature table" step of a production LSH pipeline.
+    sigs = minhash_signatures(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -182,26 +214,27 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         # bit 63 as a *signed* 64-bit literal (1<<63 overflows long)
         return (1 << i) if i < 63 else -(1 << 63)
 
-    toks = tokenize(F.col(text_col))
-    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
-
-    def bit_votes(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(h.bitwiseAND(F.lit(mask(i))) != 0, F.lit(1).cast("long"))
-                .otherwise(F.lit(-1).cast("long"))
-                for i in range(64)
-            ]
-        )
-
-    sums = F.aggregate(
-        toks, zero64, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tokens")
     )
-    with_sums = docs.select(F.col(id_col).alias("id"), sums.alias("sums"))
+    # explode + 64 partial-agg sums: the token hash is computed ONCE
+    # per occurrence (a materialized column, CSE'd across the 64 agg
+    # expressions), and the shuffle carries one 64-long row per doc.
+    hashed = toks.select("id", F.explode("tokens").alias("t")).select(
+        "id", F.xxhash64("t").alias("h")
+    )
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
     fp_terms = F.array(
         *[
-            F.when(F.element_at(F.col("sums"), i + 1) > 0, F.lit(mask(i)).cast("long"))
+            F.when(F.col(f"b{i}") > 0, F.lit(mask(i)).cast("long"))
             .otherwise(F.lit(0).cast("long"))
             for i in range(64)
         ]
@@ -209,7 +242,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     fingerprint = F.aggregate(
         fp_terms, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
     )
-    return with_sums.select("id", fingerprint.alias("fingerprint"))
+    # empty-token docs vanish in the explode; re-attach with fp=0
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(sums.select("id", fingerprint.alias("fingerprint")), "id", "left")
+        .select("id", F.coalesce("fingerprint", F.lit(0).cast("long")).alias("fingerprint"))
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

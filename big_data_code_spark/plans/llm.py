@@ -181,21 +181,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding window of 4 shingle hashes, distinct per doc. Output is
     a per-doc summary (count + global min) — rows-only check."""
     docs = _corpus(spark, sf_dir)
-    sh = word_shingles(tokenize(F.col("text")), 3)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # stepwise-materialized columns: each stage references the prior
+    # stage's *attribute*, never re-evaluating its expression
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("tokens"), 3, distinct=False).alias("sh")
+    )
+    hashed = sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
+    )
     win_mins = F.when(
-        F.size(hashes) >= 4,
+        F.size("hashes") >= 4,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(hashes) - 4),
-                lambda i: F.array_min(F.slice(hashes, i + 1, 4)),
+                F.sequence(F.lit(0), F.size("hashes") - 4),
+                lambda i: F.array_min(F.slice(F.col("hashes"), i + 1, 4)),
             )
         ),
-    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
-    return docs.select(
+    ).otherwise(
+        F.when(F.size("hashes") > 0, F.array(F.array_min("hashes"))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    fp = hashed.select("doc_id", win_mins.alias("win_mins"))
+    return fp.select(
         "doc_id",
-        F.size(win_mins).cast("long").alias("n_fingerprints"),
-        F.array_min(win_mins).alias("min_fingerprint"),
+        F.size("win_mins").cast("long").alias("n_fingerprints"),
+        F.array_min("win_mins").alias("min_fingerprint"),
     )
 
 
@@ -255,8 +267,11 @@ _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats (all JVM-side expressions)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    d = docs.select(
+    with_toks = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("tokens")
+    )
+    toks = F.col("tokens")
+    d = with_toks.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -373,6 +373,16 @@ LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction via Arrow-batched
+    ``mapInPandas`` (decode stubbed — see `functions/multimodal.py`).
+    Deterministic → rows-only driver check + unit tests."""
+    from ..functions.multimodal import extract_features, synthetic_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthetic_assets(docs))
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counts per document."""
     docs = load_table(spark, sf_dir, "documents")

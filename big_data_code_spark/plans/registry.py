@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llm, swa, tpch
+from . import llm, speed, swa, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +43,10 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": llm.text_stats,
     "lang_id": llm.lang_id,
     "token_counts": llm.token_counts,
+    "multimodal_features": llm.multimodal_features,
+    "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
+    "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
+    "streaming_bounce_rate": speed.streaming_bounce_rate,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
@@ -74,4 +78,8 @@ ORACLES: dict[str, str | None] = {
     "text_stats": llm.TEXT_STATS_SQL,
     "lang_id": llm.LANG_ID_SQL,
     "token_counts": llm.TOKEN_COUNTS_SQL,
+    "multimodal_features": None,
+    "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
+    "streaming_uniques_hourly_hll": None,
+    "streaming_bounce_rate": None,
 }

@@ -1,0 +1,118 @@
+"""Speed-layer queries: run the Structured Streaming jobs over the
+driver test tables with Trigger.AvailableNow and return the final
+sink table, so the streaming operators participate in the same
+oracle harness as the batch views.
+
+``streaming_pageviews_hourly`` is exactly oracle-checkable: a
+complete-mode windowed count over a bounded stream must equal the
+batch hourly aggregation. The HLL and stateful-session jobs are
+approximate / timeout-dependent → rows-only checks, with exact
+semantics asserted in `tests/test_streaming.py`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming import speed_layer as sl
+
+
+def _events_src(sf_dir: str) -> str:
+    """FileStreamSource needs a *directory*; stage the events
+    parquet into one via symlink (falling back to copy)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"swa_stream_src_{os.path.basename(sf_dir)}"
+    )
+    link = os.path.join(out_dir, "00.parquet")
+    if not os.path.exists(link):
+        os.makedirs(out_dir, exist_ok=True)
+        try:
+            os.symlink(src, link)
+        except OSError:
+            shutil.copyfile(src, link)
+    return out_dir
+
+
+def streaming_pageviews_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream → 1h event-time window count, complete mode.
+
+    ≙ `TridentSpeedLayer.pageviewsOverTime`; equals the batch
+    hourly rollup on a bounded stream.
+    """
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    agg = sl.pageviews_over_time_stream(stream)
+    return sl.run_stream_to_table(agg, "complete")
+
+
+STREAMING_PAGEVIEWS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_views
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_uniques_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream → 1h window HLL-sketch uniques (lgK=14).
+    Approximate → rows-only driver check; accuracy vs exact uniques
+    is asserted in tests."""
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    agg = sl.uniques_over_time_stream(stream)
+    return sl.run_stream_to_table(agg, "complete")
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage events into ``n_chunks`` time-ordered parquet files so
+    ``maxFilesPerTrigger=1`` yields deterministic micro-batches with
+    an advancing watermark (what makes session timeouts fire)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "user_id",
+        "event_type",
+    )
+    lo, hi = events.select(F.min("us"), F.max("us")).first()
+    step = (hi - lo) // n_chunks + 1
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for i in range(n_chunks):
+        chunk = events.where(
+            (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
+        ).select(
+            "event_id", (F.col("us") * 1000).alias("ts"), "user_id", "event_type"
+        )
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"{i:02d}.parquet"))
+        shutil.rmtree(tmp)
+        # strictly increasing mtimes fix the file-stream batch order
+        os.utime(os.path.join(out_dir, f"{i:02d}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
+    return out_dir
+
+
+def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful visit tracking with 30-min event-time timeout over
+    deterministic micro-batches, then count+sum per domain.
+
+    ≙ `TridentSpeedLayer.AnalyzeVisits` + its aggregation. Only
+    visits whose timeout fired before end-of-stream are counted
+    (open visits stay in state, as in the reference) → rows-only
+    driver check; exact timeout semantics are unit-tested.
+    """
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    visits = sl.visits_stream(stream)
+    table = sl.run_stream_to_table(visits, "append")
+    return sl.bounce_counts(table)

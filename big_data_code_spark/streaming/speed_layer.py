@@ -1,0 +1,215 @@
+"""Speed layer — Structured Streaming restatement of the Storm /
+Trident topologies.
+
+Reference topologies (`TridentSpeedLayer.java`, `UniquesOverTime.java`,
+`CassandraState.java`):
+
+- `pageviewsOverTime` (`TridentSpeedLayer.java:64-105`): Kafka spout
+  → normalize url → hour bucket → grouped persistent Count into
+  Cassandra.  Here: file/Kafka stream → event-time window(1 hour) →
+  streaming count. Cassandra's role (queryable, incrementally
+  updated state) is played by the sink table.
+- `uniquesOverTime` (`UniquesOverTime.java`): HLL sketch per
+  (url, bucket) column in Cassandra, merged on update. Here:
+  ``hll_sketch_agg`` in the windowed aggregation — same mergeable-
+  sketch semantics, Spark-native datasketches.
+- `AnalyzeVisits` (`TridentSpeedLayer.java:143-235`): per
+  (domain, user) visit state {startTimestamp, lastVisitTimestamp},
+  swept every 60 s; a visit expires when now > last + 30 min, and
+  emits (domain, is_bounce) where bounce ⇔ start == last. Here:
+  ``applyInPandasWithState`` with an event-time timeout — the
+  watermark plays the sweep clock, the timeout the 30-min expiry.
+
+All operators take/return unbounded DataFrames and never collect;
+at scale the same code runs against Kafka by swapping the source.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: schema of the pageview stream (events.parquet at rest stores ts
+#: as TIMESTAMP(NANOS); the stream schema uses long nanos + cast so
+#: a session without the nanos conf can still run the stream).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+VISIT_TIMEOUT_SECS = 30 * 60  # ≙ THIRTY_MINUTES_SECS
+
+
+def events_file_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet-directory stream of pageview events (the local stand-
+    in for the Kafka spout). ``max_files_per_trigger=1`` makes each
+    file one micro-batch — how the tests drive multi-batch state."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def pageviews_over_time_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming pageview counts per url × event-hour.
+
+    ≙ `pageviewsOverTime` (`TridentSpeedLayer.java:64-105`).
+    Returns (event_type, hour_bucket, n_views) as an unbounded
+    aggregation — run in update/complete mode; partial aggregation
+    + state-store keeps the shuffle to one row per (url, hour).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_bucket"),
+            "n_views",
+        )
+    )
+
+
+def uniques_over_time_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming uniques per url × hour as mergeable HLL sketches
+    (≙ `UniquesOverTime.java`'s Cassandra HLL column, lgK=14 like
+    the reference's ``HyperLogLog(14)``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sketch")
+        )
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_bucket"),
+            F.hll_sketch_estimate("sketch").alias("unique_visitors"),
+        )
+    )
+
+
+VISIT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("is_bounce", BooleanType()),
+        StructField("visit_start", TimestampType()),
+    ]
+)
+
+VISIT_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_views", LongType()),
+    ]
+)
+
+
+def _track_visit(key: Any, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    """Stateful visit tracker — body of `AnalyzeVisits`.
+
+    State per (domain, user): (start, last, n). Emits the finished
+    visit when the event-time timeout (last + 30 min) fires; bounce
+    ⇔ start == last, exactly the reference's
+    ``info.startTimestamp == info.lastVisitTimestamp`` check.
+    """
+    domain, user = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        yield pd.DataFrame(
+            {
+                "domain": [domain],
+                "user_id": [user],
+                "n_views": [n],
+                "is_bounce": [start_us == last_us],
+                "visit_start": [pd.Timestamp(start_us, unit="us")],
+            }
+        )
+        state.remove()
+        return
+
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        start_us = lo if start_us is None else min(start_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+        n += len(pdf)
+    if start_us is not None:
+        state.update((start_us, last_us, n))
+        timeout_ms = last_us // 1000 + VISIT_TIMEOUT_SECS * 1000
+        # setTimeoutTimestamp must exceed the current watermark
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
+    yield pd.DataFrame(
+        columns=["domain", "user_id", "n_views", "is_bounce", "visit_start"]
+    )
+
+
+def visits_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Expired-visit stream: one row per finished visit.
+
+    ≙ `AnalyzeVisits` (`TridentSpeedLayer.java:143-235`). Visits
+    still open at end-of-stream stay in state (the reference keeps
+    them in the MemoryMapState the same way).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", "user_id")
+        .applyInPandasWithState(
+            _track_visit,
+            outputStructType=VISIT_OUTPUT_SCHEMA,
+            stateStructType=VISIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def bounce_counts(visits: DataFrame) -> DataFrame:
+    """(domain, num_visits, num_bounces) over emitted visits —
+    ≙ the Trident `CombinedCombinerAggregator` count+sum."""
+    return visits.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("num_visits"),
+        F.sum(F.when(F.col("is_bounce"), 1).otherwise(0)).alias("num_bounces"),
+    )
+
+
+def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a stream with Trigger.AvailableNow into an in-memory
+    sink and return the resulting table (test/local harness; in
+    production this is a writeStream to the serving store)."""
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,129 @@
+"""Speed-layer streaming tests: bounded-stream parity with batch,
+HLL accuracy, and exact stateful-session timeout semantics driven
+through deterministic micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+def test_streaming_pageviews_matches_batch_oracle(spark):
+    assert_matches_oracle(spark, "streaming_pageviews_hourly", SF_SMOKE)
+
+
+def test_streaming_uniques_hll_accuracy(spark):
+    """Sketch estimates within 5% of exact uniques per bucket (the
+    buckets are small here, so HLL(14) is essentially exact)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    est = {
+        (r["event_type"], r["hour_bucket"]): r["unique_visitors"]
+        for r in QUERIES["streaming_uniques_hourly_hll"](spark, SF_SMOKE).collect()
+    }
+    from big_data_code_spark.sources.tables import load_table
+
+    exact_df = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("hour_bucket"),
+        )
+        .agg(F.countDistinct("user_id").alias("u"))
+    )
+    exact = {
+        (r["event_type"], r["hour_bucket"]): r["u"] for r in exact_df.collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns epoch, like the parquet at rest
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+T0 = 1_700_000_000  # seconds
+
+
+def _write_batch(spark, path: str, rows: list[tuple], mtime: int) -> None:
+    df = spark.createDataFrame(
+        [(i, int(t * 1e9), u, d) for i, (t, u, d) in enumerate(rows)], RAW_SCHEMA
+    )
+    tmp = path + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), path)
+    import shutil
+
+    shutil.rmtree(tmp)
+    os.utime(path, (mtime, mtime))
+
+
+def test_visit_timeout_semantics(spark, tmp_path):
+    """Two crafted micro-batches:
+
+    - user 1: two views 5 min apart → ONE visit, n_views=2, not a
+      bounce (start != last);
+    - user 2: single view → bounce;
+    - user 3 arrives in batch 2, within 30 min of stream end → its
+      visit must stay open (never emitted), like the reference's
+      in-state visits.
+    A far-ahead clock event (user 99) pushes the watermark past
+    user 1/2's 30-min timeout.
+    """
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    _write_batch(
+        spark,
+        os.path.join(src, "00.parquet"),
+        [
+            (T0, 1, "d"),
+            (T0 + 300, 1, "d"),
+            (T0, 2, "d"),
+        ],
+        1_700_100_000,
+    )
+    _write_batch(
+        spark,
+        os.path.join(src, "01.parquet"),
+        [
+            (T0 + 3000, 99, "clock"),   # watermark -> T0+3000 after this batch
+            (T0 + 3100, 3, "d"),
+        ],
+        1_700_100_001,
+    )
+
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    visits = sl.visits_stream(stream)
+    table = sl.run_stream_to_table(visits, "append")
+    rows = {r["user_id"]: r for r in table.collect()}
+
+    assert 1 in rows and rows[1]["n_views"] == 2 and rows[1]["is_bounce"] is False
+    assert 2 in rows and rows[2]["n_views"] == 1 and rows[2]["is_bounce"] is True
+    assert 3 not in rows  # still open at end-of-stream
+    assert rows[1]["domain"] == "d"
+
+
+def test_streaming_bounce_rate_deterministic(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+
+    a = sorted(tuple(r) for r in QUERIES["streaming_bounce_rate"](spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in QUERIES["streaming_bounce_rate"](spark, SF_SMOKE).collect())
+    assert a == b and a

@@ -34,15 +34,22 @@ BENCH_QUERIES = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
     "top_users_by_event_type",
     "running_daily_revenue",
     "sales_rollup",
+    "viewers_set_ops",
+    "rich_customers",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
     "lang_id",
     "token_counts",
+    "multimodal_features",
+    "streaming_pageviews_hourly",
 )
 
 

@@ -33,6 +33,11 @@ QUERIES: dict[str, QueryFn] = {
     "running_daily_revenue": tpch.running_daily_revenue,
     "customers_no_orders": tpch.customers_no_orders,
     "sales_rollup": tpch.sales_rollup,
+    "q4_order_priority": tpch.q4_order_priority,
+    "q10_returned_items": tpch.q10_returned_items,
+    "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
+    "viewers_set_ops": tpch.viewers_set_ops,
+    "rich_customers": tpch.rich_customers,
     "dedup_exact": llm.dedup_exact,
     "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
     "dedup_minhash_lsh": llm.dedup_minhash_lsh,
@@ -68,6 +73,11 @@ ORACLES: dict[str, str | None] = {
     "running_daily_revenue": tpch.RUNNING_DAILY_SQL,
     "customers_no_orders": tpch.CUSTOMERS_NO_ORDERS_SQL,
     "sales_rollup": tpch.SALES_ROLLUP_SQL,
+    "q4_order_priority": tpch.Q4_SQL,
+    "q10_returned_items": tpch.Q10_SQL,
+    "q17_small_quantity_revenue": tpch.Q17_SQL,
+    "viewers_set_ops": tpch.VIEWERS_SET_OPS_SQL,
+    "rich_customers": tpch.RICH_CUSTOMERS_SQL,
     "dedup_exact": llm.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": llm.DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": llm.DEDUP_MINHASH_LSH_SQL,

@@ -112,7 +112,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders.where(
-            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1995-01-01"))
         ), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -264,4 +264,152 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a quarter with
+    at least one lineitem shipped after the order date, counted per
+    priority (adapted to the reduced schema: the spec's
+    commitdate<receiptdate predicate becomes shipdate>orderdate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer,
+    top 20 — fact⋈fact shuffle join + broadcast dim + agg + top-N."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate — revenue from orders
+    of less than 20% of a part's average quantity. The correlated
+    subquery becomes a per-part aggregate joined back (what Catalyst
+    would decorrelate to anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def viewers_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators over the events stream: users who viewed but
+    never purchased (EXCEPT) and users who both viewed and signed
+    up (INTERSECT), labeled in one relation."""
+    events = load_table(spark, sf_dir, "events")
+
+    def users_of(etype: str) -> DataFrame:
+        return events.where(F.col("event_type") == etype).select("user_id").distinct()
+
+    except_rel = users_of("view").exceptAll(users_of("purchase")).distinct()
+    intersect_rel = users_of("view").intersect(users_of("signup"))
+    return (
+        except_rel.select("user_id", F.lit("view_not_purchase").alias("relation"))
+        .unionByName(
+            intersect_rel.select("user_id", F.lit("view_and_signup").alias("relation"))
+        )
+    )
+
+
+VIEWERS_SET_OPS_SQL = """
+SELECT user_id, 'view_not_purchase' AS relation
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'view_and_signup' AS relation
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+"""
+
+
+def rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers with above-average account
+    balance — the global aggregate broadcast against the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+RICH_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
 """

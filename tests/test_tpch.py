@@ -20,6 +20,11 @@ TPCH_QUERIES = (
     "running_daily_revenue",
     "customers_no_orders",
     "sales_rollup",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "viewers_set_ops",
+    "rich_customers",
 )
 
 

@@ -42,6 +42,10 @@ BENCH_QUERIES = (
     "sales_rollup",
     "viewers_set_ops",
     "rich_customers",
+    "props_json_extract",
+    "asof_last_event_value",
+    "value_percentiles",
+    "user_event_pivot",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

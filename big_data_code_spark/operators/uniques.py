@@ -35,8 +35,29 @@ def _fan_granularities(df: DataFrame, key: str, ts: str, extra: str) -> DataFram
 
 
 def uniques_exact(df: DataFrame, key: str, ts: str, user: str) -> DataFrame:
-    """Exact distinct users per (key, granularity, bucket)."""
-    fanned = _fan_granularities(df, key, ts, user)
+    """Exact distinct users per (key, granularity, bucket).
+
+    Two-level like the HLL path: dedup (key, hour, user) FIRST (the
+    only shuffle over the full fact table, with map-side partial
+    dedup), then fan the much smaller distinct set to the 4
+    granularities. Distinct-over-hour-distinct ≡ distinct, so
+    results are unchanged — but the 4× explode never touches raw
+    facts.
+    """
+    hourly_users = (
+        df.select(F.col(key), hour_bucket(F.col(ts)).alias("hour_bucket"), F.col(user))
+        .distinct()
+    )
+    fanned = hourly_users.select(
+        key,
+        F.explode(emit_granularities(F.col("hour_bucket"))).alias("gb"),
+        F.col(user),
+    ).select(
+        key,
+        F.col("gb.granularity").alias("granularity"),
+        F.col("gb.bucket").alias("bucket"),
+        user,
+    )
     return fanned.groupBy(key, "granularity", "bucket").agg(
         F.count_distinct(F.col(user)).alias("unique_visitors")
     )

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llm, speed, swa, tpch
+from . import advanced, llm, speed, swa, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -49,6 +49,10 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": llm.lang_id,
     "token_counts": llm.token_counts,
     "multimodal_features": llm.multimodal_features,
+    "props_json_extract": advanced.props_json_extract,
+    "asof_last_event_value": advanced.asof_last_event_value,
+    "value_percentiles": advanced.value_percentiles,
+    "user_event_pivot": advanced.user_event_pivot,
     "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
     "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
     "streaming_bounce_rate": speed.streaming_bounce_rate,
@@ -89,6 +93,10 @@ ORACLES: dict[str, str | None] = {
     "lang_id": llm.LANG_ID_SQL,
     "token_counts": llm.TOKEN_COUNTS_SQL,
     "multimodal_features": None,
+    "props_json_extract": advanced.PROPS_JSON_EXTRACT_SQL,
+    "asof_last_event_value": advanced.ASOF_LAST_EVENT_VALUE_SQL,
+    "value_percentiles": advanced.VALUE_PERCENTILES_SQL,
+    "user_event_pivot": advanced.USER_EVENT_PIVOT_SQL,
     "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
     "streaming_uniques_hourly_hll": None,
     "streaming_bounce_rate": None,

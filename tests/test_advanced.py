@@ -1,0 +1,78 @@
+"""Advanced capability tests: JSON extraction, as-of join, exact
+percentiles, pivot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+ADVANCED_QUERIES = (
+    "props_json_extract",
+    "asof_last_event_value",
+    "value_percentiles",
+    "user_event_pivot",
+)
+
+
+@pytest.mark.parametrize("name", ADVANCED_QUERIES)
+def test_oracle_smoke(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ("asof_last_event_value",))
+def test_oracle_sf001(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECT)
+
+
+def test_asof_join_semantics(spark):
+    """Hand-checkable as-of cases: inclusive tie, gap, no-match."""
+    from big_data_code_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 4, "b"), (2, 7, "c"), (3, 1, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 11, 300.0), (2, 6, 400.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+    assert out["a"] == (10, 200.0)  # tie at t=10 is inclusive
+    assert out["b"] == (4, None) or out["b"][1] is None  # no right row ≤ 4
+    assert out["c"] == (6, 400.0)
+    assert out["d"][1] is None  # key with no right rows at all
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be one window sort, not a range join or
+    a python UDF."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["asof_last_event_value"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_no_python_and_counts(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["user_event_pivot"](spark, SF_SMOKE)
+    total = df.select(
+        sum(F.sum(c) for c in df.columns if c.startswith("n_")).alias("s")
+    ).first()["s"]
+    from big_data_code_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF_SMOKE, "events").count()

@@ -144,3 +144,27 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", id_col, "sim")
     )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (embedding near-dup
+    detection). Brute-force all-pairs — correct at any SF and the
+    oracle-checkable baseline; at cluster scale the same predicate
+    runs inside `lsh_ann_topk`'s band buckets instead (candidates
+    only), which `tests/test_llm.py` shows recovers the true
+    neighbors.
+
+    Returns (vec_id_a, vec_id_b, cos) with vec_id_a < vec_id_b.
+    """
+    a = vectors.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return pairs.select("vec_id_a", "vec_id_b", cos.alias("cos")).where(
+        F.col("cos") >= threshold
+    )

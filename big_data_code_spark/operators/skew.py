@@ -1,0 +1,64 @@
+"""Skew-handling primitives: salted aggregation and salted joins.
+
+At 100 TB a handful of hot keys (the reference's equivalent: one
+viral URL in the pageview stream) can pin an entire stage on one
+task. Two standard remedies, packaged as reusable operators:
+
+- `salted_sum_count`: two-phase aggregate — phase 1 aggregates on
+  (key, salt) spreading a hot key over N tasks, phase 2 combines
+  the N partials. Works for any algebraic aggregate; sum/count
+  cover the engine's rollups (avg = sum/count downstream).
+- `salted_broadcast_left_join`: replicate the (small) right side N
+  times with explicit salt, salt the left side randomly, join on
+  (key, salt) — each hot-key row lands on one of N tasks instead
+  of all on one.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin`) covers
+sort-merge joins at runtime; these operators cover aggregations and
+broadcast shapes AQE doesn't split. Salting is deterministic-free
+(`rand`-based) but result-invariant, which the tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame, keys: list[str], value: str, n_salt: int = 16
+) -> DataFrame:
+    """sum+count per key, via a (key, salt) pre-aggregate.
+
+    Returns (keys..., sum_<value>, cnt) — identical to the direct
+    groupBy, but a hot key's phase-1 work spreads over ``n_salt``
+    reducers.
+    """
+    salt = (F.rand(seed=42) * n_salt).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value).alias("_s"), F.count(F.lit(1)).alias("_c"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_s").alias(f"sum_{value}"), F.sum("_c").alias("cnt")
+    )
+
+
+def salted_broadcast_left_join(
+    left: DataFrame, right: DataFrame, key: str, n_salt: int = 8
+) -> DataFrame:
+    """left ⋈ right on ``key`` with the right side exploded to
+    ``n_salt`` salted copies (right must be broadcast-small).
+
+    Equivalent rows to a plain inner join; hot left keys fan over
+    ``n_salt`` partitions.
+    """
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    salted_left = left.withColumn("_salt", (F.rand(seed=7) * n_salt).cast("int"))
+    return (
+        salted_left.join(F.broadcast(salted_right), [key, "_salt"])
+        .drop("_salt")
+    )

@@ -396,3 +396,57 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens
 FROM documents
 """
+
+
+# ------------------------------------------------- embedding near-dup
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+def _vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ perturbed copies of every 10th vector (+0.01 per
+    component, in double; the embeddings are unit vectors, so this
+    lands at cos ≈ 0.997) — seeds true near-duplicates (cos ≈ 0.999)
+    the same way the text corpus seeds them, identically in Spark
+    and the oracle SQL."""
+    emb = _embeddings(spark, sf_dir)
+    as_double = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    perturbed = as_double.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    return as_double.unionByName(perturbed)
+
+
+_VECTOR_CORPUS_CTE = """
+vcorpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x + 0.01) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) over the
+    dup-seeded vector corpus."""
+    return ann.cosine_dup_pairs(
+        _vector_corpus(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH {_VECTOR_CORPUS_CTE}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) *
+          sqrt(list_dot_product(b.v, b.v))) AS cos
+FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
+"""

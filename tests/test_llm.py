@@ -167,3 +167,47 @@ def test_text_ops_prune_columns(spark):
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_embedding_cosine_dedup_finds_seeded_pairs(spark):
+    """Every 10th vector has a perturbed near-copy at cos≈0.997;
+    exactly those pairs (and no random pair) pass τ=0.95."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    assert_matches_oracle(spark, "dedup_embedding_cosine", SF_SMOKE)
+    pairs = QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    assert pairs
+    for r in pairs:
+        assert r["vec_id_b"] == r["vec_id_a"] + 1_000_000
+        assert r["cos"] >= 0.95
+
+
+def test_salted_aggregate_and_join_equivalence(spark):
+    """Salting changes the physical distribution, never the result."""
+    from big_data_code_spark.operators.skew import (
+        salted_broadcast_left_join,
+        salted_sum_count,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        r["event_type"]: (round(r["s"], 6), r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 6).alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (round(r["sum_value"], 6), r["cnt"])
+        for r in salted_sum_count(ev, ["event_type"], "value").collect()
+    }
+    assert direct == salted
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    cust = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    assert (
+        cust.join(nation, "n_nationkey").count()
+        == salted_broadcast_left_join(cust, nation, "n_nationkey").count()
+    )

@@ -160,11 +160,26 @@ def cosine_dup_pairs(
     neighbors.
 
     Returns (vec_id_a, vec_id_b, cos) with vec_id_a < vec_id_b.
+
+    Norms are computed ONCE per vector before the pair join (a
+    scalar column, so the O(n²) stage does one dot product + one
+    divide per pair instead of three dots). The formula stays
+    ``dot/(na*nb)`` — bit-identical to the oracle's expression since
+    the hoisted norm has the same double value it would compute
+    inline.
     """
-    a = vectors.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    dv = _as_double(F.col(vec_col))
+    with_norm = vectors.select(
+        F.col(id_col).alias("id"), dv.alias("v"), norm(dv).alias("nrm")
+    )
+    a = with_norm.select(
+        F.col("id").alias("vec_id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col("id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select("vec_id_a", "vec_id_b", cos.alias("cos")).where(
         F.col("cos") >= threshold
     )

@@ -1,0 +1,139 @@
+"""Fact-based data model — Spark StructType restatement of the
+reference's Thrift schema (`src/schema.thrift`).
+
+Thrift unions become structs whose fields are all nullable with
+exactly one set (sparse-union encoding — what parquet stores for a
+union anyway), plus a discriminator column at the top level
+(``unit``) so the master dataset can vertically partition by fact
+type (`SplitDataPailStructure` semantics) and prune at the scan.
+
+| Thrift                         | here                            |
+| ------------------------------ | ------------------------------- |
+| `PersonID union(cookie,user_id)` | struct(cookie, user_id)       |
+| `PageID union(url)`            | struct(url)                     |
+| `Pedigree{true_as_of_secs, source, system}` | struct, enums as strings |
+| `DataUnit union(4 fact kinds)` | 4 nullable structs + `unit` tag |
+| `Data{pedigree, dataunit}`     | one row of `DATA_SCHEMA`        |
+
+Facts are immutable and append-only; every mutation of state is a
+new fact with its own pedigree timestamp — the Lambda-architecture
+contract the batch views rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PERSON_ID = StructType(
+    [StructField("cookie", StringType()), StructField("user_id", LongType())]
+)
+PAGE_ID = StructType([StructField("url", StringType())])
+
+PEDIGREE = StructType(
+    [
+        StructField("true_as_of_secs", IntegerType(), False),
+        StructField("source", StringType(), False),   # Source enum name
+        StructField("system", StringType(), False),   # OrigSystem tag
+    ]
+)
+
+PERSON_PROPERTY = StructType(
+    [
+        StructField("id", PERSON_ID),
+        StructField("property_name", StringType()),   # PersonPropertyValue tag
+        StructField("property_value", StringType()),
+    ]
+)
+PAGE_PROPERTY = StructType(
+    [
+        StructField("id", PAGE_ID),
+        StructField("page_views", IntegerType()),
+    ]
+)
+EQUIV_EDGE = StructType(
+    [StructField("id1", PERSON_ID), StructField("id2", PERSON_ID)]
+)
+PAGE_VIEW_EDGE = StructType(
+    [
+        StructField("person", PERSON_ID),
+        StructField("page", PAGE_ID),
+        StructField("nonce", LongType()),
+    ]
+)
+
+#: DataUnit union tags — the master dataset's vertical partitions
+UNIT_PERSON_PROPERTY = "person_property"
+UNIT_PAGE_PROPERTY = "page_property"
+UNIT_EQUIV = "equiv"
+UNIT_PAGE_VIEW = "page_view"
+
+DATA_SCHEMA = StructType(
+    [
+        StructField("unit", StringType(), False),
+        StructField("pedigree", PEDIGREE, False),
+        StructField("person_property", PERSON_PROPERTY),
+        StructField("page_property", PAGE_PROPERTY),
+        StructField("equiv", EQUIV_EDGE),
+        StructField("page_view", PAGE_VIEW_EDGE),
+    ]
+)
+
+
+def pedigree(true_as_of_secs: Column, source: str = "SELF", system: str = "page_view") -> Column:
+    return F.struct(
+        true_as_of_secs.cast("int").alias("true_as_of_secs"),
+        F.lit(source).alias("source"),
+        F.lit(system).alias("system"),
+    )
+
+
+def person_id(user_id: Column | None = None, cookie: Column | None = None) -> Column:
+    return F.struct(
+        (cookie if cookie is not None else F.lit(None).cast("string")).alias("cookie"),
+        (user_id if user_id is not None else F.lit(None).cast("long")).alias("user_id"),
+    )
+
+
+def _null(st: StructType, name: str) -> Column:
+    return F.lit(None).cast(st).alias(name)
+
+
+def pageview_facts(events: DataFrame) -> DataFrame:
+    """events rows → `Data` pageview facts (PersonID=user_id,
+    PageID=url≙event_type, nonce=event_id — the reference uses the
+    nonce to make identical views distinct facts)."""
+    return events.select(
+        F.lit(UNIT_PAGE_VIEW).alias("unit"),
+        pedigree(F.unix_timestamp("ts")).alias("pedigree"),
+        _null(PERSON_PROPERTY, "person_property"),
+        _null(PAGE_PROPERTY, "page_property"),
+        _null(EQUIV_EDGE, "equiv"),
+        F.struct(
+            person_id(user_id=F.col("user_id")).alias("person"),
+            F.struct(F.col("event_type").alias("url")).alias("page"),
+            F.col("event_id").alias("nonce"),
+        ).alias("page_view"),
+    )
+
+
+def equiv_facts(pairs: DataFrame, id1: str, id2: str, as_of: Column) -> DataFrame:
+    """(id1, id2) rows → `Data` equiv-edge facts."""
+    return pairs.select(
+        F.lit(UNIT_EQUIV).alias("unit"),
+        pedigree(as_of, system="external_data").alias("pedigree"),
+        _null(PERSON_PROPERTY, "person_property"),
+        _null(PAGE_PROPERTY, "page_property"),
+        F.struct(
+            person_id(user_id=F.col(id1)).alias("id1"),
+            person_id(user_id=F.col(id2)).alias("id2"),
+        ).alias("equiv"),
+        _null(PAGE_VIEW_EDGE, "page_view"),
+    )

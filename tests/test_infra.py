@@ -152,3 +152,36 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_typed_facts_into_master_dataset(spark, tmp_path):
+    """End-to-end Lambda shape: events → typed Data facts →
+    master dataset → unit-pruned read → batch-view input."""
+    from big_data_code_spark import schema as sch
+    from big_data_code_spark.sources.master_dataset import MasterDataset
+    from big_data_code_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    pv = sch.pageview_facts(events)
+    eq = sch.equiv_facts(
+        spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
+        "a", "b", F.lit(1_700_000_000),
+    )
+    md = MasterDataset(str(tmp_path / "master"))
+    md.ingest(pv)
+    md.ingest(eq)
+
+    back = md.read(spark, unit=sch.UNIT_PAGE_VIEW)
+    assert back.count() == 200
+    row = back.select("page_view.person.user_id", "page_view.page.url",
+                      "pedigree.true_as_of_secs").first()
+    assert row["user_id"] is not None and row["url"] is not None
+    assert row["true_as_of_secs"] > 0
+    assert md.read(spark, unit=sch.UNIT_EQUIV).count() == 2
+    # the equiv rows carry no page_view payload (sparse union)
+    assert (
+        md.read(spark, unit=sch.UNIT_EQUIV)
+        .where(F.col("page_view").isNotNull())
+        .count()
+        == 0
+    )

@@ -57,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
     "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
     "streaming_bounce_rate": speed.streaming_bounce_rate,
+    "lambda_merged_pageviews": speed.lambda_merged_pageviews,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
@@ -102,4 +103,5 @@ ORACLES: dict[str, str | None] = {
     "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
     "streaming_uniques_hourly_hll": None,
     "streaming_bounce_rate": None,
+    "lambda_merged_pageviews": speed.LAMBDA_MERGED_PAGEVIEWS_SQL,
 }

@@ -116,3 +116,71 @@ def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     visits = sl.visits_stream(stream)
     table = sl.run_stream_to_table(visits, "append")
     return sl.bounce_counts(table)
+
+
+# --------------------------------------------- lambda serving merge
+
+MERGE_CUTOFF_FRACTION = 0.8
+
+
+def lambda_merged_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE Lambda-architecture query: serving = batch view ⊕ speed
+    view. Events at/before a cutoff flow through the (recomputed)
+    batch hourly rollup; events after it through the streaming
+    window count; the serving layer sums the two per key. On a
+    bounded input the merge must equal a batch rollup over ALL
+    events — which is exactly what the oracle checks.
+
+    Ref: the book's serving-layer merge of ElephantDB batch domains
+    with the Cassandra realtime view (`BatchWorkflow` +
+    `TridentSpeedLayer` composed).
+    """
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.select(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    cutoff_us = lo + int((hi - lo) * MERGE_CUTOFF_FRACTION)
+    cutoff = F.timestamp_micros(F.lit(cutoff_us))
+
+    batch_part = (
+        events.where(F.col("ts") <= cutoff)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+
+    recent = events.where(F.col("ts") > cutoff)
+    speed_src = os.path.join(
+        tempfile.gettempdir(), f"swa_speed_recent_{os.path.basename(sf_dir)}"
+    )
+    (
+        recent.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .write.mode("overwrite")
+        .parquet(speed_src)
+    )
+    stream = sl.events_file_stream(spark, speed_src)
+    speed_part = sl.run_stream_to_table(
+        sl.pageviews_over_time_stream(stream), "complete"
+    )
+
+    return (
+        batch_part.unionByName(speed_part)
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.sum("n_views").alias("n_views"))
+    )
+
+
+LAMBDA_MERGED_PAGEVIEWS_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_views
+FROM events
+GROUP BY 1, 2
+"""

@@ -127,3 +127,9 @@ def test_streaming_bounce_rate_deterministic(spark):
     a = sorted(tuple(r) for r in QUERIES["streaming_bounce_rate"](spark, SF_SMOKE).collect())
     b = sorted(tuple(r) for r in QUERIES["streaming_bounce_rate"](spark, SF_SMOKE).collect())
     assert a == b and a
+
+
+def test_lambda_merge_equals_full_batch(spark):
+    """Batch view (≤ cutoff) ⊕ speed view (> cutoff) must equal the
+    batch rollup over all events — the Lambda serving contract."""
+    assert_matches_oracle(spark, "lambda_merged_pageviews", SF_SMOKE)

@@ -137,3 +137,55 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine resampling: per event_type, one row for EVERY hour
+    between the type's first and last event, zero-filled where no
+    events landed — the gap-filling join every time-series rollup
+    needs before charting/windowing.
+
+    Spine = sequence(min_hour, max_hour) exploded per key (tiny:
+    keys × hours), left-joined to the hourly aggregate. No shuffle
+    touches raw facts beyond the one hourly rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_views"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("hour_bucket"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "hour_bucket"], "left").select(
+        "event_type",
+        "hour_bucket",
+        F.coalesce("n_views", F.lit(0)).cast("long").alias("n_views"),
+    )
+
+
+HOURLY_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n_views
+  FROM events
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(min(hour_bucket), max(hour_bucket)))
+           AS hour_bucket
+  FROM hourly
+  GROUP BY event_type
+)
+SELECT s.event_type, s.hour_bucket,
+       COALESCE(h.n_views, 0) AS n_views
+FROM spine s
+LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_bucket = h.hour_bucket
+"""

@@ -54,6 +54,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_event_value": advanced.asof_last_event_value,
     "value_percentiles": advanced.value_percentiles,
     "user_event_pivot": advanced.user_event_pivot,
+    "hourly_gap_fill": advanced.hourly_gap_fill,
     "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
     "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
     "streaming_bounce_rate": speed.streaming_bounce_rate,
@@ -100,6 +101,7 @@ ORACLES: dict[str, str | None] = {
     "asof_last_event_value": advanced.ASOF_LAST_EVENT_VALUE_SQL,
     "value_percentiles": advanced.VALUE_PERCENTILES_SQL,
     "user_event_pivot": advanced.USER_EVENT_PIVOT_SQL,
+    "hourly_gap_fill": advanced.HOURLY_GAP_FILL_SQL,
     "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
     "streaming_uniques_hourly_hll": None,
     "streaming_bounce_rate": None,

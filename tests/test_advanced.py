@@ -13,6 +13,7 @@ ADVANCED_QUERIES = (
     "asof_last_event_value",
     "value_percentiles",
     "user_event_pivot",
+    "hourly_gap_fill",
 )
 
 

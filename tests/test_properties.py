@@ -1,0 +1,165 @@
+"""Property-based tests: custom operators vs independent Python
+reference implementations on random inputs (hypothesis).
+
+Few examples, large strategy space — each example runs Spark jobs,
+so the budget goes to input diversity, not repetition.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------ connected components
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            # operator drops self-loops; isolated self-loop nodes
+            # don't appear in its node set either
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from big_data_code_spark.operators.graph import connected_components
+
+    expected = _union_find_components(edges)
+    if not expected:
+        return  # all edges were self-loops — operator yields no nodes
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+# ------------------------------------------------------ sessionization
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.integers(0, 1),                      # domain
+        st.integers(0, 90 * 60).map(lambda s: s * 1),  # seconds offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _python_visit_stats(events: list[tuple[int, int, int]], gap: int = 900):
+    by_group: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for u, d, t in events:
+        by_group[(d, u)].append(t)
+    visits: dict[int, list[int]] = defaultdict(list)  # domain -> visit sizes
+    for (d, u), ts in by_group.items():
+        ts.sort()
+        size = 0
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > gap:
+                if size:
+                    visits[d].append(size)
+                size = 0
+            size += 1
+            prev = t
+        visits[d].append(size)
+    return {
+        d: (len(sizes), sum(1 for s in sizes if s == 1))
+        for d, sizes in visits.items()
+    }
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_visit_stats_matches_python_reference(spark, events):
+    from big_data_code_spark.operators.sessionize import visit_stats
+
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [(u, str(d), base + t) for u, d, t in events],
+        "user_id long, domain string, secs long",
+    ).select("user_id", "domain", F.timestamp_seconds("secs").alias("ts"))
+    got = {
+        r["domain"]: (r["num_visits"], r["num_bounces"])
+        for r in visit_stats(df, "domain", "user_id").collect()
+    }
+    expected = {
+        str(d): v for d, v in _python_visit_stats(events).items()
+    }
+    assert got == expected
+
+
+# ------------------------------------------------------------ as-of join
+
+asof_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25),
+)
+
+
+@settings(**SETTINGS)
+@given(data=asof_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    from big_data_code_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    # right must be unique per (key, t): keep max value per slot
+    right_map: dict[tuple[int, int], int] = {}
+    for i, (k, t) in enumerate(right_rows):
+        right_map[(k, t)] = max(right_map.get((k, t), -1), i)
+    right_uniq = [(k, t, float(v)) for (k, t), v in right_map.items()]
+    left_uniq = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(left_uniq, "row_id long, k long, t long")
+    right = spark.createDataFrame(right_uniq, "k long, t long, v double")
+    got = {
+        r["row_id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(left_uniq, columns=["row_id", "k", "t"]).sort_values("t")
+    rpd = pd.DataFrame(right_uniq, columns=["k", "t", "v"]).sort_values("t")
+    merged = pd.merge_asof(
+        lpd, rpd, on="t", by="k", direction="backward", allow_exact_matches=True
+    )
+    expected = {
+        int(r.row_id): (None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == expected

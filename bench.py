@@ -52,6 +52,8 @@ BENCH_QUERIES = (
     "text_stats",
     "lang_id",
     "token_counts",
+    "tfidf_top_terms",
+    "hash_split",
     "multimodal_features",
     "streaming_pageviews_hourly",
 )

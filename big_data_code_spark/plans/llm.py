@@ -450,3 +450,102 @@ WHERE list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) *
          sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
 """
+
+
+# ------------------------------------------------- tf-idf / sampling
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    One explode + two hash aggregates + a broadcast of the (tiny)
+    df table; scores rounded to 6dp so libm ``ln`` ulp differences
+    can't flip the hash match (ordering uses the unrounded score,
+    ties broken by term).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+terms AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, round(score, 6) AS score
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+TRAIN_PCT = 90
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by content-stable hash: a doc's
+    assignment never changes as the corpus grows (md5 of the id, not
+    position). The split every training pipeline needs to be
+    reproducible across engines and runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+HASH_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT) % 100
+                 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (seeded `sampleBy`) — the data
+    mixing step of a corpus pipeline. RNG streams are engine-
+    internal → rows-only driver check; proportions are asserted in
+    tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "th": 0.5, "und": 0.5}
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    frac = {lang: fractions.get(lang, 0.5) for lang in langs}
+    return docs.sampleBy("lang", frac, seed=42).select("doc_id", "lang")

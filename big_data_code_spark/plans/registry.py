@@ -49,6 +49,9 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": llm.text_stats,
     "lang_id": llm.lang_id,
     "token_counts": llm.token_counts,
+    "tfidf_top_terms": llm.tfidf_top_terms,
+    "hash_split": llm.hash_split,
+    "stratified_sample": llm.stratified_sample,
     "multimodal_features": llm.multimodal_features,
     "props_json_extract": advanced.props_json_extract,
     "asof_last_event_value": advanced.asof_last_event_value,
@@ -96,6 +99,9 @@ ORACLES: dict[str, str | None] = {
     "text_stats": llm.TEXT_STATS_SQL,
     "lang_id": llm.LANG_ID_SQL,
     "token_counts": llm.TOKEN_COUNTS_SQL,
+    "tfidf_top_terms": llm.TFIDF_TOP_TERMS_SQL,
+    "hash_split": llm.HASH_SPLIT_SQL,
+    "stratified_sample": None,
     "multimodal_features": None,
     "props_json_extract": advanced.PROPS_JSON_EXTRACT_SQL,
     "asof_last_event_value": advanced.ASOF_LAST_EVENT_VALUE_SQL,

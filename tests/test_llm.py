@@ -211,3 +211,36 @@ def test_salted_aggregate_and_join_equivalence(spark):
         cust.join(nation, "n_nationkey").count()
         == salted_broadcast_left_join(cust, nation, "n_nationkey").count()
     )
+
+
+def test_tfidf_and_hash_split_oracles(spark):
+    assert_matches_oracle(spark, "tfidf_top_terms", SF_SMOKE)
+    assert_matches_oracle(spark, "hash_split", SF_SMOKE)
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split assignment depends only on its id — adding docs
+    can't move existing docs between train and val."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    small = {r["doc_id"]: r["split"] for r in QUERIES["hash_split"](spark, SF_SMOKE).collect()}
+    big = {r["doc_id"]: r["split"] for r in QUERIES["hash_split"](spark, SF_CORRECT).collect()}
+    for doc_id, split in small.items():
+        assert big[doc_id] == split
+    train_frac = sum(1 for s in big.values() if s == "train") / len(big)
+    assert 0.8 < train_frac < 0.97
+
+
+def test_stratified_sample_proportions(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    totals = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sampled = QUERIES["stratified_sample"](spark, SF_CORRECT)
+    got = {r["lang"]: r["c"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for lang, total in totals.items():
+        if total < 30:
+            continue  # too small for a proportion assertion
+        frac = got.get(lang, 0) / total
+        assert 0.3 < frac < 0.7, (lang, frac)

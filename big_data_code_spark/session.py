@@ -45,3 +45,40 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # non-modifiable on some deployments; AQE default-on in 4.x
     return spark
+
+
+#: Production posture for a large cluster (order 1000 executors,
+#: 100 TB inputs). Not applied in local tests — documented here as
+#: the deployment contract, applied via ``get_spark(profile=
+#: "cluster")`` or spark-submit --conf.
+CLUSTER_PROFILE: dict[str, str] = {
+    # ~2-3 × total cores so AQE has room to coalesce; at 100 TB this
+    # keeps post-shuffle partitions near the advisory size instead of
+    # multi-GB stragglers
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    # split giant scans sanely; one parquet row-group per task target
+    "spark.sql.files.maxPartitionBytes": "256m",
+    # dims up to this size broadcast (region/nation/supplier/query
+    # vectors); fact-fact joins must go through bucketing instead
+    "spark.sql.autoBroadcastJoinThreshold": "256m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    # mergeable-state ops (HLL, minhash mins) benefit from larger
+    # map-side hash maps before spill
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1000000",
+    # Arrow batches sized so multimodal binary payloads (MBs each)
+    # don't blow executor memory: bytes/batch ≈ batch × asset size
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_cluster_spark(app_name: str = "big-data-code-spark") -> SparkSession:
+    """Session with the 100 TB posture applied (on a real cluster,
+    master comes from spark-submit; local fallback for smoke)."""
+    builder = SparkSession.builder.appName(app_name).config(
+        "spark.sql.session.timeZone", "UTC"
+    ).config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for k, v in CLUSTER_PROFILE.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -213,3 +213,60 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate event_ids
+    within the watermark horizon. The reference gets idempotence
+    from Trident transactional state + the pageview nonce; Spark's
+    `dropDuplicatesWithinWatermark` keeps the nonce-dedup state
+    bounded by event time instead of unbounded."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def upsert_to_keyvalue_sink(
+    agg_stream: DataFrame, store_dir: str, key_cols: list[str]
+) -> "object":
+    """writeStream → serving store, the Cassandra-analog path:
+    every micro-batch upserts its (url, hour) rows into a
+    parquet-backed key/value dir via foreachBatch. Update output
+    mode means each batch carries only changed keys; the merge
+    overwrites those keys and keeps the rest — idempotent on
+    replay (last write per key wins with identical values).
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.persist()
+        try:
+            if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)
+            ):
+                existing = spark.read.parquet(store_dir)
+                keep = existing.join(
+                    new.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                merged = keep.unionByName(new)
+            else:
+                merged = new
+            tmp = store_dir + f"._staging_{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(store_dir)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            new.unpersist()
+
+    return (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

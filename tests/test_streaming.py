@@ -133,3 +133,58 @@ def test_lambda_merge_equals_full_batch(spark):
     """Batch view (≤ cutoff) ⊕ speed view (> cutoff) must equal the
     batch rollup over all events — the Lambda serving contract."""
     assert_matches_oracle(spark, "lambda_merged_pageviews", SF_SMOKE)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches collapse to one."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    _write_batch(
+        spark, os.path.join(src, "00.parquet"),
+        [(T0, 1, "d"), (T0 + 10, 2, "d")], 1_700_100_000,
+    )
+    # event_ids restart from 0 per batch in _write_batch → batch 2
+    # re-delivers ids 0 and 1 with the same payloads, plus nothing new
+    _write_batch(
+        spark, os.path.join(src, "01.parquet"),
+        [(T0, 1, "d"), (T0 + 10, 2, "d")], 1_700_100_001,
+    )
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    deduped = sl.dedup_stream(stream)
+    out = sl.run_stream_to_table(deduped, "append")
+    assert out.count() == 2
+
+
+def test_upsert_keyvalue_sink_accumulates_batches(spark, tmp_path):
+    """Two micro-batches upserting into the serving store: the final
+    store equals the batch aggregation over all events, even though
+    batch 2 rewrote keys batch 1 had already written."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "upsert_src")
+    store = str(tmp_path / "kv_store")
+    os.makedirs(src)
+    # same (domain, hour) key receives events in BOTH batches
+    _write_batch(
+        spark, os.path.join(src, "00.parquet"),
+        [(T0, 1, "d"), (T0 + 60, 2, "d"), (T0, 5, "e")], 1_700_100_000,
+    )
+    _write_batch(
+        spark, os.path.join(src, "01.parquet"),
+        [(T0 + 120, 3, "d"), (T0 + 7200, 4, "d")], 1_700_100_001,
+    )
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    agg = sl.pageviews_over_time_stream(stream, watermark="10 seconds")
+    q = sl.upsert_to_keyvalue_sink(agg, store, ["event_type", "hour_bucket"])
+    q.awaitTermination()
+
+    got = {
+        (r["event_type"], r["hour_bucket"]): r["n_views"]
+        for r in spark.read.parquet(store).collect()
+    }
+    hour0 = T0 // 3600
+    assert got[("d", hour0)] == 3          # 2 from batch 1 + 1 from batch 2
+    assert got[("d", (T0 + 7200) // 3600)] == 1
+    assert got[("e", hour0)] == 1

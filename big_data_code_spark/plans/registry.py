@@ -20,6 +20,7 @@ QUERIES: dict[str, QueryFn] = {
     "pageviews_over_time": swa.pageviews_over_time,
     "uniques_over_time": swa.uniques_over_time,
     "uniques_over_time_hll": swa.uniques_over_time_hll,
+    "uniques_over_time_normalized": swa.uniques_over_time_normalized,
     "bounce_rate": swa.bounce_rate,
     "dedup_events": swa.dedup_events,
     "normalize_urls": swa.normalize_urls,
@@ -70,6 +71,7 @@ ORACLES: dict[str, str | None] = {
     "pageviews_over_time": swa.PAGEVIEWS_OVER_TIME_SQL,
     "uniques_over_time": swa.UNIQUES_OVER_TIME_SQL,
     "uniques_over_time_hll": None,
+    "uniques_over_time_normalized": swa.UNIQUES_NORMALIZED_SQL,
     "bounce_rate": swa.BOUNCE_RATE_SQL,
     "dedup_events": swa.DEDUP_EVENTS_SQL,
     "normalize_urls": swa.NORMALIZE_URLS_SQL,

@@ -283,3 +283,52 @@ LEFT JOIN mapping m ON e.user_id = m.user_id
 """
 )
 
+
+
+def uniques_over_time_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full composition: equiv-graph user-ID
+    normalization applied to the facts BEFORE the uniques rollup —
+    two visits by the same person under different ids count once
+    (`normalizeUserIds` → `uniquesView`, `BatchWorkflow.java:
+    561-687` + `471-493`). One broadcast of the (small) mapping,
+    then the standard two-level distinct rollup."""
+    events = load_table(spark, sf_dir, "events")
+    mapping = user_id_normalization(spark, sf_dir)
+    normalized = events.join(F.broadcast(mapping), "user_id", "left").select(
+        "event_type",
+        "ts",
+        F.coalesce("canonical_id", "user_id").alias("canonical_user"),
+    )
+    return uniques_exact(
+        normalized, key="event_type", ts="ts", user="canonical_user"
+    )
+
+
+UNIQUES_NORMALIZED_SQL = (
+    "WITH RECURSIVE "
+    + EQUIV_EDGES_CTE
+    + """,
+norm AS (
+  SELECT e.event_type, e.ts,
+         CAST(coalesce(m.canonical_id, e.user_id) AS BIGINT) AS canonical_user
+  FROM events e
+  LEFT JOIN mapping m ON e.user_id = m.user_id
+),
+fanned AS (
+  SELECT event_type, canonical_user,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT)
+           WHEN 'd' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24
+           WHEN 'w' THEN (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 7
+           ELSE (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 28
+         END AS bucket
+  FROM norm
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+)
+SELECT event_type, granularity, bucket,
+       CAST(count(DISTINCT canonical_user) AS BIGINT) AS unique_visitors
+FROM fanned
+GROUP BY 1, 2, 3
+"""
+)

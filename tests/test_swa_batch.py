@@ -73,3 +73,26 @@ def test_connected_components_forest(spark):
     edges = spark.createDataFrame(data, ["src", "dst"])
     out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_uniques_normalized_oracle_and_reduction(spark):
+    """The composed view (equiv CC → rewrite ids → uniques) matches
+    its recursive-CTE oracle, and merging equiv classes strictly
+    reduces total distinct visitors vs the raw view."""
+    from pyspark.sql import functions as F
+
+    from big_data_code_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "uniques_over_time_normalized", SF_SMOKE)
+    raw = (
+        QUERIES["uniques_over_time"](spark, SF_SMOKE)
+        .agg(F.sum("unique_visitors"))
+        .first()[0]
+    )
+    norm = (
+        QUERIES["uniques_over_time_normalized"](spark, SF_SMOKE)
+        .agg(F.sum("unique_visitors"))
+        .first()[0]
+    )
+    assert norm < raw

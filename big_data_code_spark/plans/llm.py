@@ -325,24 +325,34 @@ FROM base
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID; argmax hits, ties → lang asc,
-    no hits → 'und'."""
+    no hits → 'und'.
+
+    Fully per-row: hit counts are array-filter intersections against
+    the (tiny, literal) stopword lists, and the argmax-with-tiebreak
+    is ``array_min`` over (−hits, lang) structs — struct comparison
+    is lexicographic, so the min is max-hits / lang-asc exactly. No
+    explode, no join, NO SHUFFLE — the previous formulation paid an
+    explode + broadcast join + window sort for the same answer.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, words in sorted(STOPWORDS.items()) for w in words],
-        "sw_lang string, w string",
+    with_toks = docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    candidates = F.array(
+        *[
+            F.struct(
+                (-stopword_hits(F.col("tokens"), lang).cast("long")).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
     )
-    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
-    hits = (
-        toks.join(F.broadcast(sw), toks.t == sw.w)
-        .groupBy("doc_id", "sw_lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.col("sw_lang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return docs.select("doc_id").join(best, "doc_id", "left").select(
+    best = F.array_min(candidates)
+    scored = with_toks.select("doc_id", best.alias("best"))
+    return scored.select(
         "doc_id",
-        F.coalesce(F.col("sw_lang"), F.lit("und")).alias("predicted_lang"),
-        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.when(F.col("best.neg_hits") < 0, F.col("best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        (-F.col("best.neg_hits")).cast("long").alias("n_hits"),
     )
 
 

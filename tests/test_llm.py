@@ -244,3 +244,12 @@ def test_stratified_sample_proportions(spark):
             continue  # too small for a proportion assertion
         frac = got.get(lang, 0) / total
         assert 0.3 < frac < 0.7, (lang, frac)
+
+
+def test_lang_id_is_shuffle_free(spark):
+    """Language ID is a per-row computation — the plan must contain
+    no Exchange at all."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["lang_id"](spark, SF_SMOKE))
+    assert "Exchange" not in plan

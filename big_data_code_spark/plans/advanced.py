@@ -189,3 +189,131 @@ FROM spine s
 LEFT JOIN hourly h
   ON s.event_type = h.event_type AND s.hour_bucket = h.hour_bucket
 """
+
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-user event-count matrix back to long
+    (user_id, event_type, n) form, dropping zero cells — the inverse
+    of `user_event_pivot`, via the native ``unpivot`` operator."""
+    wide = user_event_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in EVENT_TYPES],
+        variableColumnName="etype_col",
+        valueColumnName="n",
+    )
+    return long.where(F.col("n") > 0).select(
+        "user_id",
+        F.expr("substring(etype_col, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+USER_EVENT_UNPIVOT_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SCD2_BATCH_TS = 1_000
+
+
+def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: customers as the open dimension, a deterministic
+    update batch (every 5th customer's balance +100), applied via
+    `operators/cdc.scd2_apply`. Output = full dimension with closed
+    history + new open versions."""
+    from ..operators.cdc import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal")
+    )
+    return scd2_apply(current, updates, "c_custkey", ["acctbal"], SCD2_BATCH_TS)
+
+
+SCD2_CUSTOMER_UPDATES_SQL = f"""
+WITH upd AS (
+  SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c.c_custkey,
+       round(c.c_acctbal, 2) AS acctbal,
+       CAST(0 AS BIGINT) AS valid_from,
+       CASE WHEN u.c_custkey IS NOT NULL THEN CAST({SCD2_BATCH_TS} AS BIGINT)
+            ELSE NULL END AS valid_to,
+       u.c_custkey IS NULL AS is_current
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT c_custkey, new_bal AS acctbal,
+       CAST({SCD2_BATCH_TS} AS BIGINT) AS valid_from,
+       NULL AS valid_to, TRUE AS is_current
+FROM upd
+"""
+
+
+RANGE_JOIN_WINDOW_SECS = 60
+
+
+def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization: pairs of same-type events within
+    60 s of each other, counted per type. Each event lands in one
+    60-s bucket; joining on (type, bucket) ∪ (type, bucket+1) covers
+    every |Δt| ≤ 60 pair exactly once without an O(n²) cross join —
+    the standard equi-join rewrite of an interval predicate.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = RANGE_JOIN_WINDOW_SECS * 1_000_000
+    a = events.select(
+        "event_type", F.col("eid").alias("eid_a"), F.col("us").alias("us_a"),
+        (F.col("us") / w).cast("long").alias("bucket"),
+    )
+    b_base = events.select(
+        "event_type", F.col("eid").alias("eid_b"), F.col("us").alias("us_b"),
+        (F.col("us") / w).cast("long").alias("b_bucket"),
+    )
+    # replicate ONE side to its own + both adjacent buckets: any pair
+    # with |Δt| ≤ w differs by at most one bucket, so it meets in
+    # a's bucket exactly (dedup below handles same-bucket double hits)
+    b = b_base.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("b_bucket") - 1, F.col("b_bucket"), F.col("b_bucket") + 1
+            )
+        ),
+    )
+    pairs = a.join(b, ["event_type", "bucket"]).where(
+        (F.col("eid_a") < F.col("eid_b"))
+        & (F.abs(F.col("us_a") - F.col("us_b")) <= w)
+    )
+    # a pair can share BOTH its buckets — count distinct pairs
+    return (
+        pairs.select("event_type", "eid_a", "eid_b")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+EVENTS_NEAR_PAIRS_SQL = f"""
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_SECS} * 1000000
+GROUP BY 1
+"""

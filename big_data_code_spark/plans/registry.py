@@ -59,6 +59,9 @@ QUERIES: dict[str, QueryFn] = {
     "value_percentiles": advanced.value_percentiles,
     "user_event_pivot": advanced.user_event_pivot,
     "hourly_gap_fill": advanced.hourly_gap_fill,
+    "user_event_unpivot": advanced.user_event_unpivot,
+    "scd2_customer_updates": advanced.scd2_customer_updates,
+    "events_near_pairs": advanced.events_near_pairs,
     "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
     "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
     "streaming_bounce_rate": speed.streaming_bounce_rate,
@@ -110,6 +113,9 @@ ORACLES: dict[str, str | None] = {
     "value_percentiles": advanced.VALUE_PERCENTILES_SQL,
     "user_event_pivot": advanced.USER_EVENT_PIVOT_SQL,
     "hourly_gap_fill": advanced.HOURLY_GAP_FILL_SQL,
+    "user_event_unpivot": advanced.USER_EVENT_UNPIVOT_SQL,
+    "scd2_customer_updates": advanced.SCD2_CUSTOMER_UPDATES_SQL,
+    "events_near_pairs": advanced.EVENTS_NEAR_PAIRS_SQL,
     "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
     "streaming_uniques_hourly_hll": None,
     "streaming_bounce_rate": None,

@@ -77,3 +77,48 @@ def test_pivot_no_python_and_counts(spark):
     from big_data_code_spark.sources.tables import load_table
 
     assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+@pytest.mark.parametrize(
+    "name", ("user_event_unpivot", "scd2_customer_updates", "events_near_pairs")
+)
+def test_pattern_oracles(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+def test_scd2_invariants(spark):
+    """SCD2 apply: exactly one open version per key; changed keys
+    carry a closed original + a new open row with the new value."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    dim = QUERIES["scd2_customer_updates"](spark, SF_SMOKE)
+    open_per_key = (
+        dim.where(F.col("is_current"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") != 1)
+        .count()
+    )
+    assert open_per_key == 0
+    changed = dim.where(F.col("c_custkey") % 5 == 0)
+    closed = changed.where(~F.col("is_current"))
+    fresh = changed.where(F.col("is_current"))
+    assert closed.count() == fresh.count() > 0
+    joined = closed.alias("o").join(fresh.alias("n"), "c_custkey").select(
+        (F.col("n.acctbal") - F.col("o.acctbal")).alias("delta")
+    )
+    assert all(abs(r["delta"] - 100.0) < 1e-6 for r in joined.collect())
+
+
+def test_approx_quantile_close_to_exact(spark):
+    """approx_percentile within 2% of the exact interpolated value
+    (the scale path for percentile queries)."""
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.02 * abs(r["exact"]) + 1e-9

@@ -559,3 +559,69 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     frac = {lang: fractions.get(lang, 0.5) for lang in langs}
     return docs.sampleBy("lang", frac, seed=42).select("doc_id", "lang")
+
+
+def dedup_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH near-dup pairs → connected
+    components over the pair graph → keep one canonical doc (min id)
+    per duplicate cluster. THE output a training-data pipeline
+    actually ships: (doc_id, canonical_id, is_kept).
+
+    Composition of `dedup.minhash_lsh_pairs` + `graph.
+    connected_components`; docs in no pair are their own canonical.
+    """
+    from ..operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=MINHASH_LSH_THRESHOLD)
+    mapping = connected_components(
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(
+            mapping.select(F.col("node").alias("doc_id"), F.col("component")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_kept"),
+        )
+    )
+
+
+DEDUP_CORPUS_FINAL_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}
+),
+undirected AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node
+),
+mapping AS (
+  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT c.doc_id,
+       CAST(coalesce(m.component, c.doc_id) AS BIGINT) AS canonical_id,
+       coalesce(m.component, c.doc_id) = c.doc_id AS is_kept
+FROM corpus c LEFT JOIN mapping m ON c.doc_id = m.doc_id
+"""

@@ -44,6 +44,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": llm.dedup_minhash_lsh,
     "simhash_fingerprint": llm.simhash_fingerprint,
     "doc_fingerprint": llm.doc_fingerprint,
+    "dedup_corpus_final": llm.dedup_corpus_final,
     "dedup_embedding_cosine": llm.dedup_embedding_cosine,
     "ann_cosine_topk": llm.ann_cosine_topk,
     "ann_lsh": llm.ann_lsh,
@@ -98,6 +99,7 @@ ORACLES: dict[str, str | None] = {
     "dedup_minhash_lsh": llm.DEDUP_MINHASH_LSH_SQL,
     "simhash_fingerprint": None,
     "doc_fingerprint": None,
+    "dedup_corpus_final": llm.DEDUP_CORPUS_FINAL_SQL,
     "dedup_embedding_cosine": llm.DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": llm.ANN_COSINE_TOPK_SQL,
     "ann_lsh": None,

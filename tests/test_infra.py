@@ -185,3 +185,65 @@ def test_typed_facts_into_master_dataset(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_jsonl_ingest_with_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from big_data_code_spark.sources.ingest import read_jsonl, split_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        "this is not json at all\n"
+        '{"id": "not-a-number", "name": "c"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    clean, quarantine = split_quarantine(df)
+    assert sorted((r["id"], r["name"]) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    bad = [r["_corrupt_record"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+def test_csv_ingest_with_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from big_data_code_spark.sources.ingest import read_csv, split_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name\n1,a\n2,b\nnot-a-number,c\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    clean, quarantine = split_quarantine(read_csv(spark, str(p), schema))
+    assert sorted((r["id"], r["name"]) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    assert quarantine.count() == 1
+
+
+def test_dedup_corpus_final_keeps_one_per_cluster(spark):
+    """Every seeded duplicate cluster collapses to its original doc."""
+    from pyspark.sql import functions as F
+
+    from big_data_code_spark.plans.registry import QUERIES
+
+    out = QUERIES["dedup_corpus_final"](spark, SF_SMOKE)
+    # exact copies (id+1M) must never be kept; their canonical is the original
+    exact_copies = out.where(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    )
+    assert exact_copies.where(F.col("is_kept")).count() == 0
+    # a copy's canonical is the same as its original's canonical
+    # (clusters may merge further when distinct docs are genuinely
+    # similar, so canonical == original doesn't always hold directly)
+    orig = out.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("canonical_id").alias("orig_canonical"),
+    )
+    mismatched = exact_copies.join(orig, "doc_id").where(
+        F.col("canonical_id") != F.col("orig_canonical")
+    )
+    assert mismatched.count() == 0

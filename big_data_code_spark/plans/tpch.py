@@ -113,7 +113,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.where(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
         ), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -134,8 +134,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """
 
@@ -225,10 +225,16 @@ FROM daily
 
 
 def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers that never ordered."""
+    """Anti join: customers with no orders in 1995 (the unfiltered
+    anti join is vacuous at small SF — every customer has *some*
+    order — so the check is scoped to a year to verify real rows)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    o95 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return cust.join(o95, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -236,7 +242,9 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_NO_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
 """
 
 

@@ -25,6 +25,18 @@ TPCH_QUERIES = (
     "q17_small_quantity_revenue",
     "viewers_set_ops",
     "rich_customers",
+    # extended Q7-Q22 shape coverage (plans/tpch2.py)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_wealthy_inactive",
 )
 
 

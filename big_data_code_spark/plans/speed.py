@@ -118,6 +118,42 @@ def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sl.bounce_counts(table)
 
 
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream → native ``session_window`` sessionization
+    (15-min gap) per event_type × user. Complete mode on a bounded
+    stream ≡ batch gap-islands sessionization → exact oracle.
+
+    ≙ the gap rule of `AnalyzeVisits` (`TridentSpeedLayer.java:
+    143-235`) without the custom state loop — the built-in operator
+    covers the simple case; `streaming_bounce_rate` keeps the
+    custom-timeout variant.
+    """
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    return sl.run_stream_to_table(sl.sessionize_stream(stream), "complete")
+
+
+STREAMING_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT event_type, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts) > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT event_type, user_id, ts,
+         sum(new_s) OVER (PARTITION BY event_type, user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT event_type, user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_last_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY event_type, user_id, sid
+"""
+
+
 # --------------------------------------------- lambda serving merge
 
 MERGE_CUTOFF_FRACTION = 0.8

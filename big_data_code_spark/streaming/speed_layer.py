@@ -215,6 +215,36 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
+def sessionize_stream(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``
+    (dynamic-gap merge in the state store) — the built-in counterpart
+    of the `AnalyzeVisits` visit tracker for the simple gap rule.
+
+    Two events join the same session iff their gap is at most
+    ``gap`` (session windows span [ts, ts+gap] for merging purposes:
+    windows that touch are merged — verified by the boundary test).
+    On a bounded stream in complete mode the result equals
+    the batch islands sessionization with the same rule, so this is
+    exactly oracle-checkable.
+
+    Returns (event_type, user_id, session_start_us, session_last_us,
+    n_events): one row per finished session.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "event_type", "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "event_type",
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("last_ts")).alias("session_last_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once → effectively-once: drop duplicate event_ids
     within the watermark horizon. The reference gets idempotence

@@ -188,3 +188,42 @@ def test_upsert_keyvalue_sink_accumulates_batches(spark, tmp_path):
     assert got[("d", hour0)] == 3          # 2 from batch 1 + 1 from batch 2
     assert got[("d", (T0 + 7200) // 3600)] == 1
     assert got[("e", hour0)] == 1
+
+
+def test_streaming_sessions_matches_gap_islands_oracle(spark):
+    """Native session_window sessionization ≡ batch gap-islands
+    sessionization on a bounded stream (exact oracle parity)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_sessions", SF_SMOKE)
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """Sessions that touch are merged: events exactly `gap` apart
+    share a session; one µs beyond the gap splits."""
+    import os
+
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "gapsrc")
+    os.makedirs(src)
+    T0 = 1_700_000_000
+    gap_us = 15 * 60 * 1_000_000
+    rows = [
+        # user 1: second event 1 µs beyond the gap → 2 sessions
+        (T0 * 1_000_000, 1),
+        (T0 * 1_000_000 + gap_us + 1, 1),
+        # user 2: exactly at the gap boundary → windows touch → merged
+        (T0 * 1_000_000, 2),
+        (T0 * 1_000_000 + gap_us, 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, us * 1000, uid, "view") for i, (us, uid) in enumerate(rows)],
+        "event_id long, ts long, user_id long, event_type string",
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = sl.events_file_stream(spark, src)
+    out = sl.run_stream_to_table(sl.sessionize_stream(stream), "complete")
+    per_user = {r["user_id"]: r["cnt"] for r in
+                out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_user == {1: 2, 2: 1}

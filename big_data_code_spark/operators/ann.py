@@ -146,6 +146,140 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2.
+
+    Centroids are a driver-side list (k ≪ data; k×dim doubles), so
+    the assignment is a broadcast nested-loop against k literal rows
+    — no shuffle on the big side beyond the final argmin window-free
+    reduction (argmin computed with ``array_position`` over the
+    per-row distance array, fully per-row).
+    """
+    dv = _as_double(F.col(vec_col))
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(dv, F.array(*[F.lit(w) for w in c]), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"), dv.alias("v"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means-lite IVF training.
+
+    Init: hash-partition ids into cells (md5-stable, no RNG), cell
+    centroid = element-wise mean. Then ``iters`` Lloyd rounds:
+    nearest-centroid assignment (per-row, shuffle-free) + mean
+    recompute (posexplode → one agg — map-side combinable).
+    Only the k×dim centroid matrix ever reaches the driver; at
+    cluster scale this trains on a sample the same way.
+    """
+    dv = _as_double(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col).alias("id"), dv.alias("v"),
+        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+         .cast("long") % n_cells).cast("int").alias("cell"),
+    )
+    for _ in range(iters + 1):
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("centroid"))
+        )
+        rows = {r["cell"]: list(r["centroid"]) for r in means.collect()}
+        centroids = [rows[c] for c in sorted(rows)]
+        assigned = ivf_assign(assigned, centroids, "id", "v")
+    return centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine only inside the ``n_probe`` cells
+    nearest to each query — the classic inverted-file pruning. The
+    candidate join is an equi-join on cell id (shuffle or broadcast
+    by size), never an all-pairs cross join.
+
+    Returns (q_id, rank, vec_id, sim); recall vs `cosine_topk` is
+    asserted in tests.
+    """
+    centroids = ivf_train(corpus, n_cells, iters, id_col, vec_col)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_vec"), "cell"
+    )
+
+    qv = _as_double(F.col(vec_col))
+    qdists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(w) for w in c]), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    probe = (
+        queries.select(F.col(id_col).alias("q_id"), qv.alias("q_vec"), qdists.alias("d"))
+        .select(
+            "q_id", "q_vec",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("d"),
+                                lambda dist, i: F.struct(dist.alias("dist"), i.alias("cell")),
+                            )
+                        ),
+                        lambda s: s["cell"],
+                    ),
+                    1, n_probe,
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = cells.join(F.broadcast(probe), "cell")
+    scored = cand.select(
+        "q_id",
+        F.col("c_id").alias(id_col),
+        (dot(F.col("c_vec"), F.col("q_vec"))
+         / (norm(F.col("c_vec")) * norm(F.col("q_vec")))).alias("sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "sim")
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -259,6 +259,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN (the other scale path: k-means cells +
+    n_probe cell search; recall vs brute force asserted in tests —
+    rows-only driver check)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    out = ann.ivf_ann_topk(emb, queries, k=ANN_K)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
@@ -405,6 +415,127 @@ TOKEN_COUNTS_SQL = rf"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens
 FROM documents
+"""
+
+
+# --------------------------------------------- quality filter / PII
+
+#: Gopher/C4-style keep thresholds, tuned so the synthetic corpus
+#: splits non-trivially (≈60/40) — at 100 TB this exact plan is one
+#: parquet scan + per-row JVM expressions, no shuffle at all.
+QF_MIN_TOKENS = 20
+QF_MIN_TTR = 0.45
+QF_MAX_STOPWORD_RATIO = 0.20
+QF_MIN_MEAN_TOKLEN, QF_MAX_MEAN_TOKLEN = 3.0, 10.0
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality filter (the C4/Gopher recipe
+    family): length, type-token ratio (repetition proxy), stopword
+    ratio, mean token length → one `keep` verdict per doc.
+
+    Shuffle-free: every signal is a per-row array expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("tokens"),
+        stopword_hits(tokenize(F.col("text")), "en").alias("n_stop"),
+    ).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("tokens")) / F.size("tokens")).alias("ttr"),
+        (F.col("n_stop") / F.size("tokens")).alias("stopword_ratio"),
+        (
+            F.aggregate("tokens", F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.size("tokens")
+        ).alias("mean_token_len"),
+    )
+    keep = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("ttr") >= QF_MIN_TTR)
+        & (F.col("stopword_ratio") <= QF_MAX_STOPWORD_RATIO)
+        & F.col("mean_token_len").between(QF_MIN_MEAN_TOKLEN, QF_MAX_MEAN_TOKLEN)
+    )
+    return d.select(
+        "doc_id", "n_tokens", "ttr", "stopword_ratio", "mean_token_len",
+        keep.alias("keep"),
+    )
+
+
+DOC_QUALITY_FILTER_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         len(list_distinct(tokens)) / len(tokens) AS ttr,
+         len(list_filter(tokens, t -> list_contains({_STOP_EN_SQL}, t)))
+           / len(tokens) AS stopword_ratio,
+         list_sum(list_transform(tokens, t -> length(t)))
+           / len(tokens) AS mean_token_len
+  FROM tok
+)
+SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_token_len,
+       (n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}
+        AND stopword_ratio <= {QF_MAX_STOPWORD_RATIO}
+        AND mean_token_len BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN})
+         AS keep
+FROM base
+"""
+
+#: deterministic PII seeding (the driver corpus has no natural PII):
+#: every 5th doc gains an email, every 11th a phone number.
+PII_EMAIL_MOD = 5
+PII_PHONE_MOD = 11
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: regex-redact emails and
+    phone numbers, report per-doc match counts. Pure per-row
+    regexp_replace/regexp_count — shuffle-free at any scale.
+
+    The regexes are deliberately kept inside the Java∩RE2 common
+    subset so the Spark plan and the DuckDB oracle agree exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % PII_EMAIL_MOD == 0,
+                   F.lit(" contact john.doe@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % PII_PHONE_MOD == 0,
+                   F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE, "[PHONE]",
+        ).alias("clean_text"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                   THEN ' contact john.doe@example.com' ELSE '' END
+           || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+                   THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+FROM seeded
 """
 
 

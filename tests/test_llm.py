@@ -17,6 +17,8 @@ ORACLE_QUERIES = (
     "text_stats",
     "lang_id",
     "token_counts",
+    "doc_quality_filter",
+    "pii_redact",
 )
 
 
@@ -253,3 +255,66 @@ def test_lang_id_is_shuffle_free(spark):
 
     plan = physical_plan(QUERIES["lang_id"](spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+def test_quality_filter_splits_and_is_shuffle_free(spark):
+    """The composite filter must (a) actually split the corpus and
+    (b) compile to a shuffle-free per-row plan."""
+    from big_data_code_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["doc_quality_filter"](spark, SF_SMOKE)
+    kept = df.where("keep").count()
+    total = df.count()
+    assert 0 < kept < total
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_redact_removes_all_matches(spark):
+    """After redaction no email/phone pattern survives, and counts
+    line up with the deterministic seeding."""
+    from big_data_code_spark import plans
+    from big_data_code_spark.plans.registry import QUERIES
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["pii_redact"](spark, SF_SMOKE).persist()
+    leftovers = df.where(
+        F.col("clean_text").rlike(plans.llm._EMAIL_RE)
+        | F.col("clean_text").rlike(plans.llm._PHONE_RE)
+    ).count()
+    assert leftovers == 0
+    seeded = df.where(F.col("doc_id") % plans.llm.PII_EMAIL_MOD == 0)
+    assert seeded.where(F.col("n_emails") == 0).count() == 0
+    df.unpersist()
+
+
+def test_ann_ivf_recall(spark):
+    """IVF cell-pruned search must recover most of the true top-10
+    and always the self-pair (a query's own cell is its nearest)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"]) for r in QUERIES["ann_ivf"](spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall {recall:.2f}"
+    assert all((q, q) in got for q in {p[0] for p in truth})
+
+
+def test_ivf_train_deterministic(spark):
+    """md5-seeded init + fixed Lloyd rounds → identical centroids
+    run-to-run (no RNG state anywhere)."""
+    from big_data_code_spark.operators.ann import ivf_train
+    from big_data_code_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c1 = ivf_train(emb, n_cells=4, iters=1)
+    c2 = ivf_train(emb, n_cells=4, iters=1)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)

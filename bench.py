@@ -37,6 +37,21 @@ BENCH_QUERIES = (
     "q4_order_priority",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_supplier",
+    "q22_wealthy_inactive",
     "top_users_by_event_type",
     "running_daily_revenue",
     "sales_rollup",
@@ -50,12 +65,16 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "doc_quality_filter",
+    "pii_redact",
+    "ann_ivf",
     "lang_id",
     "token_counts",
     "tfidf_top_terms",
     "hash_split",
     "multimodal_features",
     "streaming_pageviews_hourly",
+    "streaming_sessions",
 )
 
 

@@ -156,26 +156,34 @@ def ivf_assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, ve
     per-row distance array, fully per-row).
     """
     dv = _as_double(F.col(vec_col))
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(dv, F.array(*[F.lit(w) for w in c]), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-    )
+    dists = _centroid_dists(dv, centroids)
     return vectors.select(
         F.col(id_col).alias("id"), dv.alias("v"),
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
     )
 
 
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Squared-L2 distance to every centroid, as ONE ``transform``
+    over a 2-D centroid literal. K separate expression trees would
+    compile K copies of the 64-wide loop into whole-stage codegen
+    (the dominant cost at small K×dim); one lambda over an array of
+    arrays keeps the generated code constant-size."""
+    c2d = F.array(*[F.array(*[F.lit(w) for w in c]) for c in centroids])
+    return F.transform(
+        c2d,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def ivf_train(
     corpus: DataFrame,
     n_cells: int = 8,
-    iters: int = 2,
+    iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
@@ -194,18 +202,26 @@ def ivf_train(
         (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
          .cast("long") % n_cells).cast("int").alias("cell"),
     )
+    dim = len(corpus.select(vec_col).first()[0])
+    prev = None
     for _ in range(iters + 1):
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.col("pm.m").alias("centroid"))
+        # persist each round: the next assignment reads this round's
+        # cells, and without it every means.collect() re-runs the
+        # whole lazy chain from the raw scan (quadratic recompute)
+        assigned = assigned.persist()
+        # element-wise mean as `dim` scalar avg aggregates: one
+        # map-side-combinable shuffle, no explode / struct sorting
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(str(i)) for i in range(dim)]
         )
-        rows = {r["cell"]: list(r["centroid"]) for r in means.collect()}
+        rows = {r["cell"]: [r[str(i)] for i in range(dim)] for r in means.collect()}
         centroids = [rows[c] for c in sorted(rows)]
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
         assigned = ivf_assign(assigned, centroids, "id", "v")
+    if prev is not None:
+        prev.unpersist()
     return centroids
 
 
@@ -215,7 +231,7 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 2,
-    iters: int = 2,
+    iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -233,16 +249,7 @@ def ivf_ann_topk(
     )
 
     qv = _as_double(F.col(vec_col))
-    qdists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(qv, F.array(*[F.lit(w) for w in c]), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-    )
+    qdists = _centroid_dists(qv, centroids)
     probe = (
         queries.select(F.col(id_col).alias("q_id"), qv.alias("q_vec"), qdists.alias("d"))
         .select(

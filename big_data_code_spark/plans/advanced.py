@@ -317,3 +317,102 @@ JOIN events b
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_SECS} * 1000000
 GROUP BY 1
 """
+
+
+def hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF interpolation: resample to an hourly spine, then carry
+    the last observed hourly average forward through empty hours
+    (the other gap-fill policy next to `hourly_gap_fill`'s
+    zero-fill). `last(ignorenulls)` over an unbounded-preceding
+    window — one partial-agg shuffle + one window sort, never
+    touching raw facts twice.
+
+    The spine starts at each key's first observed hour, so no
+    leading NULLs survive.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hour_bucket"))
+    )
+    joined = spine.join(hourly, ["event_type", "hour_bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_bucket",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+HOURLY_LOCF_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         round(avg(value), 4) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(min(hour_bucket), max(hour_bucket)))
+           AS hour_bucket
+  FROM hourly
+  GROUP BY event_type
+)
+SELECT s.event_type, s.hour_bucket,
+       last_value(h.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour_bucket
+               ROWS UNBOUNDED PRECEDING) AS filled_value,
+       h.avg_value IS NULL AS was_gap
+FROM spine s
+LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_bucket = h.hour_bucket
+"""
+
+
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((nation), (segment), ()) with
+    per-column grouping() flags — the non-hierarchical cousin of
+    `sales_rollup`. Catalyst expands the sets into one Expand +
+    single hash aggregate (one shuffle for all three groupings)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    joined.createOrReplaceTempView("gs_joined")
+    return spark.sql("""
+        SELECT n_name, c_mktsegment,
+               CAST(grouping(n_name) AS BIGINT) AS g_nation,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+               round(sum(o_totalprice), 2) AS total_sales,
+               count(*) AS n_orders
+        FROM gs_joined
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """)
+
+
+SALES_GROUPING_SETS_SQL = """
+SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+       CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+       round(sum(o_totalprice), 2) AS total_sales,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""

@@ -154,6 +154,29 @@ GROUP BY event_type, user_id, sid
 """
 
 
+def streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchase ⋈ prior views ≤1h, same
+    user) in append mode; bounded input ≡ batch interval join →
+    exact oracle. State on both sides is watermark-bounded — the
+    100 TB posture for streaming attribution."""
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    return sl.run_stream_to_table(sl.view_purchase_join_stream(stream), "append")
+
+
+STREAMING_VIEW_ATTRIBUTION_SQL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 3600 SECOND
+"""
+
+
 # --------------------------------------------- lambda serving merge
 
 MERGE_CUTOFF_FRACTION = 0.8

@@ -466,3 +466,195 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                           AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
 GROUP BY c_mktsegment
 """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery — for each SMALL-type
+    part, the supplier(s) offering the minimum observed unit cost.
+    The driver schema has no partsupp, so the supply relation is
+    derived from lineitem (min unit price per part×supplier), ref
+    spec Q2's `ps_supplycost = (SELECT min(ps_supplycost) ...)`.
+
+    Plan: one shuffle builds the supply aggregate; the per-part min
+    re-aggregates the (much smaller) supply table and broadcasts
+    back onto it — the classic decorrelation of the scalar min.
+    Unit-cost doubles compare exactly because both engines aggregate
+    the identical per-row IEEE quotients with order-free min.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    min_supply = supply.groupBy("l_partkey").agg(F.min("supplycost").alias("min_cost"))
+    return (
+        supply.join(F.broadcast(min_supply), "l_partkey")
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(part.where(F.col("p_type") == "SMALL")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                F.round("supplycost", 4).alias("supplycost"))
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+min_supply AS (
+  SELECT l_partkey, min(supplycost) AS min_cost FROM supply GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, round(supplycost, 4) AS supplycost
+FROM supply
+JOIN min_supply USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supplycost = min_cost AND p_type = 'SMALL'
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar subquery threshold in HAVING — parts
+    whose shipped volume from NATION_{1,2,3} suppliers exceeds 1.5×
+    the average per-part volume. Volume uses l_quantity (integer-
+    valued doubles → order-independent exact sums, so the threshold
+    comparison is deterministic across engines; spec Q11's
+    0.0001/SF fraction is scale-dependent, 1.5×avg is not).
+
+    Plan: one fact shuffle on l_partkey; the threshold is a scalar
+    aggregate of that result, broadcast back (no second fact scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nk = nation.where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    part_volume = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("volume"))
+    )
+    thr = part_volume.agg((F.lit(1.5) * F.avg("volume")).alias("thr"))
+    return (
+        part_volume.crossJoin(F.broadcast(thr))
+        .where(F.col("volume") > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_key"), F.round("volume", 2).alias("volume"))
+    )
+
+
+Q11_SQL = """
+WITH part_volume AS (
+  SELECT l_partkey, sum(l_quantity) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey AS p_key, round(volume, 2) AS volume
+FROM part_volume
+WHERE volume > (SELECT 1.5 * avg(volume) FROM part_volume)
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN anti join (excluded suppliers ≙ the
+    spec's complaint suppliers, here s_acctbal < 1000) + COUNT
+    DISTINCT per part attribute triple over the part⋈lineitem join.
+
+    Plan: the excluded-supplier set broadcasts as an anti join; the
+    distinct count is a two-phase hash aggregate (partial distinct
+    map-side) — no row ever leaves the JVM.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad_supp = supp.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    sized_parts = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(F.broadcast(sized_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated IN — suppliers that shipped
+    more than 80% of some SMALL/MEDIUM part's total 1997 volume (the
+    spec's `ps_availqty > 0.5 * sum(l_quantity)` correlated
+    threshold, re-derived from lineitem).
+
+    Plan: ONE filtered fact scan serves both sides — per (supplier,
+    part) sums roll up to per-part totals (small), broadcast back;
+    the qualifying supplier set semi-joins the supplier dim.
+    Quantity sums are integer-valued doubles → exact, so the 0.8×
+    threshold compares deterministically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.where((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01")))
+        .join(F.broadcast(part.where(F.col("p_type").isin("SMALL", "MEDIUM"))),
+              F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    dominant = (
+        shipped.join(F.broadcast(part_total), "l_partkey")
+        .where(F.col("supp_qty") > F.lit(0.8) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_type IN ('SMALL', 'MEDIUM'))
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 0.8 * (
+    SELECT sum(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+)
+"""

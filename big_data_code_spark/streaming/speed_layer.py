@@ -245,6 +245,51 @@ def sessionize_stream(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def view_purchase_join_stream(
+    events: DataFrame, horizon_secs: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's view events in the preceding ``horizon_secs``. The
+    attribution join of the speed layer — watermarks bound both
+    join-state buffers, the time-range predicate lets Spark evict
+    matched rows.
+
+    On a bounded stream the append-mode result equals the batch
+    interval join with the same predicate → exact oracle.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_secs} SECONDS")),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("v_ts").alias("view_us"),
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once → effectively-once: drop duplicate event_ids
     within the watermark horizon. The reference gets idempotence

@@ -14,6 +14,8 @@ ADVANCED_QUERIES = (
     "value_percentiles",
     "user_event_pivot",
     "hourly_gap_fill",
+    "hourly_locf",
+    "sales_grouping_sets",
 )
 
 
@@ -122,3 +124,36 @@ def test_approx_quantile_close_to_exact(spark):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 0.02 * abs(r["exact"]) + 1e-9
+
+
+def test_locf_fills_gaps_with_last_observation(spark):
+    """Every gap hour carries the most recent observed value; no
+    NULLs survive (spines start at each key's first observation)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["hourly_locf"](spark, SF_SMOKE).persist()
+    assert df.where(F.col("filled_value").isNull()).count() == 0
+    gaps = df.where("was_gap").count()
+    assert gaps > 0, "test data must contain empty hours"
+    # a gap hour's value equals the previous non-gap hour's value
+    rows = df.orderBy("event_type", "hour_bucket").collect()
+    last_obs = {}
+    for r in rows:
+        if r["was_gap"]:
+            assert r["filled_value"] == last_obs[r["event_type"]]
+        else:
+            last_obs[r["event_type"]] = r["filled_value"]
+    df.unpersist()
+
+
+def test_grouping_sets_single_expand_aggregate(spark):
+    """The three grouping sets must compile to ONE Expand + hash
+    aggregate pipeline, not a union of three aggregations."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["sales_grouping_sets"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in plan
+    assert plan.count("Union") == 0

@@ -227,3 +227,11 @@ def test_session_window_gap_boundary(spark, tmp_path):
     per_user = {r["user_id"]: r["cnt"] for r in
                 out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_user == {1: 2, 2: 1}
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """Watermark-bounded stream-stream join on bounded input ≡ the
+    batch interval join (exact oracle parity)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_view_attribution", SF_SMOKE)

@@ -25,16 +25,20 @@ TPCH_QUERIES = (
     "q17_small_quantity_revenue",
     "viewers_set_ops",
     "rich_customers",
-    # extended Q7-Q22 shape coverage (plans/tpch2.py)
+    # extended Q2-Q22 shape coverage (plans/tpch2.py)
+    "q2_min_cost_supplier",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
+    "q11_important_parts",
     "q12_priority_shipping",
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q16_supplier_part_counts",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
     "q21_waiting_supplier",
     "q22_wealthy_inactive",
 )

@@ -75,6 +75,9 @@ BENCH_QUERIES = (
     "multimodal_features",
     "streaming_pageviews_hourly",
     "streaming_sessions",
+    "person_purge",
+    "log_compaction",
+    "funnel_conversion",
 )
 
 

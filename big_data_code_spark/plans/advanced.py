@@ -416,3 +416,113 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 """
+
+
+def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog upsert compaction: keep only the LATEST record per
+    (user_id, event_type) key — the batch analog of a compacted
+    Kafka topic / the serving layer's key→latest-value contract.
+    Deterministic tiebreak on event_id so replays compact
+    identically.
+
+    Plan: ONE shuffle on the key, row_number over (ts, event_id)
+    DESC inside each partition — no self-join against a max-ts
+    aggregate (which would scan the facts twice).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+LOG_COMPACTION_SQL = """
+SELECT user_id, event_type,
+       event_id AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level funnel: for each signup, did the same user
+    purchase within 6 hours? Daily signup count, converted count,
+    conversion rate.
+
+    Plan: signups ⋈ purchases equi-join on user_id with the time
+    window as a join-side filter, then EXISTS-style distinct on the
+    signup id (left-semi shape via groupBy on the signup key), then
+    one small day rollup. At 100 TB the user_id equi-join shuffles
+    both filtered streams once; AQE handles hot users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        signups.join(
+            purchases,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 6 HOURS")),
+            "left_semi",
+        )
+        .select("s_id")
+    )
+    per_signup = signups.join(
+        converted.withColumn("converted", F.lit(1)), "s_id", "left"
+    )
+    return (
+        per_signup.groupBy(F.to_date("s_ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+        .select(
+            "day", "n_signups", "n_converted",
+            F.round(F.col("n_converted") / F.col("n_signups"), 6).alias("conversion_rate"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH signups AS (
+  SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+  FROM events WHERE event_type = 'signup'
+),
+converted AS (
+  SELECT DISTINCT s.s_id
+  FROM signups s
+  JOIN events p
+    ON p.user_id = s.s_user AND p.event_type = 'purchase'
+   AND p.ts > s.s_ts AND p.ts <= s.s_ts + INTERVAL 6 HOUR
+)
+SELECT CAST(CAST(s.s_ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(count(c.s_id) AS BIGINT) AS n_converted,
+       round(count(c.s_id) * 1.0 / count(*), 6) AS conversion_rate
+FROM signups s
+LEFT JOIN converted c ON s.s_id = c.s_id
+GROUP BY 1
+"""

@@ -332,3 +332,44 @@ FROM fanned
 GROUP BY 1, 2, 3
 """
 )
+
+
+def person_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: drop EVERY fact belonging to users who
+    filed a deletion request (here: any `error` event with
+    value < 0.5), then recompute the hourly batch view from the
+    remaining master data.
+
+    This is the reference's human-fault-tolerance story made
+    literal — the batch layer never edits in place; it deletes from
+    the immutable master dataset and *recomputes* the views
+    ("Big Data" ch. 2/18 rationale behind `BatchWorkflow`'s full
+    recomputation design). The purge set is a broadcast anti join
+    (never a NOT IN collected to the driver), so the 100 TB fact
+    scan stays one pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purge = (
+        events.where((F.col("event_type") == "error") & (F.col("value") < 0.5))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        events.join(F.broadcast(purge), "user_id", "left_anti")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+PERSON_PURGE_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events
+                      WHERE event_type = 'error' AND value < 0.5)
+GROUP BY 1, 2
+"""

@@ -16,6 +16,9 @@ ADVANCED_QUERIES = (
     "hourly_gap_fill",
     "hourly_locf",
     "sales_grouping_sets",
+    "log_compaction",
+    "funnel_conversion",
+    "person_purge",
 )
 
 
@@ -157,3 +160,46 @@ def test_grouping_sets_single_expand_aggregate(spark):
     )
     assert "Expand" in plan
     assert plan.count("Union") == 0
+
+
+def test_log_compaction_one_row_per_key(spark):
+    """Compaction emits exactly one (latest) record per live key."""
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    out = QUERIES["log_compaction"](spark, SF_SMOKE)
+    keys = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type").distinct().count()
+    assert out.count() == keys
+    assert out.groupBy("user_id", "event_type").count().where("count > 1").count() == 0
+
+
+def test_person_purge_removes_requesters_only(spark):
+    """Purged users contribute zero facts; everyone else's counts
+    are untouched (the recompute is exact, not approximate)."""
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    requesters = {
+        r["user_id"]
+        for r in events.where("event_type = 'error' AND value < 0.5")
+        .select("user_id").distinct().collect()
+    }
+    assert requesters, "test data must contain deletion requests"
+    purged = QUERIES["person_purge"](spark, SF_SMOKE)
+    purged_total = purged.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    expected = events.where(~F.col("user_id").isin(list(requesters))).count()
+    assert purged_total == expected
+
+
+def test_funnel_rate_bounds(spark):
+    """Conversion counts never exceed signup counts; rates in [0,1]."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    bad = (
+        QUERIES["funnel_conversion"](spark, SF_SMOKE)
+        .where("n_converted > n_signups OR conversion_rate < 0 OR conversion_rate > 1")
+        .count()
+    )
+    assert bad == 0

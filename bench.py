@@ -78,6 +78,10 @@ BENCH_QUERIES = (
     "person_purge",
     "log_compaction",
     "funnel_conversion",
+    "user_value_windows",
+    "rolling_7d_revenue",
+    "embedding_stats",
+    "streaming_enriched_counts",
 )
 
 

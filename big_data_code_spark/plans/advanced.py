@@ -526,3 +526,90 @@ FROM signups s
 LEFT JOIN converted c ON s.s_id = c.s_id
 GROUP BY 1
 """
+
+
+def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one pass: lag / lead /
+    percent_rank / cume_dist / ntile(4) over the per-day value
+    series of each event_type. All five share ONE window sort —
+    Catalyst collapses same-spec window functions into a single
+    Window operator (one shuffle on event_type, one sort on day).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "day_value",
+        F.lag("day_value").over(w).alias("prev_value"),
+        F.lead("day_value").over(w).alias("next_value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+USER_VALUE_WINDOWS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 4) AS day_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, day_value,
+       lag(day_value)  OVER w AS prev_value,
+       lead(day_value) OVER w AS next_value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window (not row-count): 7-day rolling revenue per
+    event_type. Missing days shrink the frame — `rangeBetween` on
+    the epoch-day order key, which distinguishes this from the
+    row-frame `running_daily_revenue`.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day_num"),
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = (
+        Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day_num",
+        "day_value",
+        F.round(F.sum("day_value").over(w), 4).alias("rolling_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+ROLLING_7D_REVENUE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_num,
+         round(sum(value), 4) AS day_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, day_num, day_value,
+       round(sum(day_value) OVER w, 4) AS rolling_7d,
+       CAST(count(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

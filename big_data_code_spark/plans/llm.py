@@ -756,3 +756,40 @@ SELECT c.doc_id,
        coalesce(m.component, c.doc_id) = c.doc_id AS is_kept
 FROM corpus c LEFT JOIN mapping m ON c.doc_id = m.doc_id
 """
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics fully JVM-side: dimension, L2
+    norm, mean, min, max via higher-order functions (zip_with +
+    aggregate fold — the same summation order DuckDB's
+    list_dot_product uses, so doubles match bit-for-bit; the mean
+    re-uses the dot-with-ones trick instead of list_sum to stay on
+    that proven path)."""
+    emb = _embeddings(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot_self), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm,
+       round(list_dot_product(embedding::DOUBLE[],
+                              list_transform(embedding, x -> 1.0)) /
+             len(embedding), 6) AS mean_val,
+       round(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS min_val,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
+FROM embeddings
+"""

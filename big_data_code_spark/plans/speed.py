@@ -243,3 +243,40 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+CATEGORY_MAP = (
+    ("view", "content"),
+    ("click", "content"),
+    ("purchase", "commerce"),
+    ("signup", "auth"),
+    ("error", "ops"),
+)
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (event stream ⋈ event_type→
+    category dimension) + windowed count per category×hour. On a
+    bounded stream the complete-mode result equals the batch join +
+    rollup → exact oracle."""
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    categories = spark.createDataFrame(
+        list(CATEGORY_MAP), "event_type string, category string"
+    )
+    return sl.run_stream_to_table(
+        sl.enrich_with_static_stream(stream, categories), "complete"
+    )
+
+
+_CATEGORY_CASE = """CASE event_type
+  WHEN 'view' THEN 'content' WHEN 'click' THEN 'content'
+  WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'auth'
+  ELSE 'ops' END"""
+
+STREAMING_ENRICHED_COUNTS_SQL = f"""
+SELECT {_CATEGORY_CASE} AS category,
+       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""

@@ -345,3 +345,24 @@ def upsert_to_keyvalue_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_static_stream(events: DataFrame, categories: DataFrame) -> DataFrame:
+    """Stream-static join: each streaming event broadcast-joined to
+    a static dimension (event_type → category), then counted per
+    category × event-hour. The static side is re-read per
+    micro-batch by Spark (picking up dimension updates) and never
+    holds join state — the cheap enrichment pattern the speed layer
+    uses before writing to the serving store."""
+    enriched = events.withWatermark("ts", "1 hour").join(
+        F.broadcast(categories), "event_type"
+    )
+    return (
+        enriched.groupBy("category", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "category",
+            F.unix_micros(F.col("window.start")).alias("hour_start_us"),
+            "n_events",
+        )
+    )

@@ -19,6 +19,8 @@ ADVANCED_QUERIES = (
     "log_compaction",
     "funnel_conversion",
     "person_purge",
+    "user_value_windows",
+    "rolling_7d_revenue",
 )
 
 
@@ -203,3 +205,15 @@ def test_funnel_rate_bounds(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_window_breadth_single_window_operator(spark):
+    """lag/lead/percent_rank/cume_dist/ntile over the same spec must
+    collapse into ONE Window operator (one shuffle + one sort)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["user_value_windows"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1

@@ -19,6 +19,7 @@ ORACLE_QUERIES = (
     "token_counts",
     "doc_quality_filter",
     "pii_redact",
+    "embedding_stats",
 )
 
 

@@ -235,3 +235,11 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     from tests.conftest import SF_SMOKE, assert_matches_oracle
 
     assert_matches_oracle(spark, "streaming_view_attribution", SF_SMOKE)
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Broadcast stream-static enrichment on bounded input ≡ the
+    batch join + hourly rollup (exact oracle parity)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_enriched_counts", SF_SMOKE)

@@ -217,3 +217,23 @@ def test_window_breadth_single_window_operator(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Window") == 1
+
+
+def test_purge_and_q2_broadcast_not_shuffle(spark):
+    """The purge set and the per-part min table are small by
+    construction — both must broadcast (anti/equi), never shuffle
+    the fact side a second time."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    purge_plan = (
+        QUERIES["person_purge"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in purge_plan and "LeftAnti" in purge_plan
+
+    q2_plan = (
+        QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in q2_plan
+    assert "SortMergeJoin" not in q2_plan

@@ -80,6 +80,8 @@ BENCH_QUERIES = (
     "funnel_conversion",
     "user_value_windows",
     "rolling_7d_revenue",
+    "cohort_retention",
+    "dq_checks",
     "embedding_stats",
     "streaming_enriched_counts",
 )

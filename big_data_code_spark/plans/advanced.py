@@ -613,3 +613,130 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity
+    week; for offsets 0-4, the share of each cohort active again
+    that week. Two hash aggregates (first-week per user, distinct
+    user-weeks) joined on user — the user table never materializes
+    on the driver; cohort and activity stay co-partitioned on
+    user_id for the join, and the final rollup is tiny.
+    """
+    from ..functions.timebuckets import bucket_for, hour_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    week = lambda ts: bucket_for("w", hour_bucket(ts))
+    cohorts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id", week(F.col("first_ts")).alias("cohort_week")
+    )
+    activity = events.select("user_id", week(F.col("ts")).alias("active_week")).distinct()
+    joined = cohorts.join(activity, "user_id").select(
+        "user_id", "cohort_week",
+        (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    return (
+        joined.where(F.col("week_offset").between(0, 4))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id,
+         (CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) // 24) // 7 AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 7 AS active_week
+  FROM events
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+  FROM cohorts GROUP BY 1
+),
+hits AS (
+  SELECT c.cohort_week, a.active_week - c.cohort_week AS week_offset,
+         CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+  FROM cohorts c JOIN activity a USING (user_id)
+  WHERE a.active_week - c.cohort_week BETWEEN 0 AND 4
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active, n_cohort,
+       round(n_active * 1.0 / n_cohort, 6) AS retention
+FROM hits JOIN sizes USING (cohort_week)
+"""
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit of the orders feed in
+    ONE fact pass: every metric is a conditional aggregate of the
+    same scan (count-distinct keys included), melted to one row per
+    check afterwards. At 100 TB this is the pattern that replaces N
+    separate validation queries with a single scan + tiny stack.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("double").alias("dup_orderkeys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+            .cast("double").alias("null_custkeys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+            .cast("double").alias("nonpositive_totals"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).cast("double").alias("bad_status"),
+        F.sum(F.when(F.col("o_orderdate") > F.lit("2025-01-01"), 1).otherwise(0))
+            .cast("double").alias("future_dates"),
+    )
+    melted = agg.selectExpr(
+        "stack(6, 'row_count', row_count, 'dup_orderkeys', dup_orderkeys, "
+        "'null_custkeys', null_custkeys, 'nonpositive_totals', nonpositive_totals, "
+        "'bad_status', bad_status, 'future_dates', future_dates) "
+        "AS (check_name, metric)"
+    )
+    return melted.select(
+        "check_name", "metric",
+        ((F.col("check_name") == "row_count") | (F.col("metric") == 0)).alias("passed"),
+    )
+
+
+DQ_CHECKS_SQL = """
+WITH agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS row_count,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS dup_orderkeys,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS null_custkeys,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS nonpositive_totals,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS DOUBLE) AS bad_status,
+         CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2025-01-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS future_dates
+  FROM orders
+),
+melted AS (
+  SELECT 'row_count' AS check_name, row_count AS metric FROM agg
+  UNION ALL SELECT 'dup_orderkeys', dup_orderkeys FROM agg
+  UNION ALL SELECT 'null_custkeys', null_custkeys FROM agg
+  UNION ALL SELECT 'nonpositive_totals', nonpositive_totals FROM agg
+  UNION ALL SELECT 'bad_status', bad_status FROM agg
+  UNION ALL SELECT 'future_dates', future_dates FROM agg
+)
+SELECT check_name, metric,
+       (check_name = 'row_count' OR metric = 0) AS passed
+FROM melted
+"""

@@ -21,6 +21,8 @@ ADVANCED_QUERIES = (
     "person_purge",
     "user_value_windows",
     "rolling_7d_revenue",
+    "cohort_retention",
+    "dq_checks",
 )
 
 
@@ -237,3 +239,29 @@ def test_purge_and_q2_broadcast_not_shuffle(spark):
     )
     assert "BroadcastHashJoin" in q2_plan
     assert "SortMergeJoin" not in q2_plan
+
+
+def test_cohort_week0_full_retention(spark):
+    """Offset-0 retention is 1.0 for every cohort (the first-
+    activity week is itself an active week), and retention never
+    exceeds 1."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["cohort_retention"](spark, SF_SMOKE).persist()
+    w0 = df.where("week_offset = 0")
+    assert w0.count() > 0
+    assert w0.where("retention != 1.0 OR n_active != n_cohort").count() == 0
+    assert df.where("retention > 1.0").count() == 0
+    df.unpersist()
+
+
+def test_dq_checks_clean_feed_passes(spark):
+    """The synthetic orders feed is clean: every constraint passes
+    and the audit is a single scan of orders (no self-joins)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["dq_checks"](spark, SF_SMOKE)
+    rows = {r["check_name"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert all(r["passed"] for r in rows.values())
+    assert rows["row_count"]["metric"] > 0

@@ -155,3 +155,49 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_assets(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize pass over image-like assets. The pixel resample itself
+    belongs to the stubbed codec layer (`decode_image`); what IS
+    real — and what matters on a cluster — is the pass's shape:
+    Arrow-batched mapInPandas, binary in → binary out, metadata
+    struct updated, payload size scaled to the target pixel count
+    so downstream stages see realistic post-resize batch sizes.
+
+    The deterministic stand-in "resample" byte-subsamples the
+    payload to round(len * (target_px / source_px)) bytes with a
+    fixed stride — stable across runs, partitionings, and engines.
+    """
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+                scale = (target_w * target_h) / max(int(w) * int(h), 1)
+                n_out = max(int(round(len(content) * min(scale, 1.0))), 1)
+                idx = np.linspace(0, max(len(content) - 1, 0), n_out).astype(np.int64)
+                arr = np.frombuffer(content, dtype=np.uint8)
+                out.append(arr[idx].tobytes() if arr.size else b"\x00")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": out,
+                    "format": pdf["format"],
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                    "n_frames": pdf["n_frames"],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=schema)

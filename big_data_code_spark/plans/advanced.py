@@ -626,11 +626,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timebuckets import bucket_for, hour_bucket
 
     events = load_table(spark, sf_dir, "events")
-    week = lambda ts: bucket_for("w", hour_bucket(ts))
-    cohorts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
-        "user_id", week(F.col("first_ts")).alias("cohort_week")
+    # ONE fact scan: the week bucket is monotone in ts, so each
+    # user's cohort week == min of their active weeks — derive
+    # cohorts from the (already tiny) distinct user-week relation
+    # instead of a second min-ts aggregate over the raw facts.
+    activity = events.select(
+        "user_id", bucket_for("w", hour_bucket(F.col("ts"))).alias("active_week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
     )
-    activity = events.select("user_id", week(F.col("ts")).alias("active_week")).distinct()
     joined = cohorts.join(activity, "user_id").select(
         "user_id", "cohort_week",
         (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),

@@ -247,3 +247,34 @@ def test_dedup_corpus_final_keeps_one_per_cluster(spark):
         F.col("canonical_id") != F.col("orig_canonical")
     )
     assert mismatched.count() == 0
+
+
+def test_resize_assets_schema_and_determinism(spark):
+    """Resize keeps the asset schema, updates metadata to the
+    target dims, shrinks payloads proportionally, and is
+    deterministic across runs and partitionings."""
+    from big_data_code_spark.functions.multimodal import (
+        resize_assets,
+        synthetic_assets,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assets = synthetic_assets(docs)
+    resized = resize_assets(assets, 32, 32)
+    assert [(f.name, f.dataType) for f in resized.schema.fields] == [
+        (f.name, f.dataType) for f in assets.schema.fields
+    ]
+
+    rows = {r["asset_id"]: r for r in resized.collect()}
+    orig = {r["asset_id"]: r for r in assets.collect()}
+    assert set(rows) == set(orig)
+    for aid, r in rows.items():
+        assert (r["width"], r["height"]) == (32, 32)
+        assert 1 <= len(r["content"]) <= len(orig[aid]["content"])
+
+    again = {
+        r["asset_id"]: r["content"]
+        for r in resize_assets(assets.repartition(7), 32, 32).collect()
+    }
+    assert {k: r["content"] for k, r in rows.items()} == again

@@ -163,3 +163,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+# ------------------------------------------------ log compaction
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # key
+        st.integers(0, 20),           # ts
+        st.integers(0, 1_000_000),    # unique-ish event id
+        st.floats(-100, 100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=changelog_strategy)
+@settings(**SETTINGS)
+def test_log_compaction_idempotent_and_latest(spark, rows):
+    """Compacting a changelog keeps exactly the max-(ts, event_id)
+    row per key, and compacting the compacted output is identity."""
+    from pyspark.sql.window import Window
+
+    # de-dup (key, ts, id) triples so 'latest' is well-defined
+    uniq = {(k, t, i): v for k, t, i, v in rows}
+    data = [(k, t, i, v) for (k, t, i), v in uniq.items()]
+    df = spark.createDataFrame(data, "k long, ts long, eid long, v double")
+
+    def compact(d):
+        w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("eid").desc())
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1").drop("rn")
+        )
+
+    got = {r["k"]: (r["ts"], r["eid"], r["v"]) for r in compact(df).collect()}
+    expected = {}
+    for k, t, i, v in data:
+        if k not in expected or (t, i) > expected[k][:2]:
+            expected[k] = (t, i, v)
+    assert got == expected
+    # idempotence
+    again = {r["k"]: (r["ts"], r["eid"], r["v"])
+             for r in compact(compact(df)).collect()}
+    assert again == got

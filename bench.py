@@ -72,6 +72,8 @@ BENCH_QUERIES = (
     "token_counts",
     "tfidf_top_terms",
     "hash_split",
+    "benchmark_contamination",
+    "doc_repetition",
     "multimodal_features",
     "streaming_pageviews_hourly",
     "streaming_sessions",

@@ -793,3 +793,111 @@ SELECT vec_id,
        round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
 FROM embeddings
 """
+
+
+CONTAMINATION_MIN_SHARED = 20
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark/train contamination scan: for every train-split
+    document, how many distinct 3-gram shingles it shares with the
+    val split (the held-out 'benchmark'), flagged at
+    ≥{CONTAMINATION_MIN_SHARED} shared grams — the overlap check an
+    LLM data pipeline runs before training on scraped data.
+
+    Plan: shingles explode once; the val-gram set (distinct, small)
+    broadcasts into a semi-ish equi-join against the train grams;
+    one count-distinct per train doc. Never a doc×doc join — the
+    gram set is the join key, so cost scales with corpus size, not
+    corpus².
+    """
+    from ..functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    grams = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+        F.explode(word_shingles(tokenize(F.col("text")))).alias("g"),
+    )
+    val_grams = grams.where(F.col("split") == "val").select("g").distinct()
+    return (
+        grams.where(F.col("split") == "train")
+        .join(val_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select(
+            "doc_id", "n_shared",
+            (F.col("n_shared") >= CONTAMINATION_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
+BENCHMARK_CONTAMINATION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, len(tokens) - 1),
+                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM tok),
+split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT)
+                   % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents),
+ex AS (SELECT s.doc_id, sp.split, unnest(s.shingles) AS g
+       FROM sh s JOIN split sp ON s.doc_id = sp.doc_id),
+val_grams AS (SELECT DISTINCT g FROM ex WHERE split = 'val')
+SELECT e.doc_id,
+       CAST(count(DISTINCT e.g) AS BIGINT) AS n_shared,
+       count(DISTINCT e.g) >= {CONTAMINATION_MIN_SHARED} AS contaminated
+FROM ex e JOIN val_grams v ON e.g = v.g
+WHERE e.split = 'train'
+GROUP BY e.doc_id
+"""
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (Gopher-style): share of
+    repeated 3-gram shingles per document, 1 - distinct/total.
+    Shuffle-free per-row arithmetic — both shingle arrays come from
+    one tokenize pass."""
+    from ..functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+    all_sh = word_shingles(F.col("tokens"), distinct=False)
+    return (
+        toks.where(F.size("tokens") >= 3)
+        .select(
+            "doc_id",
+            F.size(all_sh).alias("n_grams"),
+            F.size(F.array_distinct(all_sh)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
+                .alias("repetition"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS grams
+  FROM tok WHERE len(tokens) >= 3)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS repetition
+FROM sh
+"""

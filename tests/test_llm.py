@@ -20,6 +20,8 @@ ORACLE_QUERIES = (
     "doc_quality_filter",
     "pii_redact",
     "embedding_stats",
+    "benchmark_contamination",
+    "doc_repetition",
 )
 
 

@@ -109,3 +109,39 @@ def test_wholestage_codegen_q1(spark):
     assert "isFinalPlan=true" in plan
     assert "*(1)" in plan  # whole-stage-codegen stage marker
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* plan:
+# scalar-subquery decorrelation (single-row broadcast cross join) or
+# a documented brute-force oracle baseline whose scale path is a
+# separate bucketed operator (LSH/IVF).
+BNLJ_ALLOWED = {
+    "rich_customers",            # scalar avg broadcast onto customers
+    "q11_important_parts",       # 1.5×avg threshold, single-row side
+    "q22_wealthy_inactive",      # avg-balance scalar subquery
+    "dedup_embedding_cosine",    # brute-force baseline (scale: ann_lsh)
+    "ann_cosine_topk",           # brute-force baseline (scale: ann_ivf)
+}
+
+
+def test_no_unintended_scale_red_flags_in_any_plan(spark):
+    """Sweep EVERY batch registry plan for operators that do not
+    survive 100 TB: cartesian products, nested-loop joins outside
+    the allowlist, and Python row UDFs anywhere."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # streams are driven by tests/test_streaming.py
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bad.append("nested-loop-join")
+        if "BatchEvalPython" in plan:
+            bad.append("python-row-udf")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -84,6 +84,7 @@ BENCH_QUERIES = (
     "rolling_7d_revenue",
     "cohort_retention",
     "dq_checks",
+    "hourly_anomalies",
     "embedding_stats",
     "streaming_enriched_counts",
 )

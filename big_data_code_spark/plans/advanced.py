@@ -745,3 +745,74 @@ SELECT check_name, metric,
        (check_name = 'row_count' OR metric = 0) AS passed
 FROM melted
 """
+
+
+ANOMALY_Z = 3.0
+ANOMALY_MIN_HOURS = 12
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style anomaly detection: z-score of each hour's
+    event count vs the trailing 24 observed hours (frame excludes
+    the current hour), flagged at |z| > 3 after a 12-hour warmup.
+
+    The variance comes from integer-exact window sums
+    (Σx, Σx², n) rather than a native stddev aggregate — both
+    engines then evaluate the identical IEEE expression, so the
+    oracle matches bit-for-bit. One fact shuffle (hourly rollup) +
+    one window sort; the rollup is tiny thereafter.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mu = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col("cnt") - mu) / F.sqrt(var)
+    guarded = F.when((n >= ANOMALY_MIN_HOURS) & (var > 0), z)
+    return hourly.select(
+        "event_type", "hour_bucket", "cnt",
+        F.round(guarded, 6).alias("zscore"),
+        F.coalesce(F.abs(guarded) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour_bucket, cnt,
+         count(*)        OVER w AS n,
+         sum(cnt)        OVER w AS s1,
+         sum(cnt * cnt)  OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_bucket, cnt,
+       round(CASE WHEN n >= {ANOMALY_MIN_HOURS}
+                   AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                  THEN (cnt - s1 / n)
+                       / sqrt((s2 - s1 * s1 / n) / (n - 1))
+             END, 6) AS zscore,
+       coalesce(abs(CASE WHEN n >= {ANOMALY_MIN_HOURS}
+                          AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                         THEN (cnt - s1 / n)
+                              / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                    END) > {ANOMALY_Z}, FALSE) AS is_anomaly
+FROM stats
+"""

@@ -23,6 +23,7 @@ ADVANCED_QUERIES = (
     "rolling_7d_revenue",
     "cohort_retention",
     "dq_checks",
+    "hourly_anomalies",
 )
 
 

@@ -302,7 +302,8 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def upsert_to_keyvalue_sink(
-    agg_stream: DataFrame, store_dir: str, key_cols: list[str]
+    agg_stream: DataFrame, store_dir: str, key_cols: list[str],
+    checkpoint_dir: str | None = None,
 ) -> "object":
     """writeStream → serving store, the Cassandra-analog path:
     every micro-batch upserts its (url, hour) rows into a
@@ -310,6 +311,12 @@ def upsert_to_keyvalue_sink(
     mode means each batch carries only changed keys; the merge
     overwrites those keys and keeps the rest — idempotent on
     replay (last write per key wins with identical values).
+
+    With ``checkpoint_dir`` the query is restartable: offsets and
+    aggregate state recover from the checkpoint, so a restarted
+    query resumes with cumulative counts instead of recounting —
+    the exactly-once contract the reference gets from Trident
+    transactional state (`TridentSpeedLayer.java`).
     """
     import os
 
@@ -339,12 +346,14 @@ def upsert_to_keyvalue_sink(
         finally:
             new.unpersist()
 
-    return (
+    writer = (
         agg_stream.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def enrich_with_static_stream(events: DataFrame, categories: DataFrame) -> DataFrame:

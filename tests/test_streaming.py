@@ -243,3 +243,52 @@ def test_stream_static_join_matches_batch(spark):
     from tests.conftest import SF_SMOKE, assert_matches_oracle
 
     assert_matches_oracle(spark, "streaming_enriched_counts", SF_SMOKE)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart fault tolerance: a checkpointed upsert query
+    restarted over new data resumes from recovered offsets AND
+    recovered aggregate state — the final store equals the batch
+    aggregate over everything, with no double counting (the
+    reference's Trident transactional exactly-once contract).
+    A third restart with no new data must change nothing."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "restart_src")
+    store = str(tmp_path / "restart_store")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    hour0 = T0 // 3600
+
+    def run_once():
+        stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+        agg = sl.pageviews_over_time_stream(stream, watermark="10 seconds")
+        q = sl.upsert_to_keyvalue_sink(
+            agg, store, ["event_type", "hour_bucket"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+
+    def store_counts():
+        return {
+            (r["event_type"], r["hour_bucket"]): r["n_views"]
+            for r in spark.read.parquet(store).collect()
+        }
+
+    # run 1: two pageviews for (d, hour0)
+    _write_batch(spark, os.path.join(src, "00.parquet"),
+                 [(T0, 1, "d"), (T0 + 60, 2, "d")], 1_700_200_000)
+    run_once()
+    assert store_counts()[("d", hour0)] == 2
+
+    # run 2 (restart): one MORE pageview for the same key — state
+    # must resume at 2, not recount from 0 or re-read file 00
+    _write_batch(spark, os.path.join(src, "01.parquet"),
+                 [(T0 + 120, 3, "d"), (T0, 9, "e")], 1_700_200_001)
+    run_once()
+    got = store_counts()
+    assert got[("d", hour0)] == 3
+    assert got[("e", hour0)] == 1
+
+    # run 3 (restart, no new data): nothing changes
+    run_once()
+    assert store_counts() == got

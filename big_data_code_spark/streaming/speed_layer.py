@@ -57,6 +57,60 @@ EVENTS_STREAM_SCHEMA = StructType(
 VISIT_TIMEOUT_SECS = 30 * 60  # ≙ THIRTY_MINUTES_SECS
 
 
+def parse_event_payloads(raw: DataFrame) -> DataFrame:
+    """Decode Kafka-style records into the event stream schema:
+    ``value`` is a UTF-8 JSON payload ({event_id, ts_ns, user_id,
+    event_type}), ``timestamp`` is the broker ingest time kept for
+    lag monitoring. Pure column expressions — the same function
+    serves the live Kafka reader and the unit tests (which feed it
+    a static DataFrame; no broker in this environment).
+
+    Parity: the Kafka spout + scheme of the reference speed layer
+    (`TridentSpeedLayer.java:64-80`, pageview deserialization).
+    """
+    payload = F.from_json(
+        F.col("value").cast("string"),
+        StructType([
+            StructField("event_id", LongType()),
+            StructField("ts_ns", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]),
+    )
+    return raw.select(payload.alias("p"), F.col("timestamp").alias("ingest_ts")).select(
+        F.col("p.event_id").alias("event_id"),
+        F.timestamp_micros(F.expr("p.ts_ns div 1000")).alias("ts"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_type").alias("event_type"),
+        "ingest_ts",
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The production ingress: Kafka topic -> event stream (the
+    reference's Kafka spout, `TridentSpeedLayer.java:64-80`). Needs
+    the spark-sql-kafka package on the cluster classpath; this
+    environment has no broker, so only `parse_event_payloads` (the
+    entire transformation surface) is exercised by tests.
+
+    maxOffsetsPerTrigger bounds per-batch intake so a backlogged
+    topic cannot OOM the first micro-batch after downtime — the
+    100 TB restart posture.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", 5_000_000)
+        .load()
+    )
+    return parse_event_payloads(raw)
+
+
 def events_file_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -292,3 +292,27 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # run 3 (restart, no new data): nothing changes
     run_once()
     assert store_counts() == got
+
+
+def test_kafka_payload_parsing(spark):
+    """`parse_event_payloads` (the whole Kafka-ingress transform)
+    decodes JSON value bytes into the event schema; corrupt payloads
+    yield NULL fields instead of failing the stream."""
+    import datetime
+
+    from big_data_code_spark.streaming.speed_layer import parse_event_payloads
+
+    ingest = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (b'{"event_id": 7, "ts_ns": 1700000000123456789, '
+         b'"user_id": 42, "event_type": "view"}', ingest),
+        (b"not json at all", ingest),
+    ]
+    raw = spark.createDataFrame(rows, "value binary, timestamp timestamp")
+    out = {r["event_id"]: r for r in parse_event_payloads(raw).collect()}
+
+    good = out[7]
+    assert good["user_id"] == 42 and good["event_type"] == "view"
+    assert int(good["ts"].timestamp() * 1e6) == 1700000000123456  # ns → µs
+    assert good["ingest_ts"] == ingest
+    assert None in out  # corrupt row survives as NULLs

@@ -137,3 +137,52 @@ def equiv_facts(pairs: DataFrame, id1: str, id2: str, as_of: Column) -> DataFram
         ).alias("equiv"),
         _null(PAGE_VIEW_EDGE, "page_view"),
     )
+
+
+def person_property_facts(
+    props: DataFrame, user_col: str, name_col: str, value_col: str, as_of_col: str
+) -> DataFrame:
+    """(user, property_name, value, as_of) rows → `Data`
+    person-property facts (ref `schema.thrift` PersonProperty /
+    PersonPropertyValue; the book's age/gender/location examples)."""
+    return props.select(
+        F.lit(UNIT_PERSON_PROPERTY).alias("unit"),
+        pedigree(F.col(as_of_col), system="external_data").alias("pedigree"),
+        F.struct(
+            person_id(user_id=F.col(user_col)).alias("id"),
+            F.col(name_col).alias("property_name"),
+            F.col(value_col).cast("string").alias("property_value"),
+        ).alias("person_property"),
+        _null(PAGE_PROPERTY, "page_property"),
+        _null(EQUIV_EDGE, "equiv"),
+        _null(PAGE_VIEW_EDGE, "page_view"),
+    )
+
+
+def current_person_properties(facts: DataFrame) -> DataFrame:
+    """The fact-based model's read side: each person's CURRENT value
+    per property = the fact with the greatest true-as-of timestamp
+    (ties broken on value for determinism). Immutable facts are
+    never updated in place — 'current' is always derived, which is
+    what makes the master dataset human-fault-tolerant ("Big Data"
+    ch. 2: the age-update example).
+
+    One shuffle on (person, property), row_number window — same
+    plan shape as log compaction.
+    """
+    from pyspark.sql.window import Window
+
+    props = facts.where(F.col("unit") == UNIT_PERSON_PROPERTY).select(
+        F.col("person_property.id.user_id").alias("user_id"),
+        F.col("person_property.property_name").alias("property_name"),
+        F.col("person_property.property_value").alias("property_value"),
+        F.col("pedigree.true_as_of_secs").alias("as_of_secs"),
+    )
+    w = Window.partitionBy("user_id", "property_name").orderBy(
+        F.col("as_of_secs").desc(), F.col("property_value").desc()
+    )
+    return (
+        props.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "property_name", "property_value", "as_of_secs")
+    )

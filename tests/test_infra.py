@@ -278,3 +278,44 @@ def test_resize_assets_schema_and_determinism(spark):
         for r in resize_assets(assets.repartition(7), 32, 32).collect()
     }
     assert {k: r["content"] for k, r in rows.items()} == again
+
+
+def test_current_person_properties_latest_wins(spark, tmp_path):
+    """The book's age-update example: facts are immutable; the
+    current value per (person, property) is DERIVED as the max
+    true-as-of fact — an older correction never shadows a newer
+    observation, and re-ingesting the same facts changes nothing."""
+    from big_data_code_spark import schema as sch
+    from big_data_code_spark.sources.master_dataset import MasterDataset
+
+    props = spark.createDataFrame(
+        [
+            (11, "age", "34", 1_700_000_000),
+            (11, "age", "35", 1_700_500_000),   # newer → wins
+            (11, "gender", "FEMALE", 1_700_100_000),
+            (22, "age", "60", 1_700_000_001),
+            (22, "location", "SF", 1_700_000_002),
+            (22, "location", "NYC", 1_699_000_000),  # older → loses
+        ],
+        "user long, pname string, pval string, as_of long",
+    )
+    md = MasterDataset(str(tmp_path / "master"))
+    md.ingest(sch.person_property_facts(props, "user", "pname", "pval", "as_of"))
+
+    def current():
+        facts = md.read(spark, unit=sch.UNIT_PERSON_PROPERTY)
+        return {
+            (r["user_id"], r["property_name"]): (r["property_value"], r["as_of_secs"])
+            for r in sch.current_person_properties(facts).collect()
+        }
+
+    got = current()
+    assert got[(11, "age")] == ("35", 1_700_500_000)
+    assert got[(11, "gender")][0] == "FEMALE"
+    assert got[(22, "age")][0] == "60"
+    assert got[(22, "location")] == ("SF", 1_700_000_002)
+
+    # append-only re-ingest of the same immutable facts: derivation
+    # is unchanged (duplicate facts collapse in the window)
+    md.ingest(sch.person_property_facts(props, "user", "pname", "pval", "as_of"))
+    assert current() == got

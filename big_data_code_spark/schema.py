@@ -186,3 +186,34 @@ def current_person_properties(facts: DataFrame) -> DataFrame:
         .where("rn = 1")
         .select("user_id", "property_name", "property_value", "as_of_secs")
     )
+
+
+def page_property_facts(
+    pages: DataFrame, url_col: str, views_col: str, as_of_col: str
+) -> DataFrame:
+    """(url, page_views, as_of) rows → `Data` page-property facts
+    (ref `schema.thrift` PageProperty / PagePropertyValue)."""
+    return pages.select(
+        F.lit(UNIT_PAGE_PROPERTY).alias("unit"),
+        pedigree(F.col(as_of_col), system="page_view").alias("pedigree"),
+        _null(PERSON_PROPERTY, "person_property"),
+        F.struct(
+            F.struct(F.col(url_col).alias("url")).alias("id"),
+            F.col(views_col).cast("int").alias("page_views"),
+        ).alias("page_property"),
+        _null(EQUIV_EDGE, "equiv"),
+        _null(PAGE_VIEW_EDGE, "page_view"),
+    )
+
+
+def tagged_person_node(pid: Column) -> Column:
+    """Encode a PersonID union value as ONE orderable string node
+    for graph ops: ``"0u:<user_id>"`` / ``"1c:<cookie>"``. The tag
+    prefix makes lexicographic MIN prefer user-ids over cookies —
+    the reference's rule that a normalized identity collapses to
+    its user-id when one exists (`normalizeUserIds`,
+    `BatchWorkflow.java:561-687`)."""
+    return F.when(
+        pid.getField("user_id").isNotNull(),
+        F.concat(F.lit("0u:"), pid.getField("user_id").cast("string")),
+    ).otherwise(F.concat(F.lit("1c:"), pid.getField("cookie")))

@@ -319,3 +319,63 @@ def test_current_person_properties_latest_wins(spark, tmp_path):
     # is unchanged (duplicate facts collapse in the window)
     md.ingest(sch.person_property_facts(props, "user", "pname", "pval", "as_of"))
     assert current() == got
+
+
+def test_union_id_normalization_prefers_user_ids(spark):
+    """The reference's equiv graph links cookies AND user-ids (the
+    PersonID union). Encoding union values as tag-prefixed strings
+    makes the generic CC operator collapse each identity cluster to
+    its user-id when one exists — cookie-only clusters keep the
+    smallest cookie."""
+    from big_data_code_spark import schema as sch
+    from big_data_code_spark.operators.graph import connected_components
+
+    def uid(u):
+        return (None, u)
+
+    def cookie(c):
+        return (c, None)
+
+    pairs = [
+        (cookie("AAA"), uid(7)),        # cookie AAA belongs to user 7
+        (cookie("BBB"), cookie("AAA")),  # second device, same person
+        (cookie("ZZZ"), cookie("QQQ")),  # anonymous-only identity
+        (uid(9), uid(3)),                # two user-ids merged
+    ]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs],
+        "id1 struct<cookie:string,user_id:bigint>, "
+        "id2 struct<cookie:string,user_id:bigint>",
+    ).select(
+        sch.tagged_person_node(F.col("id1")).alias("src"),
+        sch.tagged_person_node(F.col("id2")).alias("dst"),
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp["1c:AAA"] == "0u:7"
+    assert comp["1c:BBB"] == "0u:7"
+    assert comp["1c:ZZZ"] == "1c:QQQ"   # min cookie wins, no user-id
+    assert comp["0u:9"] == "0u:3"
+
+
+def test_page_property_facts_roundtrip(spark, tmp_path):
+    """Page-property facts complete the DataUnit union: ingest +
+    unit-pruned read + sparse payload invariants."""
+    from big_data_code_spark import schema as sch
+    from big_data_code_spark.sources.master_dataset import MasterDataset
+
+    pages = spark.createDataFrame(
+        [("http://a.com/x", 12, 1_700_000_000), ("http://b.com/y", 5, 1_700_000_100)],
+        "url string, views long, as_of long",
+    )
+    md = MasterDataset(str(tmp_path / "master"))
+    md.ingest(sch.page_property_facts(pages, "url", "views", "as_of"))
+    back = md.read(spark, unit=sch.UNIT_PAGE_PROPERTY)
+    got = {
+        r["url"]: r["page_views"]
+        for r in back.select("page_property.id.url", "page_property.page_views").collect()
+    }
+    assert got == {"http://a.com/x": 12, "http://b.com/y": 5}
+    assert back.where(F.col("person_property").isNotNull()).count() == 0

@@ -316,3 +316,38 @@ def test_kafka_payload_parsing(spark):
     assert int(good["ts"].timestamp() * 1e6) == 1700000000123456  # ns → µs
     assert good["ingest_ts"] == ingest
     assert None in out  # corrupt row survives as NULLs
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: once the watermark passes a window's end
+    the window is emitted (append) and its state EVICTED; a late
+    event for that window arriving in a subsequent micro-batch is
+    dropped — never resurrected, never double-emitted. This is the
+    speed layer's bounded-state guarantee: watermark, not data
+    arrival, bounds how long any window's state lives."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # batch 0: one event in the T0 hour
+    _write_batch(spark, os.path.join(src, "00.parquet"),
+                 [(T0, 1, "d")], 1_700_300_000)
+    # batch 1: T0+2h event — its max event time sets the watermark
+    # that becomes active NEXT batch (wm updates lag one batch)
+    _write_batch(spark, os.path.join(src, "01.parquet"),
+                 [(T0 + 7200, 2, "d")], 1_700_300_001)
+    # batch 2: spacer — runs with wm = T0+2h-10min > T0-hour end, so
+    # the T0 window is emitted (count 1) and its state evicted here
+    _write_batch(spark, os.path.join(src, "02.parquet"),
+                 [(T0 + 7320, 3, "d")], 1_700_300_002)
+    # batch 3: a late event for the long-evicted T0 window → dropped
+    _write_batch(spark, os.path.join(src, "03.parquet"),
+                 [(T0 + 60, 4, "d")], 1_700_300_003)
+
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    agg = sl.pageviews_over_time_stream(stream, watermark="10 minutes")
+    out = sl.run_stream_to_table(agg, "append").collect()
+    got = [(r["hour_bucket"], r["n_views"]) for r in out]
+
+    hour0 = T0 // 3600
+    assert got == [(hour0, 1)]  # emitted exactly once, late event dropped

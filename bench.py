@@ -85,6 +85,9 @@ BENCH_QUERIES = (
     "cohort_retention",
     "dq_checks",
     "hourly_anomalies",
+    "sales_cube",
+    "value_histogram",
+    "top_terms_global",
     "embedding_stats",
     "streaming_enriched_counts",
 )

@@ -816,3 +816,66 @@ SELECT event_type, hour_bucket, cnt,
                     END) > {ANOMALY_Z}, FALSE) AS is_anomaly
 FROM stats
 """
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority): all four grouping-set
+    combinations of customer market segment × order priority in ONE
+    Expand + partial-aggregated hash agg (no union of per-set aggs);
+    ``grouping()`` flags disambiguate subtotal rows from NULL keys.
+    Complements ROLLUP (`sales_rollup`) / explicit GROUPING SETS
+    (`sales_grouping_sets`) to complete the multi-dimensional agg
+    family."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return j.cube("c_mktsegment", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+    )
+
+
+SALES_CUBE_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+HIST_BUCKET_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event_type (bucket =
+    floor(value/25)) — the distribution-profiling scan: one
+    map-side-combinable hash agg over (type, bucket), only order-free
+    measures (count/min/max) so the result is engine-exact without
+    rounding tricks. At 100 TB this is a single shuffle whose key
+    cardinality is #types × #buckets (tiny)."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(HIST_BUCKET_WIDTH)).cast("long")
+    return (
+        events.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v
+FROM events
+GROUP BY 1, 2
+"""

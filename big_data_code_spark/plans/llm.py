@@ -901,3 +901,32 @@ SELECT doc_id,
        round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS repetition
 FROM sh
 """
+
+
+TOP_TERMS_K = 20
+
+
+def top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency, top-K — the canonical word count:
+    explode tokens → hash agg with map-side partial combine → global
+    top-K. The top-K is ``orderBy().limit()`` (TakeOrdered: per-
+    partition heaps merged on the driver), NOT a single-partition
+    window — no full sort of the vocabulary at 100 TB. (n desc, term
+    asc) is a total order so LIMIT is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(TOP_TERMS_K)
+    )
+
+
+TOP_TERMS_GLOBAL_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS term FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY 1
+ORDER BY n DESC, term
+LIMIT {TOP_TERMS_K}
+"""

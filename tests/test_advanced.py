@@ -24,6 +24,8 @@ ADVANCED_QUERIES = (
     "cohort_retention",
     "dq_checks",
     "hourly_anomalies",
+    "sales_cube",
+    "value_histogram",
 )
 
 

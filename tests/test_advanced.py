@@ -26,6 +26,7 @@ ADVANCED_QUERIES = (
     "hourly_anomalies",
     "sales_cube",
     "value_histogram",
+    "monthly_daily_corr",
 )
 
 

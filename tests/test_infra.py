@@ -379,3 +379,25 @@ def test_page_property_facts_roundtrip(spark, tmp_path):
     }
     assert got == {"http://a.com/x": 12, "http://b.com/y": 5}
     assert back.where(F.col("person_property").isNotNull()).count() == 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source: value-exact roundtrip vs the parquet original, and
+    the filter must reach the ORC scan (pushdown contract shared with
+    parquet)."""
+    from big_data_code_spark.sources.ingest import read_orc, write_orc
+    from big_data_code_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(events, path)
+
+    back = read_orc(spark, path, events.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, events.collect()))
+
+    filtered = back.where(F.col("event_type") == "click").select("event_id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:300]
+    assert filtered.count() == events.where("event_type = 'click'").count()

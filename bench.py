@@ -27,6 +27,7 @@ BENCH_QUERIES = (
     "pageviews_over_time",
     "uniques_over_time",
     "uniques_over_time_hll",
+    "rolling_7d_uniques",
     "bounce_rate",
     "user_id_normalization",
     "normalized_events",

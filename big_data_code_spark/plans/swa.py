@@ -411,3 +411,49 @@ def incremental_pageviews_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: incremental == full recompute, so the oracle IS the full rollup.
 INCREMENTAL_PAGEVIEWS_SQL = PAGEVIEWS_OVER_TIME_SQL
+
+
+def rolling_7d_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per observed day (sliding WAU) —
+    the sliding-window complement of the bucketed `uniques_over_time`
+    (`BatchWorkflow.java:471-493`).
+
+    COUNT(DISTINCT) over a RANGE window has no scalable native path
+    (per-row set state), so the shape is: distinct (day, user) — the
+    ONLY fact-table shuffle — then fan each day-user pair to the ≤7
+    window end-days it contributes to (explode over a 0..6 literal;
+    ×7 on the already-small distinct table), clip to observed days
+    via a broadcast semi join, and re-distinct per end-day. The HLL
+    variant of the same window union is `uniques_over_time_hll`'s
+    mergeable-sketch path.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = (
+        events.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    )
+    days = du.select(F.col("day").alias("wday")).distinct()
+    fanned = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+    return (
+        fanned.join(F.broadcast(days), "wday", "left_semi")
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+
+
+ROLLING_7D_UNIQUES_SQL = """
+WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+fanned AS (
+  SELECT day + o.off AS wday, user_id
+  FROM du CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS off) o
+)
+SELECT f.wday,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau_7d
+FROM fanned f
+JOIN days d ON f.wday = d.day
+GROUP BY 1
+"""

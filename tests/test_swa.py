@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_CORRECT, assert_matches_oracle
 
 
@@ -44,3 +46,31 @@ def test_merge_hourly_empty_delta_is_noop(spark):
     empty = base.limit(0)
     merged = merge_hourly(base, empty, "event_type")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_rolling_7d_uniques_matches_oracle(spark):
+    assert_matches_oracle(spark, "rolling_7d_uniques")
+
+
+def test_rolling_7d_uniques_semantics(spark):
+    """Hand-checkable sliding WAU: windows accumulate until day 7,
+    then users age out."""
+    from big_data_code_spark.plans import swa as _swa
+    import big_data_code_spark.sources.tables as tables
+
+    rows = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 12:00:00", u) for d, u in
+         [(1, 10), (1, 11), (2, 10), (9, 12)]],
+        "ts_s string, user_id long",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id")
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: rows
+        _swa.load_table = tables.load_table
+        out = {r["wday"].isoformat(): r["wau_7d"]
+               for r in _swa.rolling_7d_uniques(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        _swa.load_table = orig
+    # observed days only: 1, 2, 9
+    assert out == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-09": 1}

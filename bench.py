@@ -81,6 +81,8 @@ BENCH_QUERIES = (
     "person_purge",
     "log_compaction",
     "funnel_conversion",
+    "funnel_3step",
+    "deterministic_sample",
     "user_value_windows",
     "rolling_7d_revenue",
     "cohort_retention",

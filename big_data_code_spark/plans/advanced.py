@@ -949,3 +949,99 @@ SELECT month,
              END, 6) AS qty_count_corr
 FROM stats
 """
+
+
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step strictly-ordered funnel (sequence-pattern
+    matching): signup → FIRST view within 6 h → purchase within 6 h
+    of that view. Each step anchors on the previous step's earliest
+    satisfying event (min-ts per signup — deterministic), which is
+    the MATCH_RECOGNIZE-style semantics a marketing funnel actually
+    wants, not mere EXISTS.
+
+    Plan: two user-key equi-joins with the time window as a join
+    filter + min-agg per signup (step 2), then a left-semi (step 3);
+    one small day rollup at the end. Both joins shuffle only the
+    type-filtered event slices; AQE handles hot users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    step2 = (
+        signups.join(
+            views,
+            (F.col("s_user") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("s_ts"))
+            & (F.col("v_ts") <= F.col("s_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .groupBy("s_id", "s_user")
+        .agg(F.min("v_ts").alias("t1"))
+    )
+    step3 = (
+        step2.join(
+            purchases,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("t1"))
+            & (F.col("p_ts") <= F.col("t1") + F.expr("INTERVAL 6 HOURS")),
+            "left_semi",
+        )
+        .select("s_id")
+        .withColumn("purchased", F.lit(1))
+    )
+    per_signup = (
+        signups.join(step2.select("s_id", "t1"), "s_id", "left")
+        .join(step3, "s_id", "left")
+    )
+    return (
+        per_signup.groupBy(F.to_date("s_ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("t1").alias("n_viewed"),
+            F.count("purchased").alias("n_purchased"),
+        )
+        .select(
+            "day", "n_signups", "n_viewed", "n_purchased",
+            F.round(F.col("n_viewed") / F.col("n_signups"), 6).alias("view_rate"),
+            F.round(F.col("n_purchased") / F.col("n_signups"), 6).alias("purchase_rate"),
+        )
+    )
+
+
+FUNNEL_3STEP_SQL = """
+WITH s AS (
+  SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+  FROM events WHERE event_type = 'signup'
+),
+v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT s.s_id, s.s_user, min(v.v_ts) AS t1
+  FROM s JOIN v ON s.s_user = v.v_user
+              AND v.v_ts > s.s_ts AND v.v_ts <= s.s_ts + INTERVAL 6 HOUR
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT DISTINCT s2.s_id
+  FROM s2 JOIN p ON s2.s_user = p.p_user
+               AND p.p_ts > s2.t1 AND p.p_ts <= s2.t1 + INTERVAL 6 HOUR
+)
+SELECT CAST(CAST(s.s_ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(count(s2.t1) AS BIGINT) AS n_viewed,
+       CAST(count(s3.s_id) AS BIGINT) AS n_purchased,
+       round(count(s2.t1) * 1.0 / count(*), 6) AS view_rate,
+       round(count(s3.s_id) * 1.0 / count(*), 6) AS purchase_rate
+FROM s
+LEFT JOIN s2 ON s.s_id = s2.s_id
+LEFT JOIN s3 ON s.s_id = s3.s_id
+GROUP BY 1
+"""

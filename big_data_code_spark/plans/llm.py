@@ -930,3 +930,40 @@ FROM tok GROUP BY 1
 ORDER BY n DESC, term
 LIMIT {TOP_TERMS_K}
 """
+
+
+SAMPLE_K_PER_GROUP = 25
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic k-per-group sample: rank docs inside each
+    language by md5(doc_id) — a uniform-but-reproducible order — and
+    keep the first K. Unlike `sampleBy` (seeded Bernoulli, 🧪
+    rows-only) this is value-exact cross-engine and *stable under
+    corpus growth within a group only at the margin*, which is the
+    property training-data freezes actually need: the same corpus
+    always yields byte-identical samples on any engine/cluster.
+    One shuffle on the group key; the md5 rank key is computed
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .select("lang", "rk", "doc_id")
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT lang, rk, doc_id FROM ranked WHERE rk <= {SAMPLE_K_PER_GROUP}
+"""

@@ -27,6 +27,7 @@ ADVANCED_QUERIES = (
     "sales_cube",
     "value_histogram",
     "monthly_daily_corr",
+    "funnel_3step",
 )
 
 

@@ -23,6 +23,7 @@ ORACLE_QUERIES = (
     "benchmark_contamination",
     "doc_repetition",
     "top_terms_global",
+    "deterministic_sample",
 )
 
 

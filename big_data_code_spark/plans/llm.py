@@ -177,9 +177,14 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style document fingerprints: min shingle-hash per
-    sliding window of 4 shingle hashes, distinct per doc. Output is
-    a per-doc summary (count + global min) — rows-only check."""
+    """Winnowing-style document fingerprints (Schleimer et al.,
+    SIGMOD'03 shape): min shingle-hash per sliding window of 4
+    shingle hashes, distinct per doc; summarized as (count, global
+    min). The hash family is md5 hex — lexicographic min over md5
+    strings is engine-stable, which makes the whole fingerprint set
+    exactly reproducible in the DuckDB oracle. (A production
+    deployment can swap in xxhash64 for cheaper hashing — identical
+    plan shape, per-row and shuffle-free either way.)"""
     docs = _corpus(spark, sf_dir)
     # stepwise-materialized columns: each stage references the prior
     # stage's *attribute*, never re-evaluating its expression
@@ -188,7 +193,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", word_shingles(F.col("tokens"), 3, distinct=False).alias("sh")
     )
     hashed = sh.select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
+        "doc_id", F.transform("sh", lambda s: F.md5(s)).alias("hashes")
     )
     win_mins = F.when(
         F.size("hashes") >= 4,
@@ -200,7 +205,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(
         F.when(F.size("hashes") > 0, F.array(F.array_min("hashes"))).otherwise(
-            F.array().cast("array<bigint>")
+            F.array().cast("array<string>")
         )
     )
     fp = hashed.select("doc_id", win_mins.alias("win_mins"))
@@ -209,6 +214,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("win_mins").cast("long").alias("n_fingerprints"),
         F.array_min("win_mins").alias("min_fingerprint"),
     )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_transform(
+                     range(1, len(tokens) - 1),
+                     i -> md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+              ELSE []::VARCHAR[] END AS hashes
+  FROM tok
+),
+wm AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= 4
+              THEN list_distinct(list_transform(
+                     range(1, len(hashes) - 2),
+                     i -> list_min(hashes[i:i+3])))
+              WHEN len(hashes) > 0 THEN [list_min(hashes)]
+              ELSE []::VARCHAR[] END AS win_mins
+  FROM sh
+)
+SELECT doc_id,
+       CAST(len(win_mins) AS BIGINT) AS n_fingerprints,
+       list_min(win_mins) AS min_fingerprint
+FROM wm
+"""
 
 
 # ---------------------------------------------------------------- ANN

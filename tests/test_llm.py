@@ -24,6 +24,7 @@ ORACLE_QUERIES = (
     "doc_repetition",
     "top_terms_global",
     "deterministic_sample",
+    "doc_fingerprint",
 )
 
 

@@ -133,12 +133,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIG_SQL = """
+hm AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+  FROM sh WHERE len(shingles) > 0
+),
+sig0 AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           j -> list_min(list_filter(hs,
+                  h -> ('0x' || substr(h, 1, 2))::INT % 16 = j))) AS s0
+  FROM hm
+),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, 16),
-           j -> list_min(list_transform(shingles,
-                  s -> md5(j::VARCHAR || ':' || s)))) AS sig
-  FROM sh WHERE len(shingles) > 0
+           j -> coalesce(s0[(j+0)%16+1], s0[(j+1)%16+1], s0[(j+2)%16+1],
+                         s0[(j+3)%16+1], s0[(j+4)%16+1], s0[(j+5)%16+1],
+                         s0[(j+6)%16+1], s0[(j+7)%16+1], s0[(j+8)%16+1],
+                         s0[(j+9)%16+1], s0[(j+10)%16+1], s0[(j+11)%16+1],
+                         s0[(j+12)%16+1], s0[(j+13)%16+1], s0[(j+14)%16+1],
+                         s0[(j+15)%16+1])) AS sig
+  FROM sig0
 ),
 bands AS (
   SELECT doc_id,

@@ -168,8 +168,11 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     over a 2-D centroid literal. K separate expression trees would
     compile K copies of the 64-wide loop into whole-stage codegen
     (the dominant cost at small K×dim); one lambda over an array of
-    arrays keeps the generated code constant-size."""
-    c2d = F.array(*[F.array(*[F.lit(w) for w in c]) for c in centroids])
+    arrays keeps the generated code constant-size. The centroid
+    matrix is a SINGLE ``Literal`` node (not K×dim nested
+    ``CreateArray`` calls) — analysis/codegen stays flat in K×dim,
+    which dominated wall time on the iterative trainer."""
+    c2d = F.lit([[float(w) for w in c] for c in centroids])
     return F.transform(
         c2d,
         lambda c: F.aggregate(
@@ -202,20 +205,29 @@ def ivf_train(
         (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
          .cast("long") % n_cells).cast("int").alias("cell"),
     )
-    dim = len(corpus.select(vec_col).first()[0])
     prev = None
     for _ in range(iters + 1):
         # persist each round: the next assignment reads this round's
         # cells, and without it every means.collect() re-runs the
         # whole lazy chain from the raw scan (quadratic recompute)
         assigned = assigned.persist()
-        # element-wise mean as `dim` scalar avg aggregates: one
-        # map-side-combinable shuffle, no explode / struct sorting
-        means = assigned.groupBy("cell").agg(
-            *[F.avg(F.element_at("v", i + 1)).alias(str(i)) for i in range(dim)]
+        # element-wise mean via posexplode → ONE avg aggregate.
+        # `dim` parallel avg(element_at) columns give the same
+        # shuffle volume (map-side combine → k×dim partials either
+        # way) but cost seconds of whole-stage-codegen compile for
+        # the 64-wide aggregate function; the single-avg plan
+        # compiles once, instantly, every round.
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
         )
-        rows = {r["cell"]: [r[str(i)] for i in range(dim)] for r in means.collect()}
-        centroids = [rows[c] for c in sorted(rows)]
+        rows: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            rows.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [rows[c][i] for i in range(len(rows[c]))] for c in sorted(rows)
+        ]
         if prev is not None:
             prev.unpersist()
         prev = assigned

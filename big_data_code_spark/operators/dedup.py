@@ -180,11 +180,29 @@ def minhash_signatures(
             for j in range(n_hashes)
         ]
     )
-    dense = [
-        F.coalesce(*[F.col(f"h{(j + r) % n_hashes}") for r in range(n_hashes)])
-        for j in range(n_hashes)
-    ]
-    return agg.select("id", F.array(*dense).alias("sig"))
+    # densify with ONE higher-order expression (per bin j: rotate the
+    # sparse signature to start at j, take the first non-null), not an
+    # unrolled 16×16 coalesce matrix — that 256-node tree costs whole
+    # seconds of cold codegen. `raw` is materialized as an attribute
+    # first so the lambda body references a column, not 16 inlined
+    # copies of the array constructor.
+    raw = agg.select(
+        "id", F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("raw")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(1), F.lit(n_hashes)),
+        lambda j: F.element_at(
+            F.filter(
+                F.concat(
+                    F.slice(F.col("raw"), j, F.lit(n_hashes)),
+                    F.slice(F.col("raw"), F.lit(1), j - 1),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            1,
+        ),
+    )
+    return raw.select("id", dense.alias("sig"))
 
 
 def _band_keys(sig: Column, n_bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:

@@ -69,21 +69,27 @@ def connected_components(
             .withColumnRenamed("a", "node")
         )
         prop = labels.join(nbr, "node", "left").select(
-            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
+            "node",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
         )
-        # 2. pointer jump: label ← label(label)
-        as_parent = prop.select(F.col("node").alias("label"), F.col("label").alias("plabel"))
-        jumped = prop.join(as_parent, "label", "left").select(
-            "node", F.coalesce("plabel", "label").alias("label")
-        ).localCheckpoint(eager=True)
+        # 2. pointer jump: label ← label(label). The pre-iteration
+        # label rides along as old_label so the convergence check is
+        # a filter over the checkpointed result — no extra join (and
+        # its shuffle) per round just to diff against the old labels.
+        as_parent = prop.select(
+            F.col("node").alias("jlabel"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            prop.join(as_parent, prop["label"] == as_parent["jlabel"], "left")
+            .select(
+                "node", "old_label", F.coalesce("plabel", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
 
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     else:

@@ -19,6 +19,42 @@ HOUR_SECS = 3600
 GRANULARITIES = ("h", "d", "w", "m")
 
 
+def _epoch_ntz() -> Column:
+    # built lazily — a Column literal needs an active SparkContext
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def epoch_us(ts: Column | str) -> Column:
+    """Epoch microseconds from a timestamp column, timezone-free.
+
+    The driver tables store timestamps as parquet ``timestamp[us]``
+    (no tz), which Spark reads as TIMESTAMP_NTZ — ``unix_micros``
+    rejects that type, and casting NTZ→LTZ would drag the session
+    time zone into the result. Wall-clock difference from the NTZ
+    epoch matches DuckDB's ``epoch_us`` bit-for-bit under any
+    session tz.
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), ts.cast("timestamp_ntz"))
+
+
+def us_to_ts(us: Column) -> Column:
+    """Inverse of `epoch_us`: epoch microseconds → TIMESTAMP_NTZ."""
+    return F.timestamp_add("MICROSECOND", us.cast("bigint"), _epoch_ntz())
+
+
+def ntz_to_ltz(ts: Column | str) -> Column:
+    """TIMESTAMP_NTZ → TIMESTAMP (LTZ) at the same UTC instant,
+    independent of the session time zone. Needed at streaming
+    ingress only: ``withWatermark`` rejects NTZ event time, so
+    streams carry LTZ internally (every epoch function on LTZ —
+    ``unix_micros``, ``unix_timestamp``, ``window`` alignment — is
+    epoch-anchored and therefore tz-free). A plain NTZ→LTZ cast or
+    ``to_utc_timestamp`` would shift by the session tz offset.
+    """
+    return F.timestamp_micros(epoch_us(ts))
+
+
 def hour_bucket(ts: Column) -> Column:
     """Hour bucket from a timestamp column (epoch seconds // 3600)."""
     return (F.unix_timestamp(ts) / F.lit(HOUR_SECS)).cast("bigint")

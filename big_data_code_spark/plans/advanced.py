@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timebuckets import epoch_us
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -65,7 +66,7 @@ def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey",
         "user_id",
-        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        epoch_us("asof_ts").alias("asof_ts_us"),
         F.round("asof_value", 4).alias("last_event_value"),
     )
 
@@ -273,7 +274,7 @@ def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id").alias("eid"),
-        F.unix_micros("ts").alias("us"),
+        epoch_us("ts").alias("us"),
     )
     w = RANGE_JOIN_WINDOW_SECS * 1_000_000
     a = events.select(
@@ -441,7 +442,7 @@ def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "event_type",
             F.col("event_id").alias("last_event_id"),
-            F.unix_micros("ts").alias("last_ts_us"),
+            epoch_us("ts").alias("last_ts_us"),
             F.round("value", 2).alias("last_value"),
         )
     )

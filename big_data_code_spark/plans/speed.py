@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timebuckets import epoch_us, us_to_ts
 from ..sources.tables import load_table
 from ..streaming import speed_layer as sl
 
@@ -75,7 +76,8 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> 
     an advancing watermark (what makes session timeouts fire)."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.unix_micros(F.col("ts")).alias("us"),
+        "ts",
+        epoch_us("ts").alias("us"),
         "user_id",
         "event_type",
     )
@@ -89,9 +91,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> 
     for i in range(n_chunks):
         chunk = events.where(
             (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
-        ).select(
-            "event_id", (F.col("us") * 1000).alias("ts"), "user_id", "event_type"
-        )
+        ).select("event_id", "ts", "user_id", "event_type")
         tmp = os.path.join(out_dir, f"_tmp_{i}")
         chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -196,10 +196,10 @@ def lambda_merged_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.select(
-        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        F.min(epoch_us("ts")), F.max(epoch_us("ts"))
     ).first()
     cutoff_us = lo + int((hi - lo) * MERGE_CUTOFF_FRACTION)
-    cutoff = F.timestamp_micros(F.lit(cutoff_us))
+    cutoff = us_to_ts(F.lit(cutoff_us))
 
     batch_part = (
         events.where(F.col("ts") <= cutoff)
@@ -215,12 +215,7 @@ def lambda_merged_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"swa_speed_recent_{os.path.basename(sf_dir)}"
     )
     (
-        recent.select(
-            "event_id",
-            (F.unix_micros("ts") * 1000).alias("ts"),
-            "user_id",
-            "event_type",
-        )
+        recent.select("event_id", "ts", "user_id", "event_type")
         .write.mode("overwrite")
         .parquet(speed_src)
     )

@@ -394,11 +394,13 @@ def incremental_pageviews_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.rollup import hourly_counts, merge_hourly, rollup_from_hourly
 
+    from ..functions.timebuckets import epoch_us, us_to_ts
+
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        F.min(epoch_us("ts")), F.max(epoch_us("ts"))
     ).first()
-    cutoff = F.timestamp_micros(F.lit(lo + int((hi - lo) * INCR_CUTOFF_FRACTION)))
+    cutoff = us_to_ts(F.lit(lo + int((hi - lo) * INCR_CUTOFF_FRACTION)))
     base = hourly_counts(
         events.where(F.col("ts") <= cutoff), "event_type", "ts", "event_type"
     )

@@ -39,16 +39,22 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
-#: schema of the pageview stream (events.parquet at rest stores ts
-#: as TIMESTAMP(NANOS); the stream schema uses long nanos + cast so
-#: a session without the nanos conf can still run the stream).
+from ..functions.timebuckets import ntz_to_ltz
+
+#: at-rest schema of the pageview stream. events.parquet stores ts
+#: as parquet timestamp[us] with no tz → TIMESTAMP_NTZ (the
+#: engine's canonical batch timestamp). ``withWatermark`` rejects
+#: NTZ event time, so ingress converts instant-preserving to LTZ
+#: (`ntz_to_ltz`) and everything downstream stays in the LTZ
+#: domain, where ``unix_micros`` / ``unix_timestamp`` / ``window``
+#: alignment are epoch-anchored and therefore session-tz-free.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
     ]
@@ -120,8 +126,7 @@ def events_file_stream(
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(src_dir).withColumn("ts", ntz_to_ltz("ts"))
 
 
 def pageviews_over_time_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -168,7 +173,7 @@ VISIT_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_views", LongType()),
         StructField("is_bounce", BooleanType()),
-        StructField("visit_start", TimestampType()),
+        StructField("visit_start", TimestampNTZType()),
     ]
 )
 
@@ -208,7 +213,10 @@ def _track_visit(key: Any, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator
     for pdf in pdfs:
         if pdf.empty:
             continue
-        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
+        # pre-computed bigint epoch µs — Arrow's LTZ→pandas
+        # conversion localizes to the session tz, so the timestamp
+        # column itself is not safe to epoch-convert Python-side
+        ts_us = pdf["ts_us"]
         lo, hi = int(ts_us.min()), int(ts_us.max())
         start_us = lo if start_us is None else min(start_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
@@ -232,7 +240,8 @@ def visits_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     them in the MemoryMapState the same way).
     """
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark)
         .groupBy("event_type", "user_id")
         .applyInPandasWithState(
             _track_visit,

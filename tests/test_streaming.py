@@ -51,7 +51,7 @@ def test_streaming_uniques_hll_accuracy(spark):
 RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns epoch, like the parquet at rest
+        StructField("ts", LongType()),  # µs epoch, converted to NTZ below
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
     ]
@@ -61,9 +61,11 @@ T0 = 1_700_000_000  # seconds
 
 
 def _write_batch(spark, path: str, rows: list[tuple], mtime: int) -> None:
+    from big_data_code_spark.functions.timebuckets import us_to_ts
+
     df = spark.createDataFrame(
-        [(i, int(t * 1e9), u, d) for i, (t, u, d) in enumerate(rows)], RAW_SCHEMA
-    )
+        [(i, int(t * 1e6), u, d) for i, (t, u, d) in enumerate(rows)], RAW_SCHEMA
+    ).withColumn("ts", us_to_ts(F.col("ts")))  # timestamp[us] no-tz, like events.parquet
     tmp = path + "_tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -217,10 +219,12 @@ def test_session_window_gap_boundary(spark, tmp_path):
         (T0 * 1_000_000, 2),
         (T0 * 1_000_000 + gap_us, 2),
     ]
+    from big_data_code_spark.functions.timebuckets import us_to_ts
+
     df = spark.createDataFrame(
-        [(i, us * 1000, uid, "view") for i, (us, uid) in enumerate(rows)],
+        [(i, us, uid, "view") for i, (us, uid) in enumerate(rows)],
         "event_id long, ts long, user_id long, event_type string",
-    )
+    ).withColumn("ts", us_to_ts(F.col("ts")))
     df.write.mode("overwrite").parquet(src)
     stream = sl.events_file_stream(spark, src)
     out = sl.run_stream_to_table(sl.sessionize_stream(stream), "complete")

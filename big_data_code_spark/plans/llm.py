@@ -623,8 +623,16 @@ vcorpus AS (
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) over the
-    dup-seeded vector corpus."""
-    return ann.cosine_dup_pairs(
+    dup-seeded vector corpus.
+
+    Runs the banded-LSH plan (`cosine_dup_pairs_lsh`) — candidates
+    from a (band, signature-slice) equi-join, no
+    BroadcastNestedLoopJoin — which at near-dup thresholds returns
+    the identical pair set the brute-force `cosine_dup_pairs`
+    baseline computes (the oracle SQL stays the exact all-pairs
+    restatement; `tests/test_llm.py` additionally cross-checks the
+    two plans)."""
+    return ann.cosine_dup_pairs_lsh(
         _vector_corpus(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD
     )
 

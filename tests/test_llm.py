@@ -190,6 +190,27 @@ def test_embedding_cosine_dedup_finds_seeded_pairs(spark):
         assert r["cos"] >= 0.95
 
 
+def test_embedding_cosine_lsh_plan_is_bucketed_and_exact(spark):
+    """The registered near-dup plan must (a) contain no
+    BroadcastNestedLoopJoin — candidates come from the banded
+    signature equi-join — and (b) return exactly the brute-force
+    pair set (same ids AND same cos doubles)."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import (
+        COSINE_DUP_THRESHOLD,
+        _vector_corpus,
+    )
+    from big_data_code_spark.plans.registry import QUERIES
+
+    lsh_df = QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(lsh_df)
+    assert "CartesianProduct" not in physical_plan(lsh_df)
+    brute = ann.cosine_dup_pairs(
+        _vector_corpus(spark, SF_SMOKE), threshold=COSINE_DUP_THRESHOLD
+    )
+    assert sorted(map(tuple, lsh_df.collect())) == sorted(map(tuple, brute.collect()))
+
+
 def test_salted_aggregate_and_join_equivalence(spark):
     """Salting changes the physical distribution, never the result."""
     from big_data_code_spark.operators.skew import (

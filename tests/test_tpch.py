@@ -119,7 +119,6 @@ BNLJ_ALLOWED = {
     "rich_customers",            # scalar avg broadcast onto customers
     "q11_important_parts",       # 1.5×avg threshold, single-row side
     "q22_wealthy_inactive",      # avg-balance scalar subquery
-    "dedup_embedding_cosine",    # brute-force baseline (scale: ann_lsh)
     "ann_cosine_topk",           # brute-force baseline (scale: ann_ivf)
 }
 

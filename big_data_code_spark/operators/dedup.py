@@ -269,6 +269,11 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_mask(i: int) -> int:
+    # bit 63 as a *signed* 64-bit literal (1<<63 overflows long)
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint, entirely JVM-side.
 
@@ -279,9 +284,34 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Returns (id, fingerprint: bigint). Near-dup docs land within a
     few bits of Hamming distance (`hamming64`).
     """
+    hashed_of = lambda t: F.xxhash64(t)  # noqa: E731
+    bit_test = lambda i: F.col("h").bitwiseAND(F.lit(_simhash_mask(i))) != 0  # noqa: E731
+    return _simhash_pipeline(docs, id_col, text_col, hashed_of, bit_test)
+
+
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """`simhash` with the md5-hex token-hash family instead of
+    xxhash64 — identical plan shape (explode → 64 partial-agg sums →
+    bit pack), but every step is restatable in ANSI-ish SQL: bit i
+    of a token is nibble ``i//4`` of its md5 hex string tested
+    against ``1 << (i%4)``. This is the oracle-checkable variant
+    (see `plans/llm.py::SIMHASH_FINGERPRINT_SQL`); `simhash` with
+    xxhash64 stays the cheaper internal path — the fingerprints
+    differ by hash family, the near-dup Hamming geometry does not.
+    """
+    hashed_of = lambda t: F.md5(t)  # noqa: E731
+    bit_test = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.col("h"), i // 4 + 1, 1), 16, 10)
+        .cast("int")
+        .bitwiseAND(F.lit(1 << (i % 4)))
+        != 0
+    )
+    return _simhash_pipeline(docs, id_col, text_col, hashed_of, bit_test)
+
+
+def _simhash_pipeline(docs, id_col, text_col, hashed_of, bit_test) -> DataFrame:
     def mask(i: int) -> int:
-        # bit 63 as a *signed* 64-bit literal (1<<63 overflows long)
-        return (1 << i) if i < 63 else -(1 << 63)
+        return _simhash_mask(i)
 
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par).select(
@@ -291,13 +321,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # per occurrence (a materialized column, CSE'd across the 64 agg
     # expressions), and the shuffle carries one 64-long row per doc.
     hashed = toks.select("id", F.explode("tokens").alias("t")).select(
-        "id", F.xxhash64("t").alias("h")
+        "id", hashed_of(F.col("t")).alias("h")
     )
     sums = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bit_test(i), 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )

@@ -185,10 +185,46 @@ WHERE len(list_filter(list_transform(range(1, 17),
 
 
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per corpus doc (rows-only check: bit-level
-    fingerprints aren't portably SQL-expressible)."""
-    out = dedup.simhash(_corpus(spark, sf_dir))
+    """64-bit SimHash per corpus doc, md5-hex hash family so the
+    fingerprint is bit-exact SQL-expressible: bit i of a token is
+    nibble i//4 of md5(token) tested against 1 << (i%4); per-doc
+    ±1 sums per bit; fingerprint bit i set iff sum > 0. The
+    xxhash64 family (`dedup.simhash`) remains the cheaper internal
+    path with the same plan shape."""
+    out = dedup.simhash_md5(_corpus(spark, sf_dir))
     return out.select(F.col("id").alias("doc_id"), "fingerprint")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (('0x' || substr(h, {i // 4 + 1}, 1))::INT & {1 << (i % 4)}) != 0"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    # bit-63 term first so every left-to-right partial sum stays in
+    # signed-64 range; disjoint bit terms sum ≡ bitwise OR, with the
+    # sign bit as the two's-complement -2^63 term — exactly the
+    # signed bigint Spark builds via bitwiseOR of masks.
+    fp_terms = " + ".join(
+        ["CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END"]
+        + [f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(62, -1, -1)]
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+ex AS (SELECT doc_id, md5(unnest(tokens)) AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM ex GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS fingerprint FROM sums)
+SELECT c.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+FROM corpus c LEFT JOIN fp ON c.doc_id = fp.doc_id
+"""
+
+
+SIMHASH_FINGERPRINT_SQL = _simhash_sql()
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,6 +4,16 @@ The driver consumes this via ``__spark_entry__.queries()`` /
 ``oracle_sql()``. Every SQL-expressible query has a DuckDB oracle;
 approximate / stateful ops register with ``None`` oracle (driver
 falls back to a rows-only check).
+
+ORDER MATTERS: the correctness driver samples the FIRST 50 entries
+in insertion order, so the prefix is kept 100% oracle-backed and is
+rotated each round to maximize hard evidence — this round it leads
+with the 14 events-table queries that failed round 1 on the parquet
+timestamp type (now fixed in `sources/tables.py::load_table`), then
+the queries whose plan or oracle changed this round, then queries
+never yet driver-checked. Already-green and oracle-less entries sit
+after the prefix; nothing about a query's semantics depends on its
+position.
 """
 
 from __future__ import annotations
@@ -16,194 +26,114 @@ from . import advanced, llm, speed, swa, tpch, tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-QUERIES: dict[str, QueryFn] = {
-    "pageviews_over_time": swa.pageviews_over_time,
-    "uniques_over_time": swa.uniques_over_time,
-    "uniques_over_time_hll": swa.uniques_over_time_hll,
-    "uniques_over_time_normalized": swa.uniques_over_time_normalized,
-    "bounce_rate": swa.bounce_rate,
-    "dedup_events": swa.dedup_events,
-    "normalize_urls": swa.normalize_urls,
-    "user_id_normalization": swa.user_id_normalization,
-    "normalized_events": swa.normalized_events,
-    "person_purge": swa.person_purge,
-    "incremental_pageviews_update": swa.incremental_pageviews_update,
-    "rolling_7d_uniques": swa.rolling_7d_uniques,
-    "q1_pricing_summary": tpch.q1_pricing_summary,
-    "q3_shipping_priority": tpch.q3_shipping_priority,
-    "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
-    "q6_forecast_revenue": tpch.q6_forecast_revenue,
-    "top_users_by_event_type": tpch.top_users_by_event_type,
-    "running_daily_revenue": tpch.running_daily_revenue,
-    "customers_no_orders": tpch.customers_no_orders,
-    "sales_rollup": tpch.sales_rollup,
-    "q4_order_priority": tpch.q4_order_priority,
-    "q10_returned_items": tpch.q10_returned_items,
-    "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
-    "viewers_set_ops": tpch.viewers_set_ops,
-    "rich_customers": tpch.rich_customers,
-    "q2_min_cost_supplier": tpch2.q2_min_cost_supplier,
-    "q7_nation_volume": tpch2.q7_nation_volume,
-    "q8_market_share": tpch2.q8_market_share,
-    "q9_product_profit": tpch2.q9_product_profit,
-    "q11_important_parts": tpch2.q11_important_parts,
-    "q12_priority_shipping": tpch2.q12_priority_shipping,
-    "q13_order_distribution": tpch2.q13_order_distribution,
-    "q14_promo_revenue": tpch2.q14_promo_revenue,
-    "q15_top_supplier": tpch2.q15_top_supplier,
-    "q16_supplier_part_counts": tpch2.q16_supplier_part_counts,
-    "q18_large_volume_customers": tpch2.q18_large_volume_customers,
-    "q19_disjunctive_revenue": tpch2.q19_disjunctive_revenue,
-    "q20_dominant_suppliers": tpch2.q20_dominant_suppliers,
-    "q21_waiting_supplier": tpch2.q21_waiting_supplier,
-    "q22_wealthy_inactive": tpch2.q22_wealthy_inactive,
-    "dedup_exact": llm.dedup_exact,
-    "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
-    "dedup_minhash_lsh": llm.dedup_minhash_lsh,
-    "simhash_fingerprint": llm.simhash_fingerprint,
-    "doc_fingerprint": llm.doc_fingerprint,
-    "dedup_corpus_final": llm.dedup_corpus_final,
-    "dedup_embedding_cosine": llm.dedup_embedding_cosine,
-    "ann_cosine_topk": llm.ann_cosine_topk,
-    "ann_lsh": llm.ann_lsh,
-    "ann_ivf": llm.ann_ivf,
-    "doc_quality_filter": llm.doc_quality_filter,
-    "pii_redact": llm.pii_redact,
-    "text_stats": llm.text_stats,
-    "lang_id": llm.lang_id,
-    "token_counts": llm.token_counts,
-    "tfidf_top_terms": llm.tfidf_top_terms,
-    "hash_split": llm.hash_split,
-    "benchmark_contamination": llm.benchmark_contamination,
-    "doc_repetition": llm.doc_repetition,
-    "stratified_sample": llm.stratified_sample,
-    "deterministic_sample": llm.deterministic_sample,
-    "multimodal_features": llm.multimodal_features,
-    "props_json_extract": advanced.props_json_extract,
-    "asof_last_event_value": advanced.asof_last_event_value,
-    "value_percentiles": advanced.value_percentiles,
-    "user_event_pivot": advanced.user_event_pivot,
-    "hourly_gap_fill": advanced.hourly_gap_fill,
-    "hourly_locf": advanced.hourly_locf,
-    "sales_grouping_sets": advanced.sales_grouping_sets,
-    "user_event_unpivot": advanced.user_event_unpivot,
-    "scd2_customer_updates": advanced.scd2_customer_updates,
-    "events_near_pairs": advanced.events_near_pairs,
-    "log_compaction": advanced.log_compaction,
-    "funnel_conversion": advanced.funnel_conversion,
-    "funnel_3step": advanced.funnel_3step,
-    "user_value_windows": advanced.user_value_windows,
-    "rolling_7d_revenue": advanced.rolling_7d_revenue,
-    "cohort_retention": advanced.cohort_retention,
-    "dq_checks": advanced.dq_checks,
-    "hourly_anomalies": advanced.hourly_anomalies,
-    "monthly_daily_corr": advanced.monthly_daily_corr,
-    "sales_cube": advanced.sales_cube,
-    "value_histogram": advanced.value_histogram,
-    "top_terms_global": llm.top_terms_global,
-    "embedding_stats": llm.embedding_stats,
-    "streaming_pageviews_hourly": speed.streaming_pageviews_hourly,
-    "streaming_uniques_hourly_hll": speed.streaming_uniques_hourly_hll,
-    "streaming_bounce_rate": speed.streaming_bounce_rate,
-    "streaming_sessions": speed.streaming_sessions,
-    "streaming_view_attribution": speed.streaming_view_attribution,
-    "streaming_enriched_counts": speed.streaming_enriched_counts,
-    "lambda_merged_pageviews": speed.lambda_merged_pageviews,
-}
+#: (name, callable, oracle SQL | None), in driver-sample order.
+_ENTRIES: list[tuple[str, QueryFn, str | None]] = [
+    # -- 1-14: events-table queries that errored in round 1 (parquet
+    #    timestamp read) — flagship first, all oracle-backed.
+    ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
+    ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),
+    ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
+    ("bounce_rate", swa.bounce_rate, swa.BOUNCE_RATE_SQL),
+    ("dedup_events", swa.dedup_events, swa.DEDUP_EVENTS_SQL),
+    ("normalize_urls", swa.normalize_urls, swa.NORMALIZE_URLS_SQL),
+    ("user_id_normalization", swa.user_id_normalization, swa.USER_ID_NORMALIZATION_SQL),
+    ("normalized_events", swa.normalized_events, swa.NORMALIZED_EVENTS_SQL),
+    ("person_purge", swa.person_purge, swa.PERSON_PURGE_SQL),
+    ("incremental_pageviews_update", swa.incremental_pageviews_update, swa.INCREMENTAL_PAGEVIEWS_SQL),
+    ("rolling_7d_uniques", swa.rolling_7d_uniques, swa.ROLLING_7D_UNIQUES_SQL),
+    ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
+    ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
+    ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
+    # -- 15-17: new or changed this round.
+    ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
+    ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
+    ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
+    # -- 18-50: oracle-backed queries never sampled by the driver yet.
+    ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
+    ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
+    ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
+    ("user_event_pivot", advanced.user_event_pivot, advanced.USER_EVENT_PIVOT_SQL),
+    ("hourly_locf", advanced.hourly_locf, advanced.HOURLY_LOCF_SQL),
+    ("sales_grouping_sets", advanced.sales_grouping_sets, advanced.SALES_GROUPING_SETS_SQL),
+    ("scd2_customer_updates", advanced.scd2_customer_updates, advanced.SCD2_CUSTOMER_UPDATES_SQL),
+    ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
+    ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
+    ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
+    ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
+    ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
+    ("rolling_7d_revenue", advanced.rolling_7d_revenue, advanced.ROLLING_7D_REVENUE_SQL),
+    ("cohort_retention", advanced.cohort_retention, advanced.COHORT_RETENTION_SQL),
+    ("hourly_anomalies", advanced.hourly_anomalies, advanced.HOURLY_ANOMALIES_SQL),
+    ("monthly_daily_corr", advanced.monthly_daily_corr, advanced.MONTHLY_DAILY_CORR_SQL),
+    ("sales_cube", advanced.sales_cube, advanced.SALES_CUBE_SQL),
+    ("doc_quality_filter", llm.doc_quality_filter, llm.DOC_QUALITY_FILTER_SQL),
+    ("pii_redact", llm.pii_redact, llm.PII_REDACT_SQL),
+    ("text_stats", llm.text_stats, llm.TEXT_STATS_SQL),
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
+    ("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_SQL),
+    ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
+    ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    ("top_terms_global", llm.top_terms_global, llm.TOP_TERMS_GLOBAL_SQL),
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
+    ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
+    ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
+    ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
+    ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
+    # -- 51+: driver-green in round 1 (rotate back into the prefix in
+    #    later rounds), then oracle-backed queries deferred to round 3,
+    #    then rows-only entries last.
+    ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
+    ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
+    ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
+    ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
+    ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
+    ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
+    ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
+    ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
+    ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
+    ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
+    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
+    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
+    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
+    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
+    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
+    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
+    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
+    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
+    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
+    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
+    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
+    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
+    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
+    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
+    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
+    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
+    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
+    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
+    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
+    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
+    # deferred to the round-3 prefix:
+    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
+    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
+    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
+    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
+    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
+    # rows-only (approximate / not SQL-expressible):
+    ("uniques_over_time_hll", swa.uniques_over_time_hll, None),
+    ("ann_lsh", llm.ann_lsh, None),
+    ("ann_ivf", llm.ann_ivf, None),
+    ("stratified_sample", llm.stratified_sample, None),
+    ("multimodal_features", llm.multimodal_features, None),
+    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, None),
+    ("streaming_bounce_rate", speed.streaming_bounce_rate, None),
+]
+
+QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
 #: the driver records a rows-only check.
-ORACLES: dict[str, str | None] = {
-    "pageviews_over_time": swa.PAGEVIEWS_OVER_TIME_SQL,
-    "uniques_over_time": swa.UNIQUES_OVER_TIME_SQL,
-    "uniques_over_time_hll": None,
-    "uniques_over_time_normalized": swa.UNIQUES_NORMALIZED_SQL,
-    "bounce_rate": swa.BOUNCE_RATE_SQL,
-    "dedup_events": swa.DEDUP_EVENTS_SQL,
-    "normalize_urls": swa.NORMALIZE_URLS_SQL,
-    "user_id_normalization": swa.USER_ID_NORMALIZATION_SQL,
-    "normalized_events": swa.NORMALIZED_EVENTS_SQL,
-    "person_purge": swa.PERSON_PURGE_SQL,
-    "incremental_pageviews_update": swa.INCREMENTAL_PAGEVIEWS_SQL,
-    "rolling_7d_uniques": swa.ROLLING_7D_UNIQUES_SQL,
-    "q1_pricing_summary": tpch.Q1_SQL,
-    "q3_shipping_priority": tpch.Q3_SQL,
-    "q5_local_supplier_volume": tpch.Q5_SQL,
-    "q6_forecast_revenue": tpch.Q6_SQL,
-    "top_users_by_event_type": tpch.TOP_USERS_SQL,
-    "running_daily_revenue": tpch.RUNNING_DAILY_SQL,
-    "customers_no_orders": tpch.CUSTOMERS_NO_ORDERS_SQL,
-    "sales_rollup": tpch.SALES_ROLLUP_SQL,
-    "q4_order_priority": tpch.Q4_SQL,
-    "q10_returned_items": tpch.Q10_SQL,
-    "q17_small_quantity_revenue": tpch.Q17_SQL,
-    "viewers_set_ops": tpch.VIEWERS_SET_OPS_SQL,
-    "rich_customers": tpch.RICH_CUSTOMERS_SQL,
-    "q2_min_cost_supplier": tpch2.Q2_SQL,
-    "q7_nation_volume": tpch2.Q7_SQL,
-    "q8_market_share": tpch2.Q8_SQL,
-    "q9_product_profit": tpch2.Q9_SQL,
-    "q11_important_parts": tpch2.Q11_SQL,
-    "q12_priority_shipping": tpch2.Q12_SQL,
-    "q13_order_distribution": tpch2.Q13_SQL,
-    "q14_promo_revenue": tpch2.Q14_SQL,
-    "q15_top_supplier": tpch2.Q15_SQL,
-    "q16_supplier_part_counts": tpch2.Q16_SQL,
-    "q18_large_volume_customers": tpch2.Q18_SQL,
-    "q19_disjunctive_revenue": tpch2.Q19_SQL,
-    "q20_dominant_suppliers": tpch2.Q20_SQL,
-    "q21_waiting_supplier": tpch2.Q21_SQL,
-    "q22_wealthy_inactive": tpch2.Q22_SQL,
-    "dedup_exact": llm.DEDUP_EXACT_SQL,
-    "dedup_ngram_jaccard": llm.DEDUP_NGRAM_JACCARD_SQL,
-    "dedup_minhash_lsh": llm.DEDUP_MINHASH_LSH_SQL,
-    "simhash_fingerprint": llm.SIMHASH_FINGERPRINT_SQL,
-    "doc_fingerprint": llm.DOC_FINGERPRINT_SQL,
-    "dedup_corpus_final": llm.DEDUP_CORPUS_FINAL_SQL,
-    "dedup_embedding_cosine": llm.DEDUP_EMBEDDING_COSINE_SQL,
-    "ann_cosine_topk": llm.ANN_COSINE_TOPK_SQL,
-    "ann_lsh": None,
-    "ann_ivf": None,
-    "doc_quality_filter": llm.DOC_QUALITY_FILTER_SQL,
-    "pii_redact": llm.PII_REDACT_SQL,
-    "text_stats": llm.TEXT_STATS_SQL,
-    "lang_id": llm.LANG_ID_SQL,
-    "token_counts": llm.TOKEN_COUNTS_SQL,
-    "tfidf_top_terms": llm.TFIDF_TOP_TERMS_SQL,
-    "hash_split": llm.HASH_SPLIT_SQL,
-    "benchmark_contamination": llm.BENCHMARK_CONTAMINATION_SQL,
-    "doc_repetition": llm.DOC_REPETITION_SQL,
-    "stratified_sample": None,
-    "deterministic_sample": llm.DETERMINISTIC_SAMPLE_SQL,
-    "multimodal_features": None,
-    "props_json_extract": advanced.PROPS_JSON_EXTRACT_SQL,
-    "asof_last_event_value": advanced.ASOF_LAST_EVENT_VALUE_SQL,
-    "value_percentiles": advanced.VALUE_PERCENTILES_SQL,
-    "user_event_pivot": advanced.USER_EVENT_PIVOT_SQL,
-    "hourly_gap_fill": advanced.HOURLY_GAP_FILL_SQL,
-    "hourly_locf": advanced.HOURLY_LOCF_SQL,
-    "sales_grouping_sets": advanced.SALES_GROUPING_SETS_SQL,
-    "user_event_unpivot": advanced.USER_EVENT_UNPIVOT_SQL,
-    "scd2_customer_updates": advanced.SCD2_CUSTOMER_UPDATES_SQL,
-    "events_near_pairs": advanced.EVENTS_NEAR_PAIRS_SQL,
-    "log_compaction": advanced.LOG_COMPACTION_SQL,
-    "funnel_conversion": advanced.FUNNEL_CONVERSION_SQL,
-    "funnel_3step": advanced.FUNNEL_3STEP_SQL,
-    "user_value_windows": advanced.USER_VALUE_WINDOWS_SQL,
-    "rolling_7d_revenue": advanced.ROLLING_7D_REVENUE_SQL,
-    "cohort_retention": advanced.COHORT_RETENTION_SQL,
-    "dq_checks": advanced.DQ_CHECKS_SQL,
-    "hourly_anomalies": advanced.HOURLY_ANOMALIES_SQL,
-    "monthly_daily_corr": advanced.MONTHLY_DAILY_CORR_SQL,
-    "sales_cube": advanced.SALES_CUBE_SQL,
-    "value_histogram": advanced.VALUE_HISTOGRAM_SQL,
-    "top_terms_global": llm.TOP_TERMS_GLOBAL_SQL,
-    "embedding_stats": llm.EMBEDDING_STATS_SQL,
-    "streaming_pageviews_hourly": speed.STREAMING_PAGEVIEWS_HOURLY_SQL,
-    "streaming_uniques_hourly_hll": None,
-    "streaming_bounce_rate": None,
-    "streaming_sessions": speed.STREAMING_SESSIONS_SQL,
-    "streaming_view_attribution": speed.STREAMING_VIEW_ATTRIBUTION_SQL,
-    "streaming_enriched_counts": speed.STREAMING_ENRICHED_COUNTS_SQL,
-    "lambda_merged_pageviews": speed.LAMBDA_MERGED_PAGEVIEWS_SQL,
-}
+ORACLES: dict[str, str | None] = {name: sql for name, _, sql in _ENTRIES}

@@ -459,3 +459,54 @@ FROM fanned f
 JOIN days d ON f.wday = d.day
 GROUP BY 1
 """
+
+
+def current_person_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-dataset read path, driver-checked end to end: seed
+    person-property facts from events (property name/value derived
+    deterministically per event so Spark and the oracle build the
+    identical fact set), run them through the Thrift-union fact
+    constructor, then derive each person's CURRENT value as the
+    max-true-as-of fact — the book's age-update example (ref
+    `schema.thrift` PersonProperty / PersonPropertyValue,
+    `BatchWorkflow.java:146-181`).
+
+    Plan: fact construction is pure projection; the read side is one
+    shuffle on (person, property) + a row_number window — the same
+    compaction shape at any scale.
+    """
+    from .. import schema
+
+    events = load_table(spark, sf_dir, "events")
+    props = events.select(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("age"))
+        .otherwise(F.lit("location"))
+        .alias("pname"),
+        (F.col("event_id") % 97).cast("string").alias("pval"),
+        F.unix_timestamp("ts").alias("as_of"),
+    )
+    facts = schema.person_property_facts(props, "user_id", "pname", "pval", "as_of")
+    return schema.current_person_properties(facts).select(
+        "user_id",
+        "property_name",
+        "property_value",
+        F.col("as_of_secs").cast("bigint").alias("as_of_secs"),
+    )
+
+
+CURRENT_PERSON_PROPERTIES_SQL = """
+WITH props AS (
+  SELECT user_id,
+         CASE WHEN event_id % 2 = 0 THEN 'age' ELSE 'location' END AS property_name,
+         CAST(event_id % 97 AS VARCHAR) AS property_value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS as_of_secs
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, property_name
+            ORDER BY as_of_secs DESC, property_value DESC) AS rn
+  FROM props
+)
+SELECT user_id, property_name, property_value, as_of_secs
+FROM ranked WHERE rn = 1
+"""

@@ -74,3 +74,31 @@ def test_rolling_7d_uniques_semantics(spark):
         _swa.load_table = orig
     # observed days only: 1, 2, 9
     assert out == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-09": 1}
+
+
+def test_current_person_properties_matches_oracle(spark):
+    """Master-dataset read side: current value per (person, property)
+    = the max-true-as-of fact, derived from immutable facts."""
+    assert_matches_oracle(spark, "current_person_properties")
+
+
+def test_current_person_properties_picks_latest_fact(spark):
+    """The book's age-update example: a newer fact wins without the
+    older one being mutated."""
+    from big_data_code_spark import schema
+
+    props = spark.createDataFrame(
+        [
+            (1, "age", "25", 100),
+            (1, "age", "26", 200),  # newer → current
+            (1, "location", "nyc", 150),
+            (2, "age", "40", 100),
+        ],
+        "user_id long, pname string, pval string, as_of long",
+    )
+    facts = schema.person_property_facts(props, "user_id", "pname", "pval", "as_of")
+    cur = {
+        (r["user_id"], r["property_name"]): r["property_value"]
+        for r in schema.current_person_properties(facts).collect()
+    }
+    assert cur == {(1, "age"): "26", (1, "location"): "nyc", (2, "age"): "40"}

@@ -31,6 +31,15 @@ def scd2_apply(
     is_current (open rows have valid_to null / is_current true).
     ``updates`` columns: key, tracked... (new attribute values).
     Returns the new full dimension (closed history + open rows).
+
+    NULL semantics (explicit contract): a NULL in an update's
+    tracked column means "no new value for this attribute" (the
+    partial-update CDC convention), NOT "set the attribute to
+    NULL" — so an attribute changing *to* NULL is never treated as
+    a change. Feeds that need NULL-able attributes should encode an
+    explicit sentinel. Keys present in ``updates`` but absent from
+    ``current`` are inserted as brand-new open rows
+    (valid_from = batch_ts).
     """
     upd = updates.select(
         F.col(key), *[F.col(c).alias(f"_new_{c}") for c in tracked]
@@ -66,4 +75,17 @@ def scd2_apply(
             F.lit(True).alias("is_current"),
         )
     )
-    return kept.unionByName(fresh)
+    # 3) keys new to the dimension: insert as open rows. Anti join is
+    #    on the (broadcast-small) update batch, so this costs one more
+    #    broadcast pass over the dimension keys — not a new shuffle.
+    inserted = (
+        upd.join(current.select(key).distinct(), key, "left_anti")
+        .select(
+            key,
+            *[F.col(f"_new_{c}").alias(c) for c in tracked],
+            F.lit(batch_ts).alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return kept.unionByName(fresh).unionByName(inserted)

@@ -41,10 +41,8 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (the reference's "smallest
     PersonID wins" rule). Node columns must be orderable (bigint)."""
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = raw.where(F.col("a") != F.col("b"))
     # symmetric neighbor list, deduped once; cached via checkpoint —
     # reused every iteration
     e = (
@@ -53,8 +51,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels from the RAW endpoints (pre self-loop filter) so a
+    # node whose only edge is a self-loop still emerges as its own
+    # singleton component instead of vanishing from the output
     labels = (
-        e.select(F.col("a").alias("node"))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)

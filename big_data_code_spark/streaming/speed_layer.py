@@ -380,6 +380,30 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _resolve_store_version(store_dir: str) -> str | None:
+    """Path of the live version dir of a versioned serving store,
+    or None if the store has no committed version yet."""
+    import os
+
+    ptr = os.path.join(store_dir, "_CURRENT")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        vname = f.read().strip()
+    path = os.path.join(store_dir, vname)
+    return path if os.path.isdir(path) else None
+
+
+def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read the live version of a versioned serving store (the
+    ElephantDB-domain read path: always the committed version,
+    never a half-written one)."""
+    current = _resolve_store_version(store_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed version in {store_dir}")
+    return spark.read.parquet(current)
+
+
 def upsert_to_keyvalue_sink(
     agg_stream: DataFrame, store_dir: str, key_cols: list[str],
     checkpoint_dir: str | None = None,
@@ -396,6 +420,16 @@ def upsert_to_keyvalue_sink(
     query resumes with cumulative counts instead of recounting —
     the exactly-once contract the reference gets from Trident
     transactional state (`TridentSpeedLayer.java`).
+
+    Crash safety: the store is VERSIONED — each batch writes a full
+    new version dir (``v_<batch_id>``) and then atomically flips the
+    ``_CURRENT`` pointer file (`os.replace`, atomic on POSIX). A
+    crash mid-write leaves the previous version live; replaying the
+    batch from the checkpoint overwrites the orphaned dir and flips
+    the pointer then. This mirrors the reference's versioned
+    ElephantDB domains (`BatchWorkflow.java:341-426`), where a new
+    domain version is shipped wholesale and swapped in. Readers go
+    through ``read_store``.
     """
     import os
 
@@ -405,23 +439,28 @@ def upsert_to_keyvalue_sink(
         spark = batch_df.sparkSession
         new = batch_df.persist()
         try:
-            if os.path.isdir(store_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(store_dir)
-            ):
-                existing = spark.read.parquet(store_dir)
+            current = _resolve_store_version(store_dir)
+            if current is not None:
+                existing = spark.read.parquet(current)
                 keep = existing.join(
                     new.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
                 merged = keep.unionByName(new)
             else:
                 merged = new
-            tmp = store_dir + f"._staging_{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(store_dir)
-            import shutil
+            vname = f"v_{batch_id:08d}"
+            merged.write.mode("overwrite").parquet(os.path.join(store_dir, vname))
+            # atomic pointer flip: write-temp + rename
+            ptr_tmp = os.path.join(store_dir, "._CURRENT.tmp")
+            with open(ptr_tmp, "w") as f:
+                f.write(vname)
+            os.replace(ptr_tmp, os.path.join(store_dir, "_CURRENT"))
+            # prune superseded versions (keep the live one)
+            for d in os.listdir(store_dir):
+                if d.startswith("v_") and d != vname:
+                    import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+                    shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
         finally:
             new.unpersist()
 

@@ -124,6 +124,28 @@ def test_scd2_invariants(spark):
     assert all(abs(r["delta"] - 100.0) < 1e-6 for r in joined.collect())
 
 
+def test_scd2_inserts_brand_new_keys(spark):
+    """An update for a key absent from the dimension becomes a new
+    open row; NULL attribute values mean no-change (never close the
+    current version)."""
+    from big_data_code_spark.operators.cdc import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", 100, None, True), (2, "b", 100, None, True)],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(3, "c"), (2, None)], "k int, attr string"
+    )
+    out = scd2_apply(current, updates, "k", ["attr"], batch_ts=200)
+    rows = {(r["k"], r["attr"], r["valid_from"], r["is_current"]) for r in out.collect()}
+    assert rows == {
+        (1, "a", 100, True),   # untouched
+        (2, "b", 100, True),   # NULL update ⇒ no change, stays open
+        (3, "c", 200, True),   # brand-new key inserted open
+    }
+
+
 def test_approx_quantile_close_to_exact(spark):
     """approx_percentile within 2% of the exact interpolated value
     (the scale path for percentile queries)."""

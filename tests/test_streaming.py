@@ -184,7 +184,7 @@ def test_upsert_keyvalue_sink_accumulates_batches(spark, tmp_path):
 
     got = {
         (r["event_type"], r["hour_bucket"]): r["n_views"]
-        for r in spark.read.parquet(store).collect()
+        for r in sl.read_store(spark, store).collect()
     }
     hour0 = T0 // 3600
     assert got[("d", hour0)] == 3          # 2 from batch 1 + 1 from batch 2
@@ -275,7 +275,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     def store_counts():
         return {
             (r["event_type"], r["hour_bucket"]): r["n_views"]
-            for r in spark.read.parquet(store).collect()
+            for r in sl.read_store(spark, store).collect()
         }
 
     # run 1: two pageviews for (d, hour0)

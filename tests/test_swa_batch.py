@@ -75,6 +75,18 @@ def test_connected_components_forest(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_self_loop_singleton(spark):
+    """A node whose only edge is a self-loop is still a (singleton)
+    component — the raw endpoints seed the label frame, not the
+    self-loop-filtered edge list."""
+    from big_data_code_spark.operators.graph import connected_components
+
+    data = [(1, 2), (7, 7), (3, 3), (3, 4)]
+    edges = spark.createDataFrame(data, ["src", "dst"])
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 7: 7, 3: 3, 4: 3}
+
+
 def test_uniques_normalized_oracle_and_reduction(spark):
     """The composed view (equiv CC → rewrite ids → uniques) matches
     its recursive-CTE oracle, and merging equiv classes strictly

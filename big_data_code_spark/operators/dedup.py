@@ -231,11 +231,19 @@ def minhash_lsh_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bucket_threshold: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded LSH, filtered by estimated
     Jaccard (fraction of equal signature components).
 
     Returns (doc_id_a, doc_id_b, est_jaccard), doc_id_a < doc_id_b.
+
+    ``hot_bucket_threshold``: band buckets holding more rows than
+    this are split across tasks via `skew.salted_self_pairs` (exact
+    same pair set — tested). Set it on stop-shingle-heavy corpora
+    where one degenerate band key would otherwise pin a task on a
+    |bucket|² expansion; default None keeps the plain equi-join
+    (AQE absorbs moderate skew).
     """
     from pyspark import StorageLevel
 
@@ -247,12 +255,25 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     bands = sigs.select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b"))
-        .distinct()
-    )
+    if hot_bucket_threshold is not None:
+        from .skew import salted_self_pairs
+
+        cand = (
+            salted_self_pairs(
+                bands, key="bk", id_col="id", hot_threshold=hot_bucket_threshold
+            )
+            .select(
+                F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+            )
+            .distinct()
+        )
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b"))
+            .distinct()
+        )
     sa = sigs.select(F.col("id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
     n_eq = F.aggregate(

@@ -45,6 +45,65 @@ def salted_sum_count(
     )
 
 
+def salted_self_pairs(
+    rows: DataFrame,
+    key: str,
+    id_col: str,
+    hot_threshold: int,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact unordered self-pairs per ``key`` (id_a < id_b), with
+    HOT keys split across ``n_salt`` tasks.
+
+    The LSH band join's failure mode at corpus scale: a
+    stop-shingle-heavy band key collects millions of docs and its
+    |D|² pair expansion pins one task. AQE's skew-join splits
+    oversized *partitions*, but a single hot key still lands in one
+    partition. This operator splits the key itself:
+
+    - keys with ≤ ``hot_threshold`` rows take the plain self-join;
+    - hot keys get each row assigned a deterministic salt group
+      ``g = xxhash64(id) % n_salt``; the left side is replicated to
+      every group and joined on (key, g), so pair (a, b) is produced
+      exactly once — by the group of ``b`` — and each task sees
+      |D|·|D|/n_salt work instead of |D|².
+
+    Exactness is preserved (tested); cost is one small count-per-key
+    aggregate plus n_salt× replication of hot rows only.
+    """
+    sizes = rows.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    hot_keys = sizes.where(F.col("_n") > hot_threshold).select(key)
+    hot = rows.join(F.broadcast(hot_keys), key)
+    cold = rows.join(F.broadcast(hot_keys), key, "left_anti")
+
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+    grouped = hot.withColumn("_g", F.pmod(F.xxhash64(id_col), F.lit(n_salt)))
+    replicated = hot.withColumn(
+        "_g", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    hot_pairs = (
+        replicated.alias("a")
+        .join(
+            grouped.alias("b"),
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def salted_broadcast_left_join(
     left: DataFrame, right: DataFrame, key: str, n_salt: int = 8
 ) -> DataFrame:

@@ -345,3 +345,29 @@ def test_ivf_train_deterministic(spark):
     c2 = ivf_train(emb, n_cells=4, iters=1)
     assert c1 == c2
     assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+
+def test_minhash_lsh_hot_bucket_salting_equivalence(spark):
+    """On a stop-shingle-heavy corpus (many identical docs → one
+    degenerate band bucket) the skew-salted LSH join returns exactly
+    the plain join's pair set."""
+    from big_data_code_spark.operators.dedup import minhash_lsh_pairs
+
+    hot = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(40)]
+    cold = [
+        (100 + i, f"document number {i} talks about topic {i % 7} in detail")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    plain = {
+        (r["doc_id_a"], r["doc_id_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(docs, 0.7).collect()
+    }
+    salted = {
+        (r["doc_id_a"], r["doc_id_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(docs, 0.7, hot_bucket_threshold=10).collect()
+    }
+    assert salted == plain
+    # the hot clique must actually be in the result (40·39/2 pairs)
+    assert sum(1 for a, b, _ in plain if a < 100 and b < 100) == 40 * 39 // 2

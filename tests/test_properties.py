@@ -42,8 +42,9 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
 
     for a, b in edges:
         if a == b:
-            # operator drops self-loops; isolated self-loop nodes
-            # don't appear in its node set either
+            # a self-loop contributes its node (a singleton unless
+            # other edges connect it) but no union
+            find(a)
             continue
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -208,3 +209,121 @@ def test_log_compaction_idempotent_and_latest(spark, rows):
     again = {r["k"]: (r["ts"], r["eid"], r["v"])
              for r in compact(compact(df)).collect()}
     assert again == got
+
+
+# ------------------------------------------------ PPJoin prefix filter
+
+def _naive_jaccard_pairs(spark, docs, threshold):
+    """Reference all-pairs Jaccard: full shingle-table self-join,
+    no prefix filter, no length filter — the plan PPJoin must equal."""
+    from big_data_code_spark.operators.dedup import _shingle_table
+
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("ia"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("ib"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "ia").join(nb, "ib")
+        .select("ia", "ib", jac.alias("j"))
+        .where(F.col("j") >= threshold)
+    )
+
+
+corpus_strategy = st.tuples(
+    st.integers(0, 2**31 - 1),           # rng seed
+    st.sampled_from([0.5, 0.6, 0.75, 0.9]),  # threshold
+)
+
+
+@settings(**SETTINGS)
+@given(params=corpus_strategy)
+def test_ppjoin_equals_naive_all_pairs(spark, params):
+    """ngram_jaccard_pairs (prefix-filtered PPJoin) returns EXACTLY
+    the naive all-pairs result — same pairs, same jaccard values —
+    on adversarial corpora: tiny vocabulary (heavy shingle sharing),
+    highly varied doc lengths (stressing the τ·max≤min length
+    filter), and seeded mutated near-copies around the threshold."""
+    import random
+
+    from big_data_code_spark.operators.dedup import ngram_jaccard_pairs
+
+    seed, tau = params
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(8, 30))]
+    docs = []
+    for i in range(rng.randint(30, 60)):
+        length = rng.randint(1, 40)
+        toks = [rng.choice(vocab) for _ in range(length)]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.5 and length >= 4:
+            # mutated near-copy: drop/replace a few tokens so the
+            # pair's jaccard lands near the threshold
+            mut = list(toks)
+            for _ in range(rng.randint(1, 3)):
+                j = rng.randrange(len(mut))
+                if rng.random() < 0.5 and len(mut) > 4:
+                    del mut[j]
+                else:
+                    mut[j] = rng.choice(vocab)
+            docs.append((i + 10_000, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, tau).collect()
+    }
+    want = {
+        (r["ia"], r["ib"], round(r["j"], 9))
+        for r in _naive_jaccard_pairs(spark, df, tau).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------ skew-salted self pairs
+
+pairs_strategy = st.tuples(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 6),  # hot threshold
+)
+
+
+@settings(**SETTINGS)
+@given(params=pairs_strategy)
+def test_salted_self_pairs_exact(spark, params):
+    """salted_self_pairs produces exactly the plain self-join pair
+    set for any hot threshold, including keys far above it."""
+    import random
+
+    from big_data_code_spark.operators.skew import salted_self_pairs
+
+    seed, hot = params
+    rng = random.Random(seed)
+    rows = []
+    for key in range(rng.randint(1, 5)):
+        # some keys tiny, some 5× over the hot threshold
+        n = rng.choice([1, 2, hot, hot * 5 + 3])
+        members = rng.sample(range(1000), n)
+        rows += [(f"k{key}", m) for m in members]
+    df = spark.createDataFrame(rows, "bk string, id long")
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           salted_self_pairs(df, "bk", "id", hot_threshold=hot, n_salt=4).collect()}
+    want = set()
+    bykey = defaultdict(list)
+    for k, m in rows:
+        bykey[k].append(m)
+    for members in bykey.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                want.add((min(a, b), max(a, b)))
+    assert got == want

@@ -290,6 +290,65 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    batch: DataFrame,
+    master: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_sigs: DataFrame | None = None,
+    master_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora: each incoming-batch doc
+    against the existing master, never batch×batch or master×master.
+
+    This is the incremental-ingest shape of dedup at 100 TB: the
+    master's signature table is computed once (in production: read
+    from the signature store written on the last ingest — the
+    ``sigs`` relation here is exactly that table) and the band join
+    only expands candidates that cross the batch/master boundary, so
+    per-ingest cost scales with the batch, not the corpus.
+
+    Returns (batch_id, master_id, est_jaccard).
+
+    ``batch_sigs`` / ``master_sigs``: precomputed (id, sig) tables
+    (from `minhash_signatures`) — pass the master's stored signature
+    table here in production so only the batch is ever re-hashed.
+    """
+    bsigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(batch, id_col, text_col)
+    )
+    msigs = (
+        master_sigs
+        if master_sigs is not None
+        else minhash_signatures(master, id_col, text_col)
+    )
+    bband = bsigs.select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
+    mband = msigs.select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
+    cand = (
+        bband.alias("b")
+        .join(mband.alias("m"), "bk")
+        .select(F.col("b.id").alias("batch_id"), F.col("m.id").alias("master_id"))
+        .distinct()
+    )
+    sb = bsigs.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_b"))
+    sm = msigs.select(F.col("id").alias("master_id"), F.col("sig").alias("sig_m"))
+    n_eq = F.aggregate(
+        F.zip_with("sig_b", "sig_m", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = n_eq / F.lit(float(N_MINHASHES))
+    return (
+        cand.join(sb, "batch_id")
+        .join(sm, "master_id")
+        .select("batch_id", "master_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def _simhash_mask(i: int) -> int:
     # bit 63 as a *signed* 64-bit literal (1<<63 overflows long)
     return (1 << i) if i < 63 else -(1 << 63)

@@ -184,6 +184,99 @@ WHERE len(list_filter(list_transform(range(1, 17),
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the seeded copies (doc_id ≥ 1M)
+    play an incoming batch, the originals the existing master. Each
+    batch doc is flagged exact-dup (content hash seen in master),
+    near-dup (MinHash-LSH candidate vs master with est-Jaccard ≥
+    0.5, `operators/dedup.minhash_lsh_pairs_cross`), and given a
+    verdict with exact > near > unique precedence.
+
+    The 100 TB point: per-ingest cost scales with the BATCH — the
+    master side contributes its (stored, in production) signature
+    table and a semi-joinable hash set; no master×master or
+    batch×batch pair ever expands. Ref analog: the reference's
+    append-only master + recompute story, restated as the
+    dedup-on-absorb step of a training-data pipeline.
+    """
+    from pyspark import StorageLevel
+
+    corpus = _corpus(spark, sf_dir)
+    master = corpus.where(F.col("doc_id") < 1_000_000)
+    batch = corpus.where(F.col("doc_id") >= 1_000_000)
+
+    master_hashes = master.select(F.md5("text").alias("h")).distinct()
+    exact_ids = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(master_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    # one signature pass over the whole corpus, split by side — the
+    # local stand-in for "read the master's stored signature table"
+    sigs = dedup.minhash_signatures(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    near_ids = (
+        dedup.minhash_lsh_pairs_cross(
+            batch,
+            master,
+            MINHASH_LSH_THRESHOLD,
+            batch_sigs=sigs.where(F.col("id") >= 1_000_000),
+            master_sigs=sigs.where(F.col("id") < 1_000_000),
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("is_near", F.lit(False)).alias("is_near_dup"),
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+xcand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, m.doc_id AS master_id
+  FROM bands b JOIN bands m ON b.bk = m.bk
+  WHERE b.doc_id >= 1000000 AND m.doc_id < 1000000
+),
+near AS (
+  SELECT DISTINCT x.batch_id AS doc_id
+  FROM xcand x
+  JOIN sig sa ON x.batch_id = sa.doc_id
+  JOIN sig sb ON x.master_id = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), y -> y)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}
+),
+exact AS (
+  SELECT DISTINCT doc_id FROM corpus
+  WHERE doc_id >= 1000000
+    AND md5(text) IN (SELECT md5(text) FROM corpus WHERE doc_id < 1000000)
+)
+SELECT c.doc_id,
+       c.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+       c.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+       CASE WHEN c.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN c.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'unique' END AS verdict
+FROM corpus c
+WHERE c.doc_id >= 1000000
+"""
+
+
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per corpus doc, md5-hex hash family so the
     fingerprint is bit-exact SQL-expressible: bit i of a token is
@@ -486,6 +579,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(synthetic_assets(docs))
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable slice of the multimodal pipeline: the
+    SAME Arrow-batched ``mapInPandas`` featurizer run as
+    `multimodal_features`, projected to (asset_id, format, n_bytes).
+    n_bytes is measured Python-side from the binary payload inside
+    the UDF, so a hash-match against the oracle's
+    ``octet_length(encode(text))`` proves the binary column
+    round-trips Spark → Arrow → pandas byte-exactly; the float
+    feature vector stays rows-only under `multimodal_features`."""
+    from ..functions.multimodal import extract_features, synthetic_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthetic_assets(docs)).select(
+        "asset_id", "format", "n_bytes"
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webm' END
+         AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

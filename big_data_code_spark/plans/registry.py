@@ -44,11 +44,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
-    # -- 15-17: new or changed this round.
+    # -- 15-20: new or changed this round.
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
     ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
-    # -- 18-50: oracle-backed queries never sampled by the driver yet.
+    ("keyvalue_export", swa.keyvalue_export, swa.KEYVALUE_EXPORT_SQL),
+    ("multimodal_metadata", llm.multimodal_metadata, llm.MULTIMODAL_METADATA_SQL),
+    ("dedup_incremental", llm.dedup_incremental, llm.DEDUP_INCREMENTAL_SQL),
+    # -- 21-50: oracle-backed queries never sampled by the driver yet.
     ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
     ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
     ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
@@ -70,13 +73,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("pii_redact", llm.pii_redact, llm.PII_REDACT_SQL),
     ("text_stats", llm.text_stats, llm.TEXT_STATS_SQL),
     ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
-    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
     ("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_SQL),
     ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
     ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
-    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
     ("top_terms_global", llm.top_terms_global, llm.TOP_TERMS_GLOBAL_SQL),
-    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
     ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
     ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
@@ -117,6 +117,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
     ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
     # deferred to the round-3 prefix:
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
     ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
     ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
     ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),

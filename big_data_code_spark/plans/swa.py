@@ -64,6 +64,71 @@ GROUP BY 1, 2, 3
 """
 
 
+def keyvalue_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-layer export as a relation: every row of the
+    pageviews batch view keyed and sharded exactly as the key/value
+    bulk-load lays it out.
+
+    Parity: `ToUrlBucketedKey` / `pageviewElephantDB` / the
+    `ShardingScheme` family (`BatchWorkflow.java:304-426`). Key =
+    ``url + "/" + granularity + "-" + bucket``; shard = md5-mod
+    (`serving.keyvalue.md5_mod_shard`, the oracle-exact hash
+    family). `serving.keyvalue.export_key_value` writes this same
+    relation partitioned by shard; returning it as a DataFrame makes
+    the 2.3 export path driver-checkable without a filesystem side
+    effect.
+    """
+    from ..serving.keyvalue import N_SHARDS_DEFAULT, md5_mod_shard, url_bucketed_key
+
+    view = pageviews_over_time(spark, sf_dir)
+    key = url_bucketed_key(
+        F.col("event_type"), F.col("granularity"), F.col("bucket")
+    )
+    return view.select(
+        md5_mod_shard(key, N_SHARDS_DEFAULT).alias("shard"),
+        key.alias("key"),
+        F.col("total_views"),
+    )
+
+
+KEYVALUE_EXPORT_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+fanned AS (
+  SELECT event_type,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN hour_bucket
+           WHEN 'd' THEN hour_bucket // 24
+           WHEN 'w' THEN (hour_bucket // 24) // 7
+           ELSE (hour_bucket // 24) // 28
+         END AS bucket,
+         cnt
+  FROM hourly
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+),
+view AS (
+  SELECT event_type, granularity, bucket,
+         CAST(sum(cnt) AS BIGINT) AS total_views
+  FROM fanned
+  GROUP BY 1, 2, 3
+),
+keyed AS (
+  SELECT event_type || '/' || granularity || '-' || CAST(bucket AS VARCHAR) AS key,
+         total_views
+  FROM view
+)
+SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % 32 AS shard,
+       key, total_views
+FROM keyed
+"""
+
+
 def uniques_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct visitors per page×granularity×bucket.
 

@@ -44,6 +44,18 @@ def hash_mod_shard(key: Column, n_shards: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_shards)).cast("int")
 
 
+def md5_mod_shard(key: Column, n_shards: int) -> Column:
+    """`HashModScheme` in the md5 hash family: the first 7 hex chars
+    of md5(key) as an int, mod shard count. Same uniformity as
+    `hash_mod_shard`, but restatable in ANSI-ish SQL
+    (`('0x' || substr(md5(key),1,7))::BIGINT`) so the sharded
+    export is oracle-checkable end to end; xxhash64 stays the
+    cheaper internal path."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long") % n_shards
+    )
+
+
 def url_only_shard(url: Column, n_shards: int) -> Column:
     """≙ `UrlOnlyScheme`: shard on the url part only, so all
     granularity-buckets of a url serve from one shard."""

@@ -25,6 +25,8 @@ ORACLE_QUERIES = (
     "top_terms_global",
     "deterministic_sample",
     "doc_fingerprint",
+    "multimodal_metadata",
+    "dedup_incremental",
 )
 
 
@@ -371,3 +373,20 @@ def test_minhash_lsh_hot_bucket_salting_equivalence(spark):
     assert salted == plain
     # the hot clique must actually be in the result (40·39/2 pairs)
     assert sum(1 for a, b, _ in plain if a < 100 and b < 100) == 40 * 39 // 2
+
+
+def test_dedup_incremental_flags_seeded_copies(spark):
+    """Exact copies (+1M ids) must be verdict='exact'; near copies
+    (+2M, 3-token tail) must be near-dups but never exact; every
+    batch doc gets exactly one verdict row."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    exact_ids = [i for i in by_id if 1_000_000 <= i < 2_000_000]
+    near_ids = [i for i in by_id if i >= 2_000_000]
+    assert exact_ids and near_ids
+    assert all(by_id[i]["verdict"] == "exact" for i in exact_ids)
+    assert all(not by_id[i]["is_exact_dup"] for i in near_ids)
+    assert any(by_id[i]["verdict"] == "near" for i in near_ids)
+    assert len(rows) == len(by_id)

@@ -102,3 +102,22 @@ def test_current_person_properties_picks_latest_fact(spark):
         for r in schema.current_person_properties(facts).collect()
     }
     assert cur == {(1, "age"): "26", (1, "location"): "nyc", (2, "age"): "40"}
+
+
+def test_keyvalue_export_oracle_and_shard_layout(spark):
+    """The sharded export relation hash-matches its oracle, every
+    shard is in [0, 32), and all buckets of one key land on one
+    shard (the serving-layer colocation property)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "keyvalue_export", SF_SMOKE)
+    from big_data_code_spark.plans.registry import QUERIES
+
+    df = QUERIES["keyvalue_export"](spark, SF_SMOKE)
+    bad = df.where((F.col("shard") < 0) | (F.col("shard") >= 32)).count()
+    assert bad == 0
+    multi = (
+        df.groupBy("key").agg(F.countDistinct("shard").alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert multi == 0

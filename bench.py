@@ -97,6 +97,10 @@ BENCH_QUERIES = (
     "top_terms_global",
     "embedding_stats",
     "streaming_enriched_counts",
+    "keyvalue_export",
+    "dedup_incremental",
+    "training_corpus_final",
+    "multimodal_metadata",
 )
 
 

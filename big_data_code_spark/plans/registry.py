@@ -44,14 +44,15 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
-    # -- 15-20: new or changed this round.
+    # -- 15-21: new or changed this round.
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
     ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
     ("keyvalue_export", swa.keyvalue_export, swa.KEYVALUE_EXPORT_SQL),
     ("multimodal_metadata", llm.multimodal_metadata, llm.MULTIMODAL_METADATA_SQL),
     ("dedup_incremental", llm.dedup_incremental, llm.DEDUP_INCREMENTAL_SQL),
-    # -- 21-50: oracle-backed queries never sampled by the driver yet.
+    ("training_corpus_final", llm.training_corpus_final, llm.TRAINING_CORPUS_FINAL_SQL),
+    # -- 22-50: oracle-backed queries never sampled by the driver yet.
     ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
     ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
     ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
@@ -72,7 +73,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("doc_quality_filter", llm.doc_quality_filter, llm.DOC_QUALITY_FILTER_SQL),
     ("pii_redact", llm.pii_redact, llm.PII_REDACT_SQL),
     ("text_stats", llm.text_stats, llm.TEXT_STATS_SQL),
-    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
     ("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_SQL),
     ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
     ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
@@ -117,6 +117,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
     ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
     # deferred to the round-3 prefix:
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
     ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
     ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
     ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
@@ -130,7 +132,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("ann_lsh", llm.ann_lsh, None),
     ("ann_ivf", llm.ann_ivf, None),
     ("stratified_sample", llm.stratified_sample, None),
-    ("multimodal_features", llm.multimodal_features, None),
     ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, None),
     ("streaming_bounce_rate", speed.streaming_bounce_rate, None),
 ]

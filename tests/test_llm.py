@@ -27,6 +27,8 @@ ORACLE_QUERIES = (
     "doc_fingerprint",
     "multimodal_metadata",
     "dedup_incremental",
+    "multimodal_features",
+    "training_corpus_final",
 )
 
 
@@ -390,3 +392,26 @@ def test_dedup_incremental_flags_seeded_copies(spark):
     assert all(not by_id[i]["is_exact_dup"] for i in near_ids)
     assert any(by_id[i]["verdict"] == "near" for i in near_ids)
     assert len(rows) == len(by_id)
+
+
+def test_training_corpus_final_composition(spark):
+    """Capstone invariants: quality-dropped docs have null canonical
+    and reason='quality'; every kept doc is its own canonical;
+    exact-copy pairs (both surviving quality) never both kept."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["training_corpus_final"](spark, SF_SMOKE).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    dropped = [r for r in rows if not r["keep_quality"]]
+    kept = [r for r in rows if r["is_kept"]]
+    assert dropped and kept
+    assert all(r["canonical_id"] is None and r["reason"] == "quality" for r in dropped)
+    assert all(r["canonical_id"] == r["doc_id"] and r["reason"] == "kept" for r in kept)
+    both_kept = [
+        (i, i + 1_000_000)
+        for i in by_id
+        if i < 1_000_000 and (i + 1_000_000) in by_id
+        and by_id[i]["keep_quality"] and by_id[i + 1_000_000]["keep_quality"]
+        and by_id[i]["is_kept"] and by_id[i + 1_000_000]["is_kept"]
+    ]
+    assert not both_kept, f"exact-copy pair double-kept: {both_kept[:3]}"

@@ -58,3 +58,65 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered parquet: file-level min/max stats prune point
+    queries on BOTH interleaved columns, while a single-column sort
+    only prunes its own column. Checked directly against parquet
+    footer statistics (what any engine's scan pruning reads)."""
+    import pyarrow.parquet as pq
+
+    from big_data_code_spark.sources.layout import write_zordered
+    from big_data_code_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "user_id",
+        "value",
+    )
+    n_files = 8
+    zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "hour_sorted")
+    write_zordered(ev, zdir, "hour_bucket", "user_id", n_files=n_files)
+    (
+        ev.repartitionByRange(n_files, "hour_bucket")
+        .sortWithinPartitions("hour_bucket")
+        .write.mode("overwrite").parquet(sdir)
+    )
+
+    # straightforward per-file min/max
+    def file_ranges(path, col):
+        import glob
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.row_group(0).column(j).path_in_schema: j
+                   for j in range(md.num_columns)}[col]
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                los.append(st.min); his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    probes_user = [r["user_id"] for r in
+                   ev.select("user_id").distinct().limit(3).collect()]
+    probes_hour = [r["hour_bucket"] for r in ev.select("hour_bucket").distinct().limit(3).collect()]
+
+    def n_cover(ranges, probe):
+        return sum(1 for lo, hi in ranges if lo <= probe <= hi)
+
+    z_user = file_ranges(zdir, "user_id")
+    s_user = file_ranges(sdir, "user_id")
+    z_hour = file_ranges(zdir, "hour_bucket")
+    total_z, total_s = len(z_user), len(s_user)
+
+    for p in probes_user:
+        assert n_cover(z_user, p) < n_cover(s_user, p), (
+            f"user probe {p}: zorder {n_cover(z_user, p)} vs sorted {n_cover(s_user, p)}"
+        )
+    # hour-sorted baseline covers user probes with EVERY file
+    assert all(n_cover(s_user, p) == total_s for p in probes_user)
+    # zorder still prunes on the hour dimension too
+    assert all(n_cover(z_hour, p) < total_z for p in probes_hour)

@@ -584,6 +584,45 @@ LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup before any hashing/shingling stage:
+    strip control characters, collapse whitespace runs, trim,
+    lowercase. Pure per-row JVM regexps (shuffle-free at any
+    scale); the regex family stays in the Java∩RE2 subset so the
+    DuckDB oracle matches byte-for-byte. Reports how many chars
+    were dropped so data-quality dashboards can track it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", "[\\x00-\\x1f\\x7f]", " "),
+                "[ \\t\\n\\r]+",
+                " ",
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("norm_text"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("n_chars_removed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH cleaned AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g'))) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
+FROM cleaned
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset feature extraction via Arrow-batched
     ``mapInPandas`` (decode stubbed — see `functions/multimodal.py`).

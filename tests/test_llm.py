@@ -29,6 +29,7 @@ ORACLE_QUERIES = (
     "dedup_incremental",
     "multimodal_features",
     "training_corpus_final",
+    "text_normalize",
 )
 
 

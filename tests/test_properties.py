@@ -327,3 +327,47 @@ def test_salted_self_pairs_exact(spark, params):
             for b in members[i + 1:]:
                 want.add((min(a, b), max(a, b)))
     assert got == want
+
+
+# ------------------------------------------------ cross-corpus LSH
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_cross_lsh_equals_filtered_self_lsh(spark, seed):
+    """minhash_lsh_pairs_cross(batch, master) must equal the plain
+    self-join LSH over batch ∪ master restricted to cross pairs —
+    the incremental path may never invent or lose a pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_code_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(10, 25))]
+    docs = []
+    for i in range(rng.randint(20, 40)):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.6:
+            mut = list(toks)
+            if rng.random() < 0.5:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((i + 10_000, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    master = df.where(F.col("doc_id") < 10_000)
+    batch = df.where(F.col("doc_id") >= 10_000)
+
+    got = {
+        (r["batch_id"], r["master_id"], r["est_jaccard"])
+        for r in minhash_lsh_pairs_cross(batch, master, 0.5).collect()
+    }
+    want = {
+        (r["doc_id_b"], r["doc_id_a"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(df, 0.5).collect()
+        if r["doc_id_a"] < 10_000 <= r["doc_id_b"]
+    }
+    assert got == want

@@ -1046,3 +1046,52 @@ LEFT JOIN s2 ON s.s_id = s2.s_id
 LEFT JOIN s3 ON s.s_id = s3.s_id
 GROUP BY 1
 """
+
+
+def value_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval dimension lookup: every event's value
+    mapped to a pricing tier via a NON-EQUI join against an
+    interval dimension (lo ≤ value < hi), then aggregated per tier.
+
+    The physical plan is a BroadcastNestedLoopJoin — which is the
+    *intended* plan for this shape at any scale: the interval dim
+    is bounded (a handful of tiers), so the "nested loop" is a
+    constant-factor per-row scan of a broadcast table, exactly how
+    engines execute banded/range dimension lookups (IP→geo,
+    value→tier, date→fiscal-period). The fact side never shuffles
+    for the join; the only exchange is the final tier aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [
+            ("t1_low", 0.0, 25.0),
+            ("t2_mid", 25.0, 100.0),
+            ("t3_high", 100.0, 250.0),
+            ("t4_extreme", 250.0, 1e9),
+        ],
+        "tier string, lo double, hi double",
+    )
+    joined = events.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+VALUE_TIER_LOOKUP_SQL = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('t1_low', 0.0, 25.0), ('t2_mid', 25.0, 100.0),
+         ('t3_high', 100.0, 250.0), ('t4_extreme', 250.0, 1e9)
+)
+SELECT t.tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY 1
+"""

@@ -117,6 +117,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
     ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
     # deferred to the round-3 prefix:
+    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
     ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
     ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
     ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),

@@ -94,7 +94,8 @@ def test_pivot_no_python_and_counts(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ("user_event_unpivot", "scd2_customer_updates", "events_near_pairs")
+    "name", ("user_event_unpivot", "scd2_customer_updates", "events_near_pairs",
+             "value_tier_lookup")
 )
 def test_pattern_oracles(spark, name):
     assert_matches_oracle(spark, name, SF_SMOKE)

@@ -330,14 +330,26 @@ def hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine starts at each key's first observed hour, so no
     leading NULLs survive.
+
+    The hourly average is computed from integer-exact cent sums
+    (value has 2 decimals) — a native avg(double) is
+    accumulation-order-dependent, and at sf0.1 a half-ulp
+    difference flipped the 4th-decimal rounding vs the oracle.
+    sum(long)/100.0/n is one deterministic op sequence on both
+    engines, and the result ships UNROUNDED: cross-engine
+    round(double, 4) itself disagrees within an ulp of a .00005
+    boundary, while the raw bits never do.
     """
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     hourly = events.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
-    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    ).agg(
+        (F.sum(cents) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_value")
+    )
     spine = (
         hourly.groupBy("event_type")
         .agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
@@ -361,7 +373,8 @@ HOURLY_LOCF_SQL = """
 WITH hourly AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
-         round(avg(value), 4) AS avg_value
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+           / count(*) AS avg_value
   FROM events
   GROUP BY 1, 2
 ),
@@ -1075,11 +1088,15 @@ def value_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(tiers),
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
     )
+    # integer-exact cent sums: sum(double) is accumulation-order-
+    # dependent and cross-engine round(double) flips near .00005
+    # boundaries — sum(long)/100.0 is bit-deterministic on both
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         joined.groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -1091,7 +1108,7 @@ WITH tiers(tier, lo, hi) AS (
 )
 SELECT t.tier,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(e.value), 4) AS sum_value
+       sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
 FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
 GROUP BY 1
 """

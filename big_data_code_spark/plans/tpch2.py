@@ -479,7 +479,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates the (much smaller) supply table and broadcasts
     back onto it — the classic decorrelation of the scalar min.
     Unit-cost doubles compare exactly because both engines aggregate
-    the identical per-row IEEE quotients with order-free min.
+    the identical per-row IEEE quotients with order-free min — and
+    the output ships the RAW double: a round(x, 4) here flipped the
+    4th decimal cross-engine at sf0.1 when a quotient landed within
+    an ulp of a .00005 boundary (engines disagree on decimal
+    rounding of binary doubles; the unrounded bits never disagree).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -497,8 +501,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey",
-                F.round("supplycost", 4).alias("supplycost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
     )
 
 
@@ -510,7 +513,7 @@ WITH supply AS (
 min_supply AS (
   SELECT l_partkey, min(supplycost) AS min_cost FROM supply GROUP BY 1
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, round(supplycost, 4) AS supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
 FROM supply
 JOIN min_supply USING (l_partkey)
 JOIN part ON p_partkey = l_partkey

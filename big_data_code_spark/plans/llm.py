@@ -584,6 +584,76 @@ LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 """
 
 
+SEQ_PACK_LEN = 2048
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are concatenated (in a
+    deterministic md5 order) into fixed-length token sequences of
+    ``SEQ_PACK_LEN``, the way LLM pretraining packs its batches;
+    docs straddling a boundary are flagged split.
+
+    Per doc: token count, global start offset within its language's
+    stream, the sequence id its first token lands in, and whether it
+    crosses a sequence boundary.
+
+    Scale shape: packing runs independently PER LANGUAGE (the window
+    is partitioned, never global), which is how a 100 TB corpus
+    packs in parallel — one deterministic stream per shard key. The
+    only shuffle is the window sort on (lang, md5) — no joins, no
+    explode.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = docs.select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = d.select("doc_id", "lang", "n_tokens", start)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / SEQ_PACK_LEN).cast("long").alias("seq_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_PACK_LEN)
+                != F.floor(F.col("start_offset") / SEQ_PACK_LEN)
+            )
+        ).alias("is_split"),
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(doc_id::VARCHAR), doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(floor(start_offset / {SEQ_PACK_LEN}) AS BIGINT) AS seq_id,
+       (n_tokens > 0 AND
+        floor((start_offset + n_tokens - 1) / {SEQ_PACK_LEN})
+          <> floor(start_offset / {SEQ_PACK_LEN})) AS is_split
+FROM o
+"""
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text cleanup before any hashing/shingling stage:
     strip control characters, collapse whitespace runs, trim,

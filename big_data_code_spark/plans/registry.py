@@ -119,6 +119,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # deferred to the round-3 prefix:
     ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
     ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
     ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
     ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),

@@ -30,6 +30,7 @@ ORACLE_QUERIES = (
     "multimodal_features",
     "training_corpus_final",
     "text_normalize",
+    "sequence_packing",
 )
 
 
@@ -416,3 +417,30 @@ def test_training_corpus_final_composition(spark):
         and by_id[i]["is_kept"] and by_id[i + 1_000_000]["is_kept"]
     ]
     assert not both_kept, f"exact-copy pair double-kept: {both_kept[:3]}"
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing invariants per language stream: offsets are a
+    gap-free concatenation in md5 order; split flags mark exactly
+    the docs whose span crosses a 2048 boundary."""
+    from big_data_code_spark.plans.llm import SEQ_PACK_LEN
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sequence_packing"](spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) > 1
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off, (lang, r)
+            span_split = (
+                r["n_tokens"] > 0
+                and (off + r["n_tokens"] - 1) // SEQ_PACK_LEN != off // SEQ_PACK_LEN
+            )
+            assert r["is_split"] == span_split
+            assert r["seq_id"] == off // SEQ_PACK_LEN
+            off += r["n_tokens"]
+    assert any(r["is_split"] for r in rows), "corpus must produce split docs"

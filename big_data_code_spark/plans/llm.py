@@ -430,11 +430,57 @@ SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path; recall vs brute force is
-    asserted in tests — rows-only driver check)."""
+    asserted in tests). Fully deterministic — the ±1 hyperplanes
+    derive from md5 parity — so unlike most ANN systems this one is
+    EXACTLY oracle-checkable: the SQL restates the planes, sign
+    signatures, band buckets, and candidate ranking end to end."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     out = ann.lsh_ann_topk(emb, queries, k=ANN_K)
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
+ANN_LSH_SQL = f"""
+WITH planes AS (
+  SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
+                          % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS p
+  FROM range(0, 16) t(j)
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sigs AS (
+  SELECT c.vec_id,
+         string_agg(CASE WHEN list_dot_product(c.vec, p.p) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM c CROSS JOIN planes p
+  GROUP BY c.vec_id
+),
+bands AS (
+  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 4 + 1, 4) AS bk
+  FROM sigs CROSS JOIN range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+  FROM bands cb JOIN bands qb ON cb.bk = qb.bk
+  WHERE qb.vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id AS vec_id,
+         list_dot_product(cv.vec, qv.vec) /
+           (sqrt(list_dot_product(cv.vec, cv.vec)) *
+            sqrt(list_dot_product(qv.vec, qv.vec))) AS sim
+  FROM cand
+  JOIN c cv ON cand.c_id = cv.vec_id
+  JOIN c qv ON cand.q_id = qv.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 #: sf_dir → trained IVF centroid matrix. The index build is a

@@ -120,6 +120,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
     ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
+    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
     ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
     ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
     ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
@@ -132,7 +133,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
     # rows-only (approximate / not SQL-expressible):
     ("uniques_over_time_hll", swa.uniques_over_time_hll, None),
-    ("ann_lsh", llm.ann_lsh, None),
     ("ann_ivf", llm.ann_ivf, None),
     ("stratified_sample", llm.stratified_sample, None),
     ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, None),

@@ -101,6 +101,9 @@ BENCH_QUERIES = (
     "dedup_incremental",
     "training_corpus_final",
     "multimodal_metadata",
+    "text_normalize",
+    "sequence_packing",
+    "ann_lsh",
 )
 
 

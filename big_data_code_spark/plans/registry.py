@@ -14,6 +14,16 @@ the queries whose plan or oracle changed this round, then queries
 never yet driver-checked. Already-green and oracle-less entries sit
 after the prefix; nothing about a query's semantics depends on its
 position.
+
+Round-3 rotation plan: promote the "deferred to the round-3
+prefix" block (new round-2 oracles: value_tier_lookup,
+text_normalize, sequence_packing, ann_lsh, multimodal_features,
+plus hourly_gap_fill / user_event_unpivot / dq_checks /
+value_histogram / deterministic_sample / token_counts /
+doc_repetition / embedding_stats / lang_id) into the checked
+prefix, demoting this round's now-green entries. Every
+oracle-backed query has ALSO been verified locally by
+tools/driver_check.py full sweeps at sf0.001, sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations

@@ -650,6 +650,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, SEQ_PACK_LEN)
+
+
+def pack_sequences(docs: DataFrame, seq_len: int) -> DataFrame:
+    """The packing operator behind `sequence_packing`, reusable on
+    any (doc_id, text, lang) frame; see that query's docstring."""
     w = (
         Window.partitionBy("lang")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -665,12 +671,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         "start_offset",
-        F.floor(F.col("start_offset") / SEQ_PACK_LEN).cast("long").alias("seq_id"),
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias("seq_id"),
         (
             (F.col("n_tokens") > 0)
             & (
-                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_PACK_LEN)
-                != F.floor(F.col("start_offset") / SEQ_PACK_LEN)
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len)
+                != F.floor(F.col("start_offset") / seq_len)
             )
         ).alias("is_split"),
     )

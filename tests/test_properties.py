@@ -371,3 +371,74 @@ def test_cross_lsh_equals_filtered_self_lsh(spark, seed):
         if r["doc_id_a"] < 10_000 <= r["doc_id_b"]
     }
     assert got == want
+
+
+# ------------------------------------------------ sequence packing
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_sequence_packing_matches_python_reference(spark, seed):
+    """Offsets/seq ids/split flags equal an independent python
+    implementation of md5-ordered per-language packing."""
+    import hashlib
+    import random
+    import re
+
+    from big_data_code_spark.functions.text import BPE_TOKEN_RE
+    from big_data_code_spark.plans.llm import SEQ_PACK_LEN, pack_sequences
+
+    rng = random.Random(seed)
+    langs = ["aa", "bb", "cc"]
+    docs = []
+    for i in range(rng.randint(10, 40)):
+        words = " ".join(
+            rng.choice(["alpha", "beta42", "x!", ""]) for _ in range(rng.randint(0, 900))
+        )
+        docs.append((i, words, rng.choice(langs)))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    rows = pack_sequences(df, SEQ_PACK_LEN).collect()
+
+    tok_re = re.compile(BPE_TOKEN_RE)
+    expected = {}
+    for lang in langs:
+        group = [d for d in docs if d[2] == lang]
+        group.sort(key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+        off = 0
+        for doc_id, text, _ in group:
+            n = len(tok_re.findall(text.lower()))
+            split = n > 0 and (off + n - 1) // SEQ_PACK_LEN != off // SEQ_PACK_LEN
+            expected[doc_id] = (n, off, off // SEQ_PACK_LEN, split)
+            off += n
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["seq_id"], r["is_split"])
+        for r in rows
+    }
+    assert got == expected
+
+
+# ------------------------------------------------ morton interleave
+
+@settings(**SETTINGS)
+@given(pairs=st.lists(st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+                      min_size=1, max_size=50))
+def test_morton_interleave_bijective(spark, pairs):
+    """morton(a, b) must equal the bit-interleave computed in python
+    (hence bijective over 16-bit pairs — tight Z-curve locality
+    depends on it)."""
+    from big_data_code_spark.sources.layout import morton_interleave
+
+    df = spark.createDataFrame(list(set(pairs)), "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+
+    def py_morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): py_morton(a, b) for a, b in got}

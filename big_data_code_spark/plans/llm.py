@@ -706,6 +706,47 @@ FROM o
 """
 
 
+def mix_balance_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix control: downsample every language to the
+    smallest language's doc count, so the kept corpus has a uniform
+    language mix. Selection is the md5-rank order (reproducible,
+    engine-exact — same family as `deterministic_sample`), so a
+    frozen training mix is byte-identical on any cluster.
+
+    Per doc: (doc_id, lang, lang_rank, is_kept). One shuffle for
+    the per-lang window; the min-count scalar broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("lang_rank")
+    )
+    min_count = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    return ranked.join(F.broadcast(min_count)).select(
+        "doc_id", "lang", "lang_rank", (F.col("lang_rank") <= F.col("m")).alias("is_kept")
+    )
+
+
+MIX_BALANCE_UNIFORM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id)
+              AS BIGINT) AS lang_rank
+  FROM documents
+),
+m AS (SELECT min(n) AS m FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+SELECT doc_id, lang, lang_rank, lang_rank <= m.m AS is_kept
+FROM ranked, m
+"""
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text cleanup before any hashing/shingling stage:
     strip control characters, collapse whitespace runs, trim,

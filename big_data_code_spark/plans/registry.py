@@ -131,6 +131,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
+    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
     ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
     ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
     ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),

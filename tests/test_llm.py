@@ -31,6 +31,7 @@ ORACLE_QUERIES = (
     "training_corpus_final",
     "text_normalize",
     "sequence_packing",
+    "mix_balance_uniform",
 )
 
 

@@ -122,6 +122,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",           # brute-force baseline (scale: ann_ivf)
     "value_tier_lookup",         # bounded interval-dim broadcast — the
                                  # intended plan for range lookups
+    "mix_balance_uniform",       # single-row min-count scalar broadcast
 }
 
 

@@ -355,3 +355,69 @@ def test_watermark_drops_late_events(spark, tmp_path):
 
     hour0 = T0 // 3600
     assert got == [(hour0, 1)]  # emitted exactly once, late event dropped
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark, tmp_path):
+    """The attribution join must EVICT state as the watermark
+    advances: after three micro-batches spanning 12 event-hours,
+    the join's state store holds only rows inside the watermark
+    horizon — not the whole history (the 100 TB survival property
+    for stream-stream joins)."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "wm_state_src")
+    os.makedirs(src)
+    # batch 0: a burst of old views + purchases at hour 0 (40 rows)
+    rows0 = [(T0 + i, i % 10, "view") for i in range(30)] + [
+        (T0 + 600 + i, i % 10, "purchase") for i in range(10)
+    ]
+    _write_batch(spark, os.path.join(src, "00.parquet"), rows0, 1_700_300_000)
+    # batches 1/2 carry BOTH event types: the global watermark is
+    # the MIN across the two sides' watermarks, so a side that goes
+    # idle pins the watermark and no state is ever evicted (the
+    # production lesson this test encodes — attribution streams
+    # must see traffic, or heartbeats, on both sides).
+    # batch 1: hour 6 (advances watermark to ~hour 4 → batch-0 evicted)
+    rows1 = [(T0 + 6 * 3600 + i, 50 + i, "view") for i in range(4)] + [
+        (T0 + 6 * 3600 + 500, 99, "purchase")
+    ]
+    _write_batch(spark, os.path.join(src, "01.parquet"), rows1, 1_700_300_001)
+    # batch 2: hour 12 (advances watermark to ~hour 10)
+    rows2 = [(T0 + 12 * 3600 + i, 60 + i, "view") for i in range(4)] + [
+        (T0 + 12 * 3600 + 500, 98, "purchase")
+    ]
+    _write_batch(spark, os.path.join(src, "02.parquet"), rows2, 1_700_300_002)
+
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    joined = sl.view_purchase_join_stream(stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(sl.STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("wm_state_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # the hour-0 attribution pairs must have been emitted
+    out = spark.table("wm_state_sink")
+    assert out.count() > 0
+    # final state must be bounded by the watermark horizon: only the
+    # last two tiny batches (10 rows) may remain buffered, never the
+    # 40-row history
+    final_state = sum(
+        op["numRowsTotal"] for op in progresses[-1]["stateOperators"]
+    )
+    assert final_state <= 14, f"join state not evicted: {final_state} rows"
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    assert removed >= 40, f"expected the hour-0 burst evicted, removed={removed}"

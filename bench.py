@@ -104,6 +104,7 @@ BENCH_QUERIES = (
     "text_normalize",
     "sequence_packing",
     "ann_lsh",
+    "mix_balance_uniform",
 )
 
 

@@ -483,27 +483,129 @@ SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-#: sf_dir → trained IVF centroid matrix. The index build is a
-#: one-time offline step (train once, store k×dim doubles, serve
-#: many searches); the corpus is immutable per sf_dir, and training
-#: is deterministic (md5-init), so the cache returns the exact same
-#: index a fresh train would.
-_IVF_INDEX_CACHE: dict[str, list[list[float]]] = {}
+#: (sf_dir, corpus fingerprint) → trained IVF centroid matrix. The
+#: index build is a one-time offline step (train once, store k×dim
+#: doubles, serve many searches); training is deterministic
+#: (md5-init), so the cache returns the exact same index a fresh
+#: train would. Keyed by the embeddings file's (mtime, size) so a
+#: regenerated corpus under the same path invalidates the index
+#: instead of silently serving stale centroids.
+_IVF_INDEX_CACHE: dict[tuple[str, float, int], list[list[float]]] = {}
+
+
+def _ivf_cache_key(sf_dir: str) -> tuple[str, float, int]:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime, st.st_size)
+    except OSError:
+        return (sf_dir, 0.0, 0)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN (the other scale path: k-means cells +
-    n_probe cell search; recall vs brute force asserted in tests —
-    rows-only driver check). The index is trained once per corpus
-    and reused across calls — the production build/search split."""
+    n_probe cell search; recall vs brute force asserted in tests).
+    The index is trained once per corpus and reused across calls —
+    the production build/search split. NOTE for bench readers: with
+    min-of-reps timing, reps after the first measure search-only
+    (the serve path); the one-time train cost shows in the first rep.
+
+    Fully deterministic (md5-init k-means, fixed 2 mean/reassign
+    rounds), so unlike most ANN systems it is EXACTLY
+    oracle-checkable: ANN_IVF_SQL restates the init hash, both
+    Lloyd rounds, the dense re-numbering of non-empty cells, the
+    n_probe=2 probe, and the candidate ranking end to end."""
     emb = _embeddings(spark, sf_dir)
-    centroids = _IVF_INDEX_CACHE.get(sf_dir)
+    key = _ivf_cache_key(sf_dir)
+    centroids = _IVF_INDEX_CACHE.get(key)
     if centroids is None:
         centroids = ann.ivf_train(emb)
-        _IVF_INDEX_CACHE[sf_dir] = centroids
+        _IVF_INDEX_CACHE[key] = centroids
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     out = ann.ivf_ann_topk(emb, queries, k=ANN_K, centroids=centroids)
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
+# Restates operators/ann.py::ivf_train + ivf_ann_topk exactly:
+# init cell = md5(vec_id) % 8; two rounds of (element-wise mean →
+# dense re-number cells by sorted id → nearest-centroid reassign);
+# final corpus assignment + top-2-cell probe per query; exact cosine
+# rank ≤ k inside probed cells. n_cells=8, n_probe=2, dim=64 match
+# the ivf_train/ivf_ann_topk defaults.
+ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a0 AS (
+  SELECT vec_id, vec,
+         (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 8)::INT AS cell
+  FROM c
+),
+cen0 AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(m ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(vec[i + 1]) AS m
+          FROM a0 CROSS JOIN range(0, 64) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+a1 AS (
+  SELECT vec_id, vec, rn::INT AS cell FROM (
+    SELECT a0.vec_id, a0.vec, cen0.rn,
+           row_number() OVER (
+             PARTITION BY a0.vec_id
+             ORDER BY list_sum(list_transform(list_zip(a0.vec, cen0.cen),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cen0.rn) AS pick
+    FROM a0 CROSS JOIN cen0
+  ) WHERE pick = 1
+),
+cen1 AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(m ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(vec[i + 1]) AS m
+          FROM a1 CROSS JOIN range(0, 64) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+cells AS (
+  SELECT vec_id AS c_id, vec AS c_vec, rn::INT AS cell FROM (
+    SELECT c.vec_id, c.vec, cen1.rn,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_sum(list_transform(list_zip(c.vec, cen1.cen),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cen1.rn) AS pick
+    FROM c CROSS JOIN cen1
+  ) WHERE pick = 1
+),
+probe AS (
+  SELECT q_id, q_vec, rn::INT AS cell FROM (
+    SELECT q.vec_id AS q_id, q.vec AS q_vec, cen1.rn,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.vec, cen1.cen),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cen1.rn) AS pick
+    FROM (SELECT * FROM c WHERE vec_id < {ANN_N_QUERIES}) q CROSS JOIN cen1
+  ) WHERE pick <= 2
+),
+scored AS (
+  SELECT probe.q_id, cells.c_id AS vec_id,
+         list_dot_product(cells.c_vec, probe.q_vec) /
+           (sqrt(list_dot_product(cells.c_vec, cells.c_vec)) *
+            sqrt(list_dot_product(probe.q_vec, probe.q_vec))) AS sim
+  FROM cells JOIN probe USING (cell)
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 # ---------------------------------------------------------------- text analysis

@@ -144,7 +144,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
     # rows-only (approximate / not SQL-expressible):
     ("uniques_over_time_hll", swa.uniques_over_time_hll, None),
-    ("ann_ivf", llm.ann_ivf, None),
+    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
     ("stratified_sample", llm.stratified_sample, None),
     ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, None),
     ("streaming_bounce_rate", speed.streaming_bounce_rate, None),

@@ -62,18 +62,66 @@ GROUP BY 1, 2
 
 
 def streaming_uniques_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream → 1h window HLL-sketch uniques (lgK=14).
-    Approximate → rows-only driver check; accuracy vs exact uniques
-    is asserted in tests."""
+    """File-stream → 1h window HLL-sketch uniques (lgK=14), made
+    oracle-checkable via a tolerance contract: the streamed
+    estimates are joined to the exact batch distinct counts and the
+    query emits ``(key, exact_uniques, within_5pct)`` with the flag
+    computed in-plan; the oracle restates the exact count and
+    asserts ``true``. The serving path is the streamed sketch alone
+    (`sl.uniques_over_time_stream`); this query is its accuracy
+    contract."""
     stream = sl.events_file_stream(spark, _events_src(sf_dir))
     agg = sl.uniques_over_time_stream(stream)
-    return sl.run_stream_to_table(agg, "complete")
+    est = sl.run_stream_to_table(agg, "complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        )
+        .agg(F.count_distinct("user_id").alias("exact_uniques"))
+    )
+    return est.join(exact, ["event_type", "hour_bucket"]).select(
+        "event_type",
+        "hour_bucket",
+        F.col("exact_uniques").cast("long").alias("exact_uniques"),
+        (
+            F.abs(F.col("unique_visitors") - F.col("exact_uniques"))
+            <= 0.05 * F.col("exact_uniques")
+        ).alias("within_5pct"),
+    )
 
 
-def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
+STREAMING_UNIQUES_HLL_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+       true AS within_5pct
+FROM events
+GROUP BY 1, 2
+"""
+
+
+#: domain name of the end-of-stream flush sentinels; never a real
+#: event_type, always filtered from results.
+FLUSH_DOMAIN = "__flush__"
+
+
+def _chunked_events_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3, flush: bool = False
+) -> str:
     """Stage events into ``n_chunks`` time-ordered parquet files so
     ``maxFilesPerTrigger=1`` yields deterministic micro-batches with
-    an advancing watermark (what makes session timeouts fire)."""
+    an advancing watermark (what makes session timeouts fire).
+
+    ``flush=True`` appends two single-row sentinel files (domain
+    ``__flush__``, ts = max+31 min and max+62 min). The second
+    sentinel batch runs with watermark = max+31 min — strictly past
+    every real visit's ``last+30 min`` timeout — so ALL real visits
+    are emitted before the stream ends, regardless of whether the
+    engine schedules a trailing no-data batch. That makes the
+    bounded run fully deterministic (and therefore
+    oracle-checkable)."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
         "ts",
@@ -83,22 +131,42 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> 
     )
     lo, hi = events.select(F.min("us"), F.max("us")).first()
     step = (hi - lo) // n_chunks + 1
+    suffix = "_flush" if flush else ""
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}"
+        tempfile.gettempdir(),
+        f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}{suffix}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
-    for i in range(n_chunks):
-        chunk = events.where(
-            (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
-        ).select("event_id", "ts", "user_id", "event_type")
+
+    def stage(df: DataFrame, i: int) -> None:
         tmp = os.path.join(out_dir, f"_tmp_{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"{i:02d}.parquet"))
         shutil.rmtree(tmp)
         # strictly increasing mtimes fix the file-stream batch order
-        os.utime(os.path.join(out_dir, f"{i:02d}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
+        os.utime(
+            os.path.join(out_dir, f"{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    for i in range(n_chunks):
+        stage(
+            events.where(
+                (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
+            ).select("event_id", "ts", "user_id", "event_type"),
+            i,
+        )
+    if flush:
+        for j, mins in enumerate((31, 62)):
+            sentinel = spark.range(1).select(
+                F.lit(-(j + 1)).cast("long").alias("event_id"),
+                us_to_ts(F.lit(hi + mins * 60_000_000)).cast("timestamp_ntz").alias("ts"),
+                F.lit(-(j + 1)).cast("long").alias("user_id"),
+                F.lit(FLUSH_DOMAIN).alias("event_type"),
+            )
+            stage(sentinel, n_chunks + j)
     return out_dir
 
 
@@ -106,16 +174,73 @@ def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful visit tracking with 30-min event-time timeout over
     deterministic micro-batches, then count+sum per domain.
 
-    ≙ `TridentSpeedLayer.AnalyzeVisits` + its aggregation. Only
-    visits whose timeout fired before end-of-stream are counted
-    (open visits stay in state, as in the reference) → rows-only
-    driver check; exact timeout semantics are unit-tested.
+    ≙ `TridentSpeedLayer.AnalyzeVisits` + its aggregation. The
+    staged source ends with two flush sentinels that push the
+    watermark past every open visit's timeout, so the bounded run
+    emits EVERY visit deterministically — which makes the stateful
+    operator exactly oracle-checkable: the SQL restates the chunked
+    micro-batch protocol (a key's visit state splits between
+    non-adjacent data chunks iff the intermediate batch's watermark
+    strictly passed last+30 min; visits never split while data keeps
+    arriving in adjacent batches). Exact timeout semantics are also
+    unit-tested in `tests/test_streaming.py`.
     """
-    src = _chunked_events_dir(spark, sf_dir)
+    src = _chunked_events_dir(spark, sf_dir, flush=True)
     stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
     visits = sl.visits_stream(stream)
     table = sl.run_stream_to_table(visits, "append")
-    return sl.bounce_counts(table)
+    return sl.bounce_counts(table.where(F.col("domain") != FLUSH_DOMAIN))
+
+
+# Restates the deterministic 3-chunk micro-batch protocol of
+# `_chunked_events_dir(flush=True)` + `sl.visits_stream`:
+# chunk(b) = (us - lo) // ((hi - lo) // 3 + 1); the watermark during
+# batch b is the max event time of chunks < b (delay 0); a key with
+# data in chunks {0, 2} splits into two visits iff the batch-1
+# watermark strictly exceeds its chunk-0 last + 30 min (Spark fires
+# an event-time timeout when timeoutTimestamp < watermark, both in
+# ms); any key with data in adjacent batches keeps one merged visit
+# (a group with new data never times out). Bounce ⇔ visit min ts ==
+# max ts, the reference's start==last check.
+STREAMING_BOUNCE_RATE_SQL = """
+WITH ev AS (
+  SELECT event_type AS domain, user_id, epoch_us(ts) AS us FROM events
+),
+bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+chunked AS (
+  SELECT domain, user_id, us,
+         CAST((us - lo) // ((hi - lo) // 3 + 1) AS INT) AS chunk
+  FROM ev CROSS JOIN bounds
+),
+chunk_stats AS (
+  SELECT domain, user_id, chunk,
+         min(us) AS cmin, max(us) AS cmax, count(*) AS cn
+  FROM chunked GROUP BY 1, 2, 3
+),
+wm1 AS (SELECT max(us) // 1000 AS wm_ms FROM chunked WHERE chunk = 0),
+keyflag AS (
+  SELECT cs.domain, cs.user_id,
+         (bool_or(cs.chunk = 0) AND bool_or(cs.chunk = 2)
+          AND NOT bool_or(cs.chunk = 1)
+          AND max(CASE WHEN cs.chunk = 0 THEN cs.cmax END) // 1000 + 1800000
+              < (SELECT wm_ms FROM wm1)) AS split
+  FROM chunk_stats cs
+  GROUP BY 1, 2
+),
+visits AS (
+  SELECT cs.domain, cs.user_id,
+         CASE WHEN kf.split THEN cs.chunk ELSE 0 END AS vid,
+         min(cs.cmin) AS vmin, max(cs.cmax) AS vmax
+  FROM chunk_stats cs
+  JOIN keyflag kf ON cs.domain = kf.domain AND cs.user_id = kf.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS num_visits,
+       CAST(sum(CASE WHEN vmin = vmax THEN 1 ELSE 0 END) AS BIGINT) AS num_bounces
+FROM visits
+GROUP BY 1
+"""
 
 
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +307,9 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 MERGE_CUTOFF_FRACTION = 0.8
 
 
-def lambda_merged_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lambda_merged_pageviews(
+    spark: SparkSession, sf_dir: str, cutoff_us: int | None = None
+) -> DataFrame:
     """THE Lambda-architecture query: serving = batch view ⊕ speed
     view. Events at/before a cutoff flow through the (recomputed)
     batch hourly rollup; events after it through the streaming
@@ -190,15 +317,25 @@ def lambda_merged_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input the merge must equal a batch rollup over ALL
     events — which is exactly what the oracle checks.
 
+    ``cutoff_us`` — the batch/realtime boundary — is an INPUT in
+    production: it comes from the batch-run ledger (the max event
+    time the last completed batch recomputation covered, what the
+    reference records when it ships a new ElephantDB domain), never
+    from scanning the data. The harness has no ledger, so when the
+    argument is None this bounded run derives a stand-in cutoff at
+    the 80% point of the event-time range (one min/max scan — a
+    harness-only driver action, not the production path).
+
     Ref: the book's serving-layer merge of ElephantDB batch domains
     with the Cassandra realtime view (`BatchWorkflow` +
     `TridentSpeedLayer` composed).
     """
     events = load_table(spark, sf_dir, "events")
-    lo, hi = events.select(
-        F.min(epoch_us("ts")), F.max(epoch_us("ts"))
-    ).first()
-    cutoff_us = lo + int((hi - lo) * MERGE_CUTOFF_FRACTION)
+    if cutoff_us is None:
+        lo, hi = events.select(
+            F.min(epoch_us("ts")), F.max(epoch_us("ts"))
+        ).first()
+        cutoff_us = lo + int((hi - lo) * MERGE_CUTOFF_FRACTION)
     cutoff = us_to_ts(F.lit(cutoff_us))
 
     batch_part = (

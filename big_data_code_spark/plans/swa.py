@@ -161,9 +161,48 @@ GROUP BY 1, 2, 3
 
 def uniques_over_time_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch uniques (approximate, mergeable — the reference's
-    actual serving representation). Rows-only driver check."""
+    actual serving representation), made oracle-checkable via a
+    tolerance contract: the plan joins the sketch estimate to the
+    exact count and emits ``(key, exact_uniques, within_5pct)``
+    where ``within_5pct`` is computed IN-PLAN. The DuckDB oracle
+    restates the exact count and asserts ``true`` — so an
+    out-of-tolerance sketch flips the flag and hash-mismatches.
+    The serving path is `operators.uniques.uniques_hll` alone (no
+    exact join); this query is its accuracy contract."""
     events = load_table(spark, sf_dir, "events")
-    return uniques_hll(events, key="event_type", ts="ts", user="user_id")
+    est = uniques_hll(events, key="event_type", ts="ts", user="user_id")
+    exact = uniques_exact(events, key="event_type", ts="ts", user="user_id")
+    return est.join(exact, ["event_type", "granularity", "bucket"]).select(
+        "event_type",
+        "granularity",
+        "bucket",
+        F.col("unique_visitors").cast("long").alias("exact_uniques"),
+        (
+            F.abs(F.col("unique_visitors_est") - F.col("unique_visitors"))
+            <= 0.05 * F.col("unique_visitors")
+        ).alias("within_5pct"),
+    )
+
+
+UNIQUES_HLL_SQL = """
+WITH fanned AS (
+  SELECT event_type, user_id,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT)
+           WHEN 'd' THEN CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24
+           WHEN 'w' THEN (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 7
+           ELSE (CAST(floor(epoch(ts) / 3600) AS BIGINT) // 24) // 28
+         END AS bucket
+  FROM events
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+)
+SELECT event_type, granularity, bucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+       true AS within_5pct
+FROM fanned
+GROUP BY 1, 2, 3
+"""
 
 
 def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

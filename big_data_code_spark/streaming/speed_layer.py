@@ -455,12 +455,18 @@ def upsert_to_keyvalue_sink(
             with open(ptr_tmp, "w") as f:
                 f.write(vname)
             os.replace(ptr_tmp, os.path.join(store_dir, "_CURRENT"))
-            # prune superseded versions (keep the live one)
-            for d in os.listdir(store_dir):
-                if d.startswith("v_") and d != vname:
-                    import shutil
+            # prune superseded versions, RETAINING the most recent
+            # prior one: a reader that resolved _CURRENT just before
+            # the flip may still be mid-scan on it (the ElephantDB
+            # pattern keeps the previous domain version live for
+            # in-flight queries); older versions go.
+            versions = sorted(
+                d for d in os.listdir(store_dir) if d.startswith("v_")
+            )
+            for d in versions[:-2]:
+                import shutil
 
-                    shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+                shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
         finally:
             new.unpersist()
 

@@ -22,12 +22,13 @@ def test_streaming_pageviews_matches_batch_oracle(spark):
 
 
 def test_streaming_uniques_hll_accuracy(spark):
-    """Sketch estimates within 5% of exact uniques per bucket (the
-    buckets are small here, so HLL(14) is essentially exact)."""
+    """The streamed-sketch tolerance contract: exact counts match a
+    batch distinct count and every bucket's estimate is
+    in-tolerance (the within_5pct flag the oracle asserts)."""
     from big_data_code_spark.plans.registry import QUERIES
 
-    est = {
-        (r["event_type"], r["hour_bucket"]): r["unique_visitors"]
+    got = {
+        (r["event_type"], r["hour_bucket"]): (r["exact_uniques"], r["within_5pct"])
         for r in QUERIES["streaming_uniques_hourly_hll"](spark, SF_SMOKE).collect()
     }
     from big_data_code_spark.sources.tables import load_table
@@ -43,9 +44,9 @@ def test_streaming_uniques_hll_accuracy(spark):
     exact = {
         (r["event_type"], r["hour_bucket"]): r["u"] for r in exact_df.collect()
     }
-    assert est.keys() == exact.keys()
+    assert got.keys() == exact.keys()
     for k, e in exact.items():
-        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+        assert got[k] == (e, True), (k, got[k], e)
 
 
 RAW_SCHEMA = StructType(
@@ -131,6 +132,16 @@ def test_streaming_bounce_rate_deterministic(spark):
     assert a == b and a
 
 
+def test_streaming_bounce_rate_matches_chunk_protocol_oracle(spark):
+    """The flush sentinels emit EVERY visit, so the stateful-timeout
+    run must equal the SQL restatement of the 3-chunk micro-batch
+    merge protocol (split iff the intermediate watermark strictly
+    passed last+30min)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_bounce_rate", SF_SMOKE)
+
+
 def test_lambda_merge_equals_full_batch(spark):
     """Batch view (≤ cutoff) ⊕ speed view (> cutoff) must equal the
     batch rollup over all events — the Lambda serving contract."""
@@ -190,6 +201,34 @@ def test_upsert_keyvalue_sink_accumulates_batches(spark, tmp_path):
     assert got[("d", hour0)] == 3          # 2 from batch 1 + 1 from batch 2
     assert got[("d", (T0 + 7200) // 3600)] == 1
     assert got[("e", hour0)] == 1
+
+
+def test_upsert_keyvalue_sink_retains_previous_version(spark, tmp_path):
+    """After N batches the store holds the live version AND the most
+    recent superseded one (in-flight readers of the just-replaced
+    version must not lose their files mid-scan); older versions are
+    pruned."""
+    from big_data_code_spark.streaming import speed_layer as sl
+
+    src = str(tmp_path / "retain_src")
+    store = str(tmp_path / "kv_store_retain")
+    os.makedirs(src)
+    for i in range(3):
+        _write_batch(
+            spark, os.path.join(src, f"{i:02d}.parquet"),
+            [(T0 + i * 60, i, "d")], 1_700_100_000 + i,
+        )
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    agg = sl.pageviews_over_time_stream(stream, watermark="10 seconds")
+    q = sl.upsert_to_keyvalue_sink(agg, store, ["event_type", "hour_bucket"])
+    q.awaitTermination()
+
+    versions = sorted(d for d in os.listdir(store) if d.startswith("v_"))
+    assert len(versions) == 2  # live + one retained predecessor
+    current = open(os.path.join(store, "_CURRENT")).read().strip()
+    assert current == versions[-1]
+    # the retained predecessor is still a readable parquet dir
+    assert spark.read.parquet(os.path.join(store, versions[0])).count() >= 1
 
 
 def test_streaming_sessions_matches_gap_islands_oracle(spark):

@@ -1,0 +1,39 @@
+"""Tracking for DataFrames persisted inside lazily-returned plans.
+
+Operators like `operators.dedup.minhash_lsh_pairs` persist an
+intermediate (the signature table) that several branches of the
+returned — still lazy — plan consume. The operator cannot unpersist
+it before the caller materializes the plan, so Spark's CacheManager
+would otherwise hold the blocks for the session lifetime. Harness
+loops that run many queries in one session (bench.py,
+tools/driver_check.py) call `release_persisted()` after
+materializing each query; long-lived services can do the same at
+their own batch boundaries. A plan re-run after release simply
+recomputes (and re-registers) its cache — correctness never depends
+on the cache being present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for later release."""
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked DataFrame; returns how many."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -12,11 +12,13 @@ Design for 100 TB of images/audio/video on Spark:
   maxRecordsPerBatch`` so executor memory holds (batch × asset)
   comfortably — the knob that matters when assets are MBs, not KBs.
 
-The actual image/audio codecs are NOT available in this
-environment, so `decode_image` is an explicit stub
-(NotImplementedError) and the tested path uses a deterministic
-byte-level featurizer — the Spark-side schema, partitioning, UDF
-signature, and batch shape are the real thing.
+Codecs: a real, pure-numpy BMP codec (24-bit uncompressed BI_RGB —
+a fully public format) is bundled, so `decode_image` genuinely
+decodes pixels for BMP payloads; compressed formats (png/jpeg/webm)
+still raise NotImplementedError because their codec libraries are
+not installed here — a production deployment plugs Pillow/libvips
+into the same entry point. The byte-level featurizer remains the
+format-agnostic path.
 """
 
 from __future__ import annotations
@@ -83,16 +85,157 @@ def synthetic_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "np.ndarray":
-    """Real codec entry point — not available in this environment.
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER, BI_RGB): bottom-up row order, BGR byte
+    order, rows padded to 4-byte boundaries — the standard layout
+    every BMP reader expects."""
+    import struct
 
-    A production deployment plugs Pillow/libvips here; everything
-    around it (Arrow batching, schema, partitioning) is unchanged.
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # RGB → BGR, bottom-up, per-row padding
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return header + info + rows.tobytes()
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    Real decode for 24-bit uncompressed BMP (pure numpy — public
+    format, no external codec needed). Compressed formats raise
+    NotImplementedError: their codecs (Pillow/libvips) are not
+    installed in this environment; a production deployment plugs
+    them into this same entry point and everything around it (Arrow
+    batching, schema, partitioning) is unchanged.
     """
+    import struct
+
+    if len(content) >= 2 and content[:2] == b"BM":
+        off = struct.unpack_from("<I", content, 10)[0]
+        size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+        if size < 40 or planes != 1 or bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BI_RGB BMP is supported "
+                f"(got bpp={bpp}, compression={comp})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        data = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=off)
+        rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use extract_features (deterministic byte featurizer) instead"
+        "compressed image codecs (png/jpeg/webm) are not installed in "
+        "this environment; BMP decodes natively, or use "
+        "extract_features (deterministic byte featurizer)"
     )
+
+
+def _formula_pixels(asset_id: int) -> "np.ndarray":
+    """Deterministic (h, w, 3) uint8 image for an asset id — integer
+    formulas only, so a SQL oracle can restate the expected pixels
+    without parsing BMP bytes. Widths 2-6 exercise every 4-byte
+    row-padding case."""
+    aid = int(asset_id)
+    w = aid % 5 + 2
+    h = aid % 4 + 2
+    y, x = np.mgrid[0:h, 0:w]
+    r = (aid + 7 * y + 13 * x) % 256
+    g = (3 * aid + 5 * y + x) % 256
+    b = (11 * y + 17 * x + aid // 3) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+BMP_ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synthetic_bmp_assets(docs: DataFrame) -> DataFrame:
+    """REAL encoded-image assets: each doc id becomes a valid 24-bit
+    BMP payload of formulaic pixels, built inside an Arrow-batched
+    ``mapInPandas`` (binary out) — the ingest half of a genuine
+    decode round-trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [_formula_pixels(a) for a in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": [encode_bmp(p) for p in px],
+                    "width": [p.shape[1] for p in px],
+                    "height": [p.shape[0] for p in px],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_ASSET_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("top_left_r", LongType()),
+        StructField("bottom_right_b", LongType()),
+    ]
+)
+
+
+def decode_stats(assets: DataFrame) -> DataFrame:
+    """Decode each binary payload with the REAL codec
+    (`decode_image`) and emit exact integer pixel statistics. The
+    corner probes are position-sensitive: a decoder that mishandled
+    BMP's bottom-up row order or row padding produces different
+    values, so an oracle hash-match verifies true pixel-level
+    decoding, not just byte plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                px = decode_image(content).astype(np.int64)
+                rows.append(
+                    (
+                        aid,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[0, 0, 0]),
+                        int(px[-1, -1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "top_left_r", "bottom_right_b",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
 def _byte_features(content: bytes) -> np.ndarray:

@@ -40,9 +40,23 @@ def scd2_apply(
     explicit sentinel. Keys present in ``updates`` but absent from
     ``current`` are inserted as brand-new open rows
     (valid_from = batch_ts).
+
+    Duplicate-key batches: the batch is reduced to ONE row per key
+    before the merge (field-wise lexicographic greatest of the
+    tracked struct — deterministic), preserving the SCD2
+    single-open-row invariant even when a feed replays the same key
+    twice in one batch. CDC feeds with a real ordering column
+    (sequence number, LSN) should pre-deduplicate on it instead —
+    "greatest attributes" is a tiebreak, not a time order.
     """
-    upd = updates.select(
-        F.col(key), *[F.col(c).alias(f"_new_{c}") for c in tracked]
+    upd = (
+        updates.select(
+            F.col(key),
+            F.struct(*[F.col(c).alias(f"_new_{c}") for c in tracked]).alias("_s"),
+        )
+        .groupBy(key)
+        .agg(F.max("_s").alias("_s"))
+        .select(key, "_s.*")
     )
     joined = current.join(F.broadcast(upd), key, "left")
     change = F.lit(False)

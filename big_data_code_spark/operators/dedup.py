@@ -247,12 +247,17 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from ..cacheutil import track_persisted
+
     # Three consumers (band explode + both sides of the est-similarity
     # join) would otherwise recompute the 16×md5-per-shingle signature
     # pass; persist it once. At cluster scale this is the "write the
-    # signature table" step of a production LSH pipeline.
-    sigs = minhash_signatures(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # signature table" step of a production LSH pipeline. Tracked so
+    # harness loops can `release_persisted()` after materializing.
+    sigs = track_persisted(
+        minhash_signatures(docs, id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     bands = sigs.select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
     if hot_bucket_threshold is not None:

@@ -213,8 +213,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(True))
     )
     # one signature pass over the whole corpus, split by side — the
-    # local stand-in for "read the master's stored signature table"
-    sigs = dedup.minhash_signatures(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    # local stand-in for "read the master's stored signature table".
+    # Tracked for `cacheutil.release_persisted()` in harness loops.
+    from ..cacheutil import track_persisted
+
+    sigs = track_persisted(
+        dedup.minhash_signatures(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     near_ids = (
         dedup.minhash_lsh_pairs_cross(
             batch,
@@ -892,10 +897,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset feature extraction via Arrow-batched
     ``mapInPandas`` (decode stubbed — see `functions/multimodal.py`).
 
-    Fully oracle-backed: the synthetic payload is the UTF-8 bytes of
-    the (all-ASCII) document text, so the 16-bin L1-normalized byte
-    histogram the numpy featurizer computes is restatable in SQL as
-    an ascii()//16 histogram; float32 rounding agrees because both
+    Fully oracle-backed and BYTE-accurate for any UTF-8 text: the
+    synthetic payload is the UTF-8 bytes of the document text, and
+    the oracle restates the 16-bin L1-normalized byte histogram over
+    the hex encoding of those bytes (a byte's histogram bin is its
+    high nibble — the first hex digit), so multi-byte characters
+    count as their constituent bytes exactly as the numpy
+    featurizer sees them. float32 rounding agrees because both
     engines divide in double and round once to float32. A hash-match
     therefore verifies the ENTIRE pandas-UDF path — Arrow transfer,
     numpy histogram, float32 cast — not just the plumbing."""
@@ -906,18 +914,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
 SELECT doc_id AS asset_id,
        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webm' END
          AS format,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) = 0
-            THEN list_transform(range(0, 16), b -> 0.0::REAL)
-            ELSE list_transform(range(0, 16), b ->
-                   CAST(len(list_filter(range(1, length(text) + 1),
-                            i -> ascii(substr(text, i, 1)) // 16 = b))
-                        / length(text) AS REAL))
+       CAST(nb AS BIGINT) AS n_bytes,
+       CASE WHEN nb = 0
+            THEN list_transform(range(0, 16), v -> 0.0::REAL)
+            ELSE list_transform(range(0, 16), v ->
+                   CAST(len(list_filter(range(1, nb + 1),
+                            i -> ('0x' || substr(hx, 2 * i - 1, 1))::INT = v))
+                        / nb AS REAL))
        END AS features
-FROM documents
+FROM b
 """
 
 
@@ -944,6 +957,50 @@ SELECT doc_id AS asset_id,
          AS format,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: formulaic pixels → 24-bit BMP
+    encode (`functions.multimodal.encode_bmp`, Arrow-batched
+    mapInPandas) → binary column → BMP decode
+    (`functions.multimodal.decode_image`, the real pure-numpy codec)
+    → exact integer pixel statistics. The corner probes
+    (top_left_r / bottom_right_b) are position-sensitive, so the
+    oracle — which restates the PIXEL FORMULA, never touching BMP
+    bytes — fails if the decoder mishandles bottom-up row order,
+    BGR channel order, or 4-byte row padding. This is the
+    decode-image slice of a multimodal ingest pipeline with the
+    codec actually running, not stubbed."""
+    from ..functions.multimodal import decode_stats, synthetic_bmp_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthetic_bmp_assets(docs).drop("width", "height"))
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, y, x,
+         (doc_id + 7 * y + 13 * x) % 256 AS r,
+         (3 * doc_id + 5 * y + x) % 256 AS gg,
+         (11 * y + 17 * x + doc_id // 3) % 256 AS b
+  FROM g, range(0, 6) t1(y), range(0, 6) t2(x)
+  WHERE y < h AND x < w
+)
+SELECT doc_id AS asset_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(gg) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN y = 0 AND x = 0 THEN r END) AS BIGINT) AS top_left_r,
+       CAST(max(CASE WHEN y = h - 1 AND x = w - 1 THEN b END) AS BIGINT)
+         AS bottom_right_b
+FROM px
+GROUP BY 1, 2, 3
 """
 
 
@@ -1238,10 +1295,16 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal → rows-only driver check; proportions are asserted in
     tests."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "th": 0.5, "und": 0.5}
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    frac = {lang: fractions.get(lang, 0.5) for lang in langs}
-    return docs.sampleBy("lang", frac, seed=42).select("doc_id", "lang")
+    # static fractions CONTRACT (no driver-side distinct-scan): any
+    # stratum not listed here is excluded from the sample, which is
+    # `sampleBy`'s native behavior for unlisted keys. The list covers
+    # every language the corpus generator emits (de/en/es/fr/zh)
+    # plus the lang-id fallback tags.
+    fractions = {
+        "en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5,
+        "th": 0.5, "und": 0.5,
+    }
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
 def dedup_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,11 +45,36 @@ PEDIGREE = StructType(
     ]
 )
 
+#: Location struct — ref `schema.thrift:13-17` (all fields optional)
+LOCATION = StructType(
+    [
+        StructField("city", StringType()),
+        StructField("state", StringType()),
+        StructField("country", StringType()),
+    ]
+)
+
+#: PersonPropertyValue union — ref `schema.thrift:24-28`: sparse-
+#: union struct (exactly one branch set, selected by the
+#: ``property_name`` tag). GenderType enum values are stored as
+#: their names ("MALE"/"FEMALE"), like the other enums here.
+PERSON_PROPERTY_VALUE = StructType(
+    [
+        StructField("full_name", StringType()),
+        StructField("gender", StringType()),
+        StructField("location", LOCATION),
+    ]
+)
+
 PERSON_PROPERTY = StructType(
     [
         StructField("id", PERSON_ID),
         StructField("property_name", StringType()),   # PersonPropertyValue tag
+        # flattened canonical string (the read path most batch views
+        # use: age/gender examples) + the TYPED union payload, so the
+        # Location struct keeps its city/state/country fields
         StructField("property_value", StringType()),
+        StructField("property", PERSON_PROPERTY_VALUE),
     ]
 )
 PAGE_PROPERTY = StructType(
@@ -145,6 +170,13 @@ def person_property_facts(
     """(user, property_name, value, as_of) rows → `Data`
     person-property facts (ref `schema.thrift` PersonProperty /
     PersonPropertyValue; the book's age/gender/location examples)."""
+    typed = F.struct(
+        F.when(F.col(name_col) == "full_name", F.col(value_col).cast("string"))
+        .alias("full_name"),
+        F.when(F.col(name_col) == "gender", F.col(value_col).cast("string"))
+        .alias("gender"),
+        F.lit(None).cast(LOCATION).alias("location"),
+    )
     return props.select(
         F.lit(UNIT_PERSON_PROPERTY).alias("unit"),
         pedigree(F.col(as_of_col), system="external_data").alias("pedigree"),
@@ -152,10 +184,78 @@ def person_property_facts(
             person_id(user_id=F.col(user_col)).alias("id"),
             F.col(name_col).alias("property_name"),
             F.col(value_col).cast("string").alias("property_value"),
+            typed.alias("property"),
         ).alias("person_property"),
         _null(PAGE_PROPERTY, "page_property"),
         _null(EQUIV_EDGE, "equiv"),
         _null(PAGE_VIEW_EDGE, "page_view"),
+    )
+
+
+def location_person_property_facts(
+    props: DataFrame,
+    user_col: str,
+    city_col: str,
+    state_col: str,
+    country_col: str,
+    as_of_col: str,
+) -> DataFrame:
+    """(user, city, state, country, as_of) rows → `Data`
+    person-property facts carrying the TYPED Location union branch
+    (ref `schema.thrift:13-17,24-28` — the book's location example).
+    The flattened ``property_value`` holds the canonical
+    ``city|state|country`` string so tag-agnostic views (compaction,
+    purge) keep working; typed readers use
+    `current_person_locations`."""
+    return props.select(
+        F.lit(UNIT_PERSON_PROPERTY).alias("unit"),
+        pedigree(F.col(as_of_col), system="external_data").alias("pedigree"),
+        F.struct(
+            person_id(user_id=F.col(user_col)).alias("id"),
+            F.lit("location").alias("property_name"),
+            F.concat_ws(
+                "|", F.col(city_col), F.col(state_col), F.col(country_col)
+            ).alias("property_value"),
+            F.struct(
+                F.lit(None).cast("string").alias("full_name"),
+                F.lit(None).cast("string").alias("gender"),
+                F.struct(
+                    F.col(city_col).cast("string").alias("city"),
+                    F.col(state_col).cast("string").alias("state"),
+                    F.col(country_col).cast("string").alias("country"),
+                ).alias("location"),
+            ).alias("property"),
+        ).alias("person_property"),
+        _null(PAGE_PROPERTY, "page_property"),
+        _null(EQUIV_EDGE, "equiv"),
+        _null(PAGE_VIEW_EDGE, "page_view"),
+    )
+
+
+def current_person_locations(facts: DataFrame) -> DataFrame:
+    """Typed read side of the Location branch: each person's CURRENT
+    location (max true-as-of fact), with city/state/country kept as
+    struct fields — no stringly-typed loss. Same one-shuffle
+    row_number plan as `current_person_properties`."""
+    from pyspark.sql.window import Window
+
+    locs = facts.where(
+        (F.col("unit") == UNIT_PERSON_PROPERTY)
+        & (F.col("person_property.property_name") == "location")
+    ).select(
+        F.col("person_property.id.user_id").alias("user_id"),
+        F.col("person_property.property.location.city").alias("city"),
+        F.col("person_property.property.location.state").alias("state"),
+        F.col("person_property.property.location.country").alias("country"),
+        F.col("pedigree.true_as_of_secs").alias("as_of_secs"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("as_of_secs").desc(), F.col("city").desc_nulls_last()
+    )
+    return (
+        locs.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "city", "state", "country", "as_of_secs")
     )
 
 

@@ -147,6 +147,30 @@ def test_scd2_inserts_brand_new_keys(spark):
     }
 
 
+def test_scd2_duplicate_key_batch_keeps_single_open_row(spark):
+    """A batch replaying the same key (new or existing) twice is
+    reduced to ONE row per key before the merge, preserving the
+    SCD2 single-open-row invariant (deterministic winner = greatest
+    tracked struct)."""
+    from big_data_code_spark.operators.cdc import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", 100, None, True)],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(3, "c1"), (3, "c2"), (1, "x"), (1, "z")], "k int, attr string"
+    )
+    out = scd2_apply(current, updates, "k", ["attr"], batch_ts=200)
+    open_rows = [
+        (r["k"], r["attr"]) for r in out.where(F.col("is_current")).collect()
+    ]
+    assert sorted(open_rows) == [(1, "z"), (3, "c2")]  # one open row per key
+    # key 1's old version is closed exactly once
+    closed = out.where(~F.col("is_current")).collect()
+    assert [(r["k"], r["attr"], r["valid_to"]) for r in closed] == [(1, "a", 200)]
+
+
 def test_approx_quantile_close_to_exact(spark):
     """approx_percentile within 2% of the exact interpolated value
     (the scale path for percentile queries)."""

@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, assert_matches_oracle
 
 
 def _unit_batch(spark, n0: int, n1: int):
@@ -147,11 +147,97 @@ def test_multimodal_frame_sampling(spark):
         assert r["n"] == expect, (r["asset_id"], r["n_frames"], r["n"])
 
 
-def test_decode_stub_raises(spark):
+def test_decode_compressed_formats_raise(spark):
+    """Compressed codecs are honestly absent (no Pillow here): the
+    entry point raises instead of faking a decode."""
     from big_data_code_spark.functions.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_bmp_codec_roundtrip():
+    """The real pure-numpy BMP codec: encode→decode is pixel-exact
+    across every 4-byte row-padding case (w=2..6), bottom-up row
+    order and BGR channel order included."""
+    import numpy as np
+
+    from big_data_code_spark.functions.multimodal import (
+        _formula_pixels,
+        decode_image,
+        encode_bmp,
+    )
+
+    for aid in (0, 1, 2, 3, 4, 17, 123, 1_000_003):
+        px = _formula_pixels(aid)
+        out = decode_image(encode_bmp(px))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px), aid
+    # top-down BMPs (negative height) decode too
+    px = _formula_pixels(7)
+    body = bytearray(encode_bmp(px))
+    h = px.shape[0]
+    import struct
+
+    struct.pack_into("<i", body, 14 + 8, -h)
+    flipped = decode_image(bytes(body))
+    assert np.array_equal(flipped, px[::-1])
+
+
+def test_multimodal_decode_matches_pixel_formula_oracle(spark):
+    """BMP encode → Arrow → BMP decode → pixel stats equals the SQL
+    restatement of the pixel formula (position-sensitive corner
+    probes catch row-order/padding bugs)."""
+    assert_matches_oracle(spark, "multimodal_decode", SF_SMOKE)
+
+
+def test_typed_location_payload_roundtrip(spark, tmp_path):
+    """The Location union branch (ref schema.thrift:13-17,24-28)
+    keeps its typed city/state/country fields through fact
+    construction → master-dataset parquet → read → current-value
+    derivation; tag-agnostic readers still see the flattened
+    canonical string."""
+    from big_data_code_spark import schema as sch
+    from big_data_code_spark.sources.master_dataset import MasterDataset
+
+    props = spark.createDataFrame(
+        [
+            (1, "SF", "CA", "US", 100),
+            (1, "NYC", "NY", "US", 200),   # later fact wins
+            (2, "Austin", "TX", "US", 150),
+        ],
+        "user long, city string, state string, country string, as_of long",
+    )
+    loc_facts = sch.location_person_property_facts(
+        props, "user", "city", "state", "country", "as_of"
+    )
+    age = spark.createDataFrame([(1, "age", "33", 120)], "user long, pname string, pval string, as_of long")
+    md = MasterDataset(str(tmp_path / "m"))
+    md.ingest(loc_facts.unionByName(
+        sch.person_property_facts(age, "user", "pname", "pval", "as_of")
+    ))
+    back = md.read(spark)
+
+    cur = {
+        r["user_id"]: (r["city"], r["state"], r["country"], r["as_of_secs"])
+        for r in sch.current_person_locations(back).collect()
+    }
+    assert cur == {1: ("NYC", "NY", "US", 200), 2: ("Austin", "TX", "US", 150)}
+
+    # flattened read path unchanged: location facts carry the
+    # canonical string; the age fact is still derivable next to them
+    flat = {
+        (r["user_id"], r["property_name"]): r["property_value"]
+        for r in sch.current_person_properties(back).collect()
+    }
+    assert flat[(1, "location")] == "NYC|NY|US"
+    assert flat[(1, "age")] == "33"
+    # union sparseness: exactly the location branch is set
+    row = back.where(
+        F.col("person_property.property_name") == "location"
+    ).select("person_property.property.*").first()
+    assert row["full_name"] is None and row["gender"] is None
+    assert row["location"]["city"] in {"SF", "NYC", "Austin"}
 
 
 def test_typed_facts_into_master_dataset(spark, tmp_path):

@@ -69,9 +69,12 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    from big_data_code_spark.cacheutil import release_persisted
+
     none_safe = lambda t: tuple((v is None, str(type(v)), str(v)) for v in t)  # noqa: E731
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        release_persisted()  # drop plan-internal caches between queries
         t0 = time.perf_counter()
         try:
             sdf = QUERIES[name](spark, SF_DIR)

@@ -2,28 +2,25 @@
 
 The driver consumes this via ``__spark_entry__.queries()`` /
 ``oracle_sql()``. Every SQL-expressible query has a DuckDB oracle;
-approximate / stateful ops register with ``None`` oracle (driver
-falls back to a rows-only check).
+the one genuinely RNG-dependent op (`stratified_sample`) registers
+with ``None`` (driver falls back to a rows-only check).
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
-rotated each round to maximize hard evidence — this round it leads
-with the 14 events-table queries that failed round 1 on the parquet
-timestamp type (now fixed in `sources/tables.py::load_table`), then
-the queries whose plan or oracle changed this round, then queries
-never yet driver-checked. Already-green and oracle-less entries sit
-after the prefix; nothing about a query's semantics depends on its
-position.
+rotated each round to maximize hard evidence. Round-3 rotation: the
+prefix now holds the 41 oracle-backed queries that have NEVER had a
+driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
+LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, and
+this round's five NEW oracles — ann_ivf, both HLL tolerance
+contracts, the flushed streaming bounce rate, and the real-codec
+multimodal_decode) plus nine round-1-green TPC-H entries to fill 50.
+The 50 entries green in `CORRECTNESS_r02.json` sit after the
+prefix; nothing about a query's semantics depends on its position.
 
-Round-3 rotation plan: promote the "deferred to the round-3
-prefix" block (new round-2 oracles: value_tier_lookup,
-text_normalize, sequence_packing, ann_lsh, multimodal_features,
-plus hourly_gap_fill / user_event_unpivot / dq_checks /
-value_histogram / deterministic_sample / token_counts /
-doc_repetition / embedding_stats / lang_id) into the checked
-prefix, demoting this round's now-green entries. Every
-oracle-backed query has ALSO been verified locally by
-tools/driver_check.py full sweeps at sf0.001, sf0.01 AND sf0.1.
+Every oracle-backed query has ALSO been verified locally by
+tools/driver_check.py full sweeps (plain stock session) at sf0.01;
+the events/documents/embeddings-backed queries additionally at
+sf0.001 and sf0.1.
 """
 
 from __future__ import annotations
@@ -38,8 +35,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- 1-14: events-table queries that errored in round 1 (parquet
-    #    timestamp read) — flagship first, all oracle-backed.
+    # -- 1-15: TPC-H full shape set — sweep-green in r2, never yet
+    #    driver-sampled.
+    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
+    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
+    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
+    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
+    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
+    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
+    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
+    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
+    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
+    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
+    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
+    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
+    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
+    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
+    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
+    # -- 16-21: LLM dedup / fingerprint / ANN block — never yet
+    #    driver-sampled.
+    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
+    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
+    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
+    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
+    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
+    # -- 22-36: the round-2 "deferred" block — never yet
+    #    driver-sampled.
+    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
+    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
+    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
+    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
+    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
+    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
+    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
+    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
+    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
+    # -- 37-41: NEW oracles this round (were rows-only or absent).
+    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
+    ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
+    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
+    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
+    ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
+    # -- 42-50: round-1-green TPC-H entries (not sampled in r2) to
+    #    fill the prefix.
+    ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
+    ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
+    ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
+    ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
+    ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
+    ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
+    ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
+    ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
+    ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
+    # -- 51+: green in CORRECTNESS_r02.json (driver-proved last
+    #    round), in their r2 order; rows-only entry last.
+    ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
     ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
     ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),
     ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
@@ -54,7 +111,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
-    # -- 15-21: new or changed this round.
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
     ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
@@ -62,7 +118,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("multimodal_metadata", llm.multimodal_metadata, llm.MULTIMODAL_METADATA_SQL),
     ("dedup_incremental", llm.dedup_incremental, llm.DEDUP_INCREMENTAL_SQL),
     ("training_corpus_final", llm.training_corpus_final, llm.TRAINING_CORPUS_FINAL_SQL),
-    # -- 22-50: oracle-backed queries never sampled by the driver yet.
     ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
     ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
     ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
@@ -92,62 +147,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
-    # -- 51+: driver-green in round 1 (rotate back into the prefix in
-    #    later rounds), then oracle-backed queries deferred to round 3,
-    #    then rows-only entries last.
-    ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
-    ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
-    ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
-    ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
-    ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
-    ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
-    ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
-    ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
-    ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
-    ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
-    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
-    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
-    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
-    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
-    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
-    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
-    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
-    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
-    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
-    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
-    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
-    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
-    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
-    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
-    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
-    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
-    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
-    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
-    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
-    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
-    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
-    # deferred to the round-3 prefix:
-    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
-    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
-    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
-    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
-    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
-    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
-    ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
-    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
-    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
-    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
-    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
-    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
-    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
-    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
-    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
-    # rows-only (approximate / not SQL-expressible):
-    ("uniques_over_time_hll", swa.uniques_over_time_hll, None),
-    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
+    # rows-only (engine-internal RNG streams, not SQL-expressible):
     ("stratified_sample", llm.stratified_sample, None),
-    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, None),
-    ("streaming_bounce_rate", speed.streaming_bounce_rate, None),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1,0 +1,138 @@
+"""Generate larger scale factors by key-offset tiling of sf0.1.
+
+The driver's testdata is read-only and its generator is not in the
+repo, so scaling evidence (sf0.1 → sf1) uses TILING: N shifted
+copies of every sf0.1 table with disjoint key ranges. Tile 0 is the
+original data unchanged; tiles 1..N-1 offset every entity key into
+its own range, so per-tile distributions — group sizes, join fan-in,
+selectivities — are EXACTLY the sf0.1 ones and global volume is N×.
+
+Two columns get per-tile transforms so similarity workloads scale
+linearly instead of quadratically (10 byte-identical copies of every
+document would put 10 copies in every LSH bucket → 100× candidate
+pairs, which benchmarks the tiling artifact, not the engine):
+
+- document text: a per-tile consonant substitution cipher (length-
+  and structure-preserving, so shingles differ across tiles but
+  text-stats shapes stay comparable);
+- embeddings: rotate the vector by `tile` positions (norm-
+  preserving; within-tile geometry identical to sf0.1).
+
+Master/batch semantics of doc_id (>= 1M = incremental batch) are
+preserved per tile.
+
+Usage::
+
+    python tools/gen_sf.py [N] [out_dir]   # default 10 /tmp/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+CONSONANTS = "bcdfghjklmnpqrstvwz"
+
+
+def cipher_pair(tile: int) -> tuple[str, str]:
+    """Per-tile rotation of the consonant alphabet (both cases)."""
+    rot = tile % len(CONSONANTS)
+    lo = CONSONANTS[rot:] + CONSONANTS[:rot]
+    return (
+        CONSONANTS + CONSONANTS.upper(),
+        lo + lo.upper(),
+    )
+
+
+def main() -> None:
+    n_tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(table: str, select_for_tile) -> None:
+        parts = " UNION ALL ".join(select_for_tile(i) for i in range(n_tiles))
+        con.execute(
+            f"COPY ({parts}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}/{table}.parquet'"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    src = lambda t: f"'{SRC}/{t}.parquet'"  # noqa: E731
+
+    # dimension tables: single copy (shared across tiles, like
+    # region/nation in TPC-H at any SF)
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM {src(t)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+
+    copy(
+        "customer",
+        lambda i: f"""SELECT c_custkey + {i} * 1000000 AS c_custkey, c_name,
+            c_nationkey, c_acctbal, c_mktsegment FROM {src('customer')}""",
+    )
+    copy(
+        "supplier",
+        lambda i: f"""SELECT s_suppkey + {i} * 100000 AS s_suppkey, s_name,
+            s_nationkey, s_acctbal FROM {src('supplier')}""",
+    )
+    copy(
+        "part",
+        lambda i: f"""SELECT p_partkey + {i} * 1000000 AS p_partkey, p_name,
+            p_brand, p_type, p_size, p_retailprice FROM {src('part')}""",
+    )
+    copy(
+        "orders",
+        lambda i: f"""SELECT o_orderkey + {i} * 10000000 AS o_orderkey,
+            o_custkey + {i} * 1000000 AS o_custkey, o_orderstatus,
+            o_totalprice, o_orderdate, o_orderpriority FROM {src('orders')}""",
+    )
+    copy(
+        "lineitem",
+        lambda i: f"""SELECT l_orderkey + {i} * 10000000 AS l_orderkey,
+            l_partkey + {i} * 1000000 AS l_partkey,
+            l_suppkey + {i} * 100000 AS l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+            l_shipdate FROM {src('lineitem')}""",
+    )
+    copy(
+        "events",
+        lambda i: f"""SELECT event_id + {i} * 10000000 AS event_id, ts,
+            user_id + {i} * 10000000 AS user_id, event_type, value, props
+            FROM {src('events')}""",
+    )
+
+    def doc_tile(i: int) -> str:
+        frm, to = cipher_pair(i)
+        # doc_id >= 1M marks the incremental batch — keep the flag
+        # per tile by offsetting inside each range
+        new_id = (
+            f"CASE WHEN doc_id >= 1000000 "
+            f"THEN 1000000 + {i} * 50000 + (doc_id - 1000000) "
+            f"ELSE {i} * 50000 + doc_id END"
+        )
+        return f"""SELECT {new_id} AS doc_id,
+            translate(text, '{frm}', '{to}') AS text, lang, source, n_chars
+            FROM {src('documents')}"""
+
+    copy("documents", doc_tile)
+
+    copy(
+        "embeddings",
+        lambda i: f"""SELECT vec_id + {i} * 100000 AS vec_id,
+            list_concat(embedding[{i % 64 + 1}:], embedding[:{i % 64}])
+              AS embedding,
+            label FROM {src('embeddings')}""",
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,9 @@ BENCH_QUERIES = (
     "sequence_packing",
     "ann_lsh",
     "mix_balance_uniform",
+    "bpe_pair_stats",
+    "vocab_coverage",
+    "corpus_shuffle",
 )
 
 

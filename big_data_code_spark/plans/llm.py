@@ -1708,3 +1708,198 @@ WITH ranked AS (
 )
 SELECT lang, rk, doc_id FROM ranked WHERE rk <= {SAMPLE_K_PER_GROUP}
 """
+
+
+# ------------------------------------------ tokenizer-training ops
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE tokenizer training: global
+    counts of adjacent character pairs, weighted by word frequency —
+    exactly what `learn_bpe` computes before its first merge
+    (Sennrich et al. 2016, the public subword-nmt algorithm).
+
+    100 TB shape: the raw corpus collapses to the word-count
+    dictionary in ONE map-side-combinable shuffle (the token domain
+    is tiny relative to the corpus); pair explosion and the second
+    aggregation then run on the dictionary, not the corpus — the
+    same two-level trick as the minhash signature build. Top-K via
+    a single-partition window over the (small) pair domain.
+
+    Returns (rank, pair, n_occurrences), rank 1..50, ties broken on
+    pair asc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.where(F.length("tok") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "n_occurrences")
+    )
+
+
+BPE_PAIR_STATS_SQL = f"""
+WITH words AS (
+  SELECT tok, count(*) AS wc
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+pairs AS (
+  SELECT substr(tok, CAST(i AS INT), 2) AS pair, wc
+  FROM (SELECT tok, wc, unnest(range(1, length(tok))) AS i
+        FROM words WHERE length(tok) >= 2)
+),
+agg AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+           AS rank,
+         pair, n_occurrences
+  FROM agg
+)
+SELECT rank, pair, n_occurrences FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+
+VOCAB_TOP_K = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: the fraction of a
+    doc's tokens found in the global top-K vocabulary (by corpus
+    frequency, ties → token asc). The go/no-go check before
+    committing a tokenizer to a corpus — low-coverage docs become
+    UNK soup in training.
+
+    Plan: corpus → word counts (one map-side-combinable shuffle on
+    the small token domain) → top-K window on the dictionary →
+    broadcast the vocab to flag each doc's tokens → one agg per doc.
+    The fact-table-sized data is touched by exactly one explode +
+    one aggregation; ranking happens on the dictionary. Returns
+    (doc_id, n_tokens, n_in_vocab, coverage).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    wv = Window.orderBy(F.desc("wc"), F.col("tok"))
+    vocab = (
+        counts.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") <= VOCAB_TOP_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok")
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), 1).otherwise(0)).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
+            F.when(F.col("n_tokens") > 0, F.col("n_in_vocab") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS wc
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY wc DESC, tok) AS vr FROM counts
+  ) WHERE vr <= {VOCAB_TOP_K}
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_in_vocab, 0) AS n_in_vocab,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN p.n_in_vocab / p.n_tokens ELSE 0.0 END AS coverage
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+CORPUS_SHUFFLE_SHARDS = 16
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle: every doc gets a
+    reproducible pseudo-random shard + within-shard position
+    (md5-keyed), the step that breaks source/temporal locality
+    before sequence packing. Unlike `orderBy(rand())` this is
+    byte-identical across engines, partitionings, and reruns — the
+    freeze property training runs need.
+
+    100 TB shape: shard assignment is per-row (no shuffle); the only
+    shuffle is the per-shard window, and shards bound each window
+    partition to |corpus|/16 — no global single-partition sort.
+    Returns (doc_id, shard, pos).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(k, 1, 7), 16, 10).cast("long") % CORPUS_SHUFFLE_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", k.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuffle:' || doc_id::VARCHAR) AS k,
+         CAST(('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 7))::BIGINT
+              % {CORPUS_SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT)
+         AS pos
+FROM keyed
+"""

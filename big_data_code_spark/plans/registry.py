@@ -8,12 +8,13 @@ with ``None`` (driver falls back to a rows-only check).
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round to maximize hard evidence. Round-3 rotation: the
-prefix now holds the 41 oracle-backed queries that have NEVER had a
+prefix now holds the 44 oracle-backed queries that have NEVER had a
 driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
-LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, and
-this round's five NEW oracles — ann_ivf, both HLL tolerance
-contracts, the flushed streaming bounce rate, and the real-codec
-multimodal_decode) plus nine round-1-green TPC-H entries to fill 50.
+LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, this
+round's five NEW oracles — ann_ivf, both HLL tolerance contracts,
+the flushed streaming bounce rate, the real-codec multimodal_decode
+— and three NEW operators: bpe_pair_stats, vocab_coverage,
+corpus_shuffle) plus six round-1-green TPC-H entries to fill 50.
 The 50 entries green in `CORRECTNESS_r02.json` sit after the
 prefix; nothing about a query's semantics depends on its position.
 
@@ -83,7 +84,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
     ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
     ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
-    # -- 42-50: round-1-green TPC-H entries (not sampled in r2) to
+    # -- 42-44: NEW operators this round (tokenizer-training /
+    #    corpus-freeze ops).
+    ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
+    ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
+    ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
+    # -- 45-50: round-1-green TPC-H entries (not sampled in r2) to
     #    fill the prefix.
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
@@ -91,11 +97,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
     ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
     ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
+    # -- 51+: round-1-green displaced by the new ops, then entries
+    #    green in CORRECTNESS_r02.json (driver-proved last round) in
+    #    their r2 order; rows-only entry last.
     ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
     ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
     ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
-    # -- 51+: green in CORRECTNESS_r02.json (driver-proved last
-    #    round), in their r2 order; rows-only entry last.
     ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
     ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
     ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),

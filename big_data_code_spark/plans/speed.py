@@ -122,6 +122,20 @@ def _chunked_events_dir(
     engine schedules a trailing no-data batch. That makes the
     bounded run fully deterministic (and therefore
     oracle-checkable)."""
+    suffix = "_flush" if flush else ""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}{suffix}",
+    )
+    # staging is deterministic in (source file, n_chunks, flush) —
+    # reuse an existing staging keyed by the source's fingerprint
+    # instead of re-running the chunk-write jobs every invocation
+    src_stat = os.stat(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(out_dir, "_STAGED")
+    fingerprint = f"{src_stat.st_mtime}:{src_stat.st_size}:{n_chunks}:{flush}"
+    if os.path.isfile(marker) and open(marker).read() == fingerprint:
+        return out_dir
+
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
         "ts",
@@ -131,11 +145,6 @@ def _chunked_events_dir(
     )
     lo, hi = events.select(F.min("us"), F.max("us")).first()
     step = (hi - lo) // n_chunks + 1
-    suffix = "_flush" if flush else ""
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}{suffix}",
-    )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
 
@@ -167,6 +176,8 @@ def _chunked_events_dir(
                 F.lit(FLUSH_DOMAIN).alias("event_type"),
             )
             stage(sentinel, n_chunks + j)
+    with open(marker, "w") as f:
+        f.write(fingerprint)
     return out_dir
 
 

@@ -112,6 +112,8 @@ BENCH_QUERIES = (
     "bpe_pair_stats",
     "vocab_coverage",
     "corpus_shuffle",
+    "unigram_logprob",
+    "embedding_quantize",
 )
 
 

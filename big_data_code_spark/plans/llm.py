@@ -1903,3 +1903,142 @@ SELECT doc_id, shard,
          AS pos
 FROM keyed
 """
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style document quality score from a corpus unigram
+    LM (the CCNet-style signal, with the LM trained on the corpus
+    itself): mean over doc tokens of ln((c_t + 1) / (N + V)) with
+    add-one smoothing, where c_t = corpus count of the token, N =
+    corpus token count, V = vocabulary size.
+
+    100 TB shape: the corpus collapses to (doc, token) counts and a
+    (token) count dictionary in two map-side-combinable shuffles;
+    the model (c_t) joins back by token. N and V are one-row scalar
+    aggregates (broadcast — the allowlisted scalar-subquery shape).
+
+    Float determinism: ln is bit-identical across Spark/DuckDB/libm
+    on identical doubles (verified), but double SUMS are
+    order-dependent, so the per-doc sum folds a token-SORTED array
+    sequentially (`array_sort(collect_list(...))` + `aggregate`),
+    which the oracle mirrors with `list_sum(list(... ORDER BY
+    tok))` — same order, same bits. The mean is one divide at the
+    end. Returns (doc_id, n_tokens, logprob_sum, mean_logprob).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    dt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scalars = ct.agg(
+        F.sum("c").alias("tot_n"), F.count(F.lit(1)).alias("vocab_v")
+    )
+    term = F.col("n") * F.log(
+        (F.col("c") + 1.0) / (F.col("tot_n") + F.col("vocab_v"))
+    )
+    folded = (
+        dt.join(F.broadcast(ct), "tok")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "n", F.struct(F.col("tok"), term.alias("t")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("logprob_sum"),
+        )
+    )
+    # docs with zero tokens drop out of the explode — restore them
+    # with the empty-product convention (sum 0, mean 0)
+    return (
+        docs.select("doc_id")
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logprob_sum", F.lit(0.0)).alias("logprob_sum"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("logprob_sum") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+),
+dt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+ct AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+scal AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM ct),
+folded AS (
+  SELECT dt.doc_id,
+         CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+         list_sum(list(dt.n * ln((ct.c + 1.0) / (scal.N + scal.V))
+                       ORDER BY dt.tok)) AS logprob_sum
+  FROM dt JOIN ct ON dt.tok = ct.tok CROSS JOIN scal
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       coalesce(f.n_tokens, 0) AS n_tokens,
+       coalesce(f.logprob_sum, 0.0) AS logprob_sum,
+       CASE WHEN coalesce(f.n_tokens, 0) > 0
+            THEN f.logprob_sum / f.n_tokens ELSE 0.0 END AS mean_logprob
+FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving step of a vector pipeline (FAISS SQ8 shape):
+    scale = amax/127 per vector, q_i = round(x_i * 127 / amax)
+    clamped to [-127, 127]; zero vectors quantize to zeros with
+    scale 0.
+
+    Entirely per-row JVM expressions (shuffle-free). Cross-engine
+    float parity: amax is an order-free max of |x|, each quantized
+    value is a single mul/div/round chain on identical doubles, and
+    both engines round ties away from zero for doubles. Returns
+    (vec_id, scale, q).
+    """
+    emb = _embeddings(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    q = F.transform(
+        dv,
+        lambda x: F.when(amax == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x * 127.0 / amax).cast("int")),
+            )
+        )
+        .cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.when(amax == 0.0, F.lit(0.0)).otherwise(amax / 127.0).alias("scale"),
+        q.alias("q"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+m AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) AS amax
+  FROM v
+)
+SELECT vec_id,
+       CASE WHEN amax = 0.0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+       list_transform(vec, x ->
+         CASE WHEN amax = 0.0 THEN 0
+              ELSE greatest(-127, least(127,
+                     CAST(round(x * 127.0 / amax) AS INT)))
+         END) AS q
+FROM m
+"""

@@ -13,8 +13,9 @@ driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
 LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, this
 round's five NEW oracles — ann_ivf, both HLL tolerance contracts,
 the flushed streaming bounce rate, the real-codec multimodal_decode
-— and three NEW operators: bpe_pair_stats, vocab_coverage,
-corpus_shuffle) plus six round-1-green TPC-H entries to fill 50.
+— and five NEW operators: bpe_pair_stats, vocab_coverage,
+corpus_shuffle, unigram_logprob, embedding_quantize) plus four
+round-1-green TPC-H entries to fill 50.
 The 50 entries green in `CORRECTNESS_r02.json` sit after the
 prefix; nothing about a query's semantics depends on its position.
 
@@ -89,17 +90,19 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
     ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
     ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
-    # -- 45-50: round-1-green TPC-H entries (not sampled in r2) to
+    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
+    ("embedding_quantize", llm.embedding_quantize, llm.EMBEDDING_QUANTIZE_SQL),
+    # -- 47-50: round-1-green TPC-H entries (not sampled in r2) to
     #    fill the prefix.
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
     ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
     ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
-    ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
-    ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
     # -- 51+: round-1-green displaced by the new ops, then entries
     #    green in CORRECTNESS_r02.json (driver-proved last round) in
     #    their r2 order; rows-only entry last.
+    ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
+    ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
     ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
     ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
     ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),

@@ -199,7 +199,9 @@ def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _chunked_events_dir(spark, sf_dir, flush=True)
     stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
     visits = sl.visits_stream(stream)
-    table = sl.run_stream_to_table(visits, "append")
+    table = sl.run_stream_to_table(
+        visits, "append", shuffle_partitions=sl.PANDAS_STATE_SHUFFLE_PARTITIONS
+    )
     return sl.bounce_counts(table.where(F.col("domain") != FLUSH_DOMAIN))
 
 

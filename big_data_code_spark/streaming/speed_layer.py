@@ -271,15 +271,28 @@ def bounce_counts(visits: DataFrame) -> DataFrame:
 #: (it is frozen into the checkpoint).
 STREAM_SHUFFLE_PARTITIONS = 8
 
+#: ...EXCEPT for `applyInPandasWithState` streams, which pay a
+#: Python call per state key per micro-batch: there the bottleneck
+#: is Python-side, so MORE partitions = more parallel Python
+#: workers (measured at sf0.1: 15.2s @ 8 → 10.0s @ 32 for the
+#: visit tracker). Partition count never changes results — state is
+#: per-key and the watermark/batch protocol is partition-agnostic.
+PANDAS_STATE_SHUFFLE_PARTITIONS = 32
 
-def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Drive a stream with Trigger.AvailableNow into an in-memory
     sink and return the resulting table (test/local harness; in
     production this is a writeStream to the serving store)."""
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or STREAM_SHUFFLE_PARTITIONS),
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")

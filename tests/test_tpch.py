@@ -123,6 +123,8 @@ BNLJ_ALLOWED = {
     "value_tier_lookup",         # bounded interval-dim broadcast — the
                                  # intended plan for range lookups
     "mix_balance_uniform",       # single-row min-count scalar broadcast
+    "unigram_logprob",           # single-row (N, V) scalar broadcast —
+                                 # the LM's normalizing constants
 }
 
 

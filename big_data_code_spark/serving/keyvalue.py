@@ -15,10 +15,14 @@ Point lookups read ONE shard directory (partition pruning at the
 scan), which is the serving-layer property the sharding scheme
 exists for.
 
-Values stay typed columns rather than opaque byte blobs — the
+Values default to typed columns rather than opaque byte blobs — the
 8-byte-long encoding in the reference is a BerkeleyDB storage
-detail, not a semantic; ``to_serialized_long`` is provided for
-byte-parity anyway.
+detail, not a semantic — but the byte-exact wire format IS
+available: ``export_key_value(serialize_longs=True)`` writes each
+row's value columns as ONE concatenated big-endian 8-byte-per-long
+blob (≙ `ToSerializedLong` / `ToSerializedLongPair`,
+`BatchWorkflow.java:322-334,401-414`), and ``from_serialized_longs``
+decodes it back; byte parity with `struct.pack(">q")` is tested.
 """
 
 from __future__ import annotations
@@ -37,6 +41,27 @@ def url_bucketed_key(url: Column, granularity: Column, bucket: Column) -> Column
 def to_serialized_long(value: Column) -> Column:
     """Big-endian 8-byte value (≙ `ToSerializedLong`)."""
     return F.unhex(F.lpad(F.hex(value.cast("long")), 16, "0"))
+
+
+def to_serialized_longs(*values: Column) -> Column:
+    """Concatenated big-endian 8-byte encoding of several longs in
+    one blob — `ToSerializedLongPair` (the bounce view's
+    (visits, bounces) value) generalized to any arity."""
+    return F.concat(*[to_serialized_long(v) for v in values])
+
+
+def from_serialized_longs(blob: Column, n: int) -> list[Column]:
+    """Decode ``n`` big-endian longs back out of a value blob (the
+    read side a serving client implements). Two's-complement safe:
+    each long is parsed as two unsigned 32-bit halves (both fit in
+    a signed long), and ``hi << 32 | lo`` wraps negatives back
+    through Java long arithmetic."""
+    out = []
+    for i in range(n):
+        hi = F.conv(F.hex(F.substring(blob, i * 8 + 1, 4)), 16, 10).cast("long")
+        lo = F.conv(F.hex(F.substring(blob, i * 8 + 5, 4)), 16, 10).cast("long")
+        out.append(F.shiftleft(hi, 32).bitwiseOR(lo))
+    return out
 
 
 def hash_mod_shard(key: Column, n_shards: int) -> Column:
@@ -68,16 +93,26 @@ def export_key_value(
     key: Column,
     value_cols: list[str],
     shard: Column,
+    serialize_longs: bool = False,
 ) -> None:
     """Write a batch view as a sharded key/value domain.
 
     ``repartition(shard)`` makes each output partition exactly one
     shard's data (one writer per shard — no tiny-file spray), and
     ``partitionBy`` makes the shard a directory readers can prune.
+
+    ``serialize_longs=True`` writes the reference's byte-exact wire
+    format instead of typed columns: value = concatenated big-endian
+    8-byte longs (`ToSerializedLong(Pair)`); decode with
+    `from_serialized_longs`.
     """
-    out = view.select(
-        key.alias("key"), *[F.col(c) for c in value_cols], shard.alias("shard")
-    )
+    if serialize_longs:
+        value_exprs: list[Column] = [
+            to_serialized_longs(*[F.col(c) for c in value_cols]).alias("value")
+        ]
+    else:
+        value_exprs = [F.col(c) for c in value_cols]
+    out = view.select(key.alias("key"), *value_exprs, shard.alias("shard"))
     (
         out.repartition(F.col("shard"))
         .write.mode("overwrite")

@@ -114,6 +114,54 @@ def test_serialized_long_bytes(spark):
     assert row["b"] == (1234567890123).to_bytes(8, "big")
 
 
+def test_serialized_long_pair_wire_format_and_decode(spark):
+    """Byte parity with the reference's ToSerializedLongPair
+    (struct.pack('>q') per long, concatenated) + lossless decode,
+    negative longs included (two's complement)."""
+    import struct
+
+    from big_data_code_spark.serving import keyvalue as kv
+
+    cases = [(0, 0), (7, 3), (2**62, 1), (-1, -1234567890123), (-(2**63), 2**63 - 1)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = df.select(
+        "a", "b",
+        kv.to_serialized_longs(F.col("a"), F.col("b")).alias("blob"),
+    )
+    decoded = rows.select(
+        "a", "b", "blob",
+        *[c.alias(f"d{i}") for i, c in enumerate(kv.from_serialized_longs(F.col("blob"), 2))],
+    )
+    for r in decoded.collect():
+        assert r["blob"] == struct.pack(">qq", r["a"], r["b"])
+        assert (r["d0"], r["d1"]) == (r["a"], r["b"])
+
+
+def test_serialized_export_roundtrip(spark, tmp_path):
+    """serialize_longs=True writes the reference's byte wire format;
+    reading the shard back and decoding recovers the typed view."""
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.serving import keyvalue as kv
+
+    view = QUERIES["bounce_rate"](spark, SF_SMOKE)
+    path = str(tmp_path / "edb_bounces")
+    kv.export_key_value(
+        view, path, F.col("event_type"), ["num_visits", "num_bounces"],
+        kv.url_only_shard(F.col("event_type"), 8), serialize_longs=True,
+    )
+    back = spark.read.parquet(path)
+    v, b = kv.from_serialized_longs(F.col("value"), 2)
+    got = {
+        r["key"]: (r["nv"], r["nb"])
+        for r in back.select("key", v.alias("nv"), b.alias("nb")).collect()
+    }
+    want = {
+        r["event_type"]: (r["num_visits"], r["num_bounces"])
+        for r in view.collect()
+    }
+    assert got == want
+
+
 def test_multimodal_features_shape_and_determinism(spark):
     from big_data_code_spark.plans.registry import QUERIES
 

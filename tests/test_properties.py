@@ -442,3 +442,73 @@ def test_morton_interleave_bijective(spark, pairs):
         return z
 
     assert got == {(a, b): py_morton(a, b) for a, b in got}
+
+
+# ------------------------------------------------ BMP codec
+
+bmp_strategy = st.tuples(
+    st.integers(1, 9),   # width — covers every stride-padding case
+    st.integers(1, 7),   # height
+    st.integers(0, 2**31 - 1),  # pixel seed
+)
+
+
+@settings(**SETTINGS)
+@given(params=bmp_strategy)
+def test_bmp_codec_roundtrip_random_images(params):
+    """encode_bmp → decode_image is pixel-exact for arbitrary sizes
+    (pure-Python property — no Spark job per example)."""
+    import numpy as np
+
+    from big_data_code_spark.functions.multimodal import decode_image, encode_bmp
+
+    w, h, seed = params
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_bmp(px))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+# ------------------------------------------------ int8 quantization
+
+quant_strategy = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**SETTINGS)
+@given(vec=quant_strategy)
+def test_embedding_quantize_error_bound(spark, vec):
+    """Dequantized values are within scale/2 of the input (the SQ8
+    guarantee), and zero vectors quantize to zeros with scale 0."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from big_data_code_spark.plans import llm
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", LongType()),
+    ])
+    df = spark.createDataFrame([(0, [float(x) for x in vec], 0)], schema)
+
+    import big_data_code_spark.plans.llm as m
+
+    orig = m._embeddings
+    m._embeddings = lambda s, d: df
+    try:
+        row = llm.embedding_quantize(spark, "ignored").first()
+    finally:
+        m._embeddings = orig
+    scale, q = row["scale"], row["q"]
+    fvec = [float(__import__("numpy").float32(x)) for x in vec]
+    amax = max(abs(x) for x in fvec)
+    if amax == 0.0:
+        assert scale == 0.0 and all(v == 0 for v in q)
+        return
+    assert all(-127 <= v <= 127 for v in q)
+    for x, v in zip(fvec, q):
+        assert abs(v * scale - x) <= scale / 2 + 1e-9 * amax, (x, v, scale)

@@ -1289,21 +1289,69 @@ FROM documents
 """
 
 
+#: static per-stratum fractions CONTRACT (no driver-side
+#: distinct-scan): any stratum not listed is excluded from the
+#: sample (``sampleBy``'s native behavior for unlisted keys).
+#: Covers every language the corpus generator emits plus the
+#: lang-id fallback tags. Expressed in thousandths so the hash
+#: threshold is integer-exact cross-engine.
+STRAT_FRACTIONS_MILLI = {
+    "en": 500, "de": 400, "fr": 300, "es": 200, "zh": 600,
+    "th": 500, "und": 500,
+}
+#: hash-domain salt so this op's keep/drop stream is independent of
+#: `hash_split`'s (same md5-of-id trick, different prefix).
+_STRAT_SALT = "strat-"
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified sample (seeded `sampleBy`) — the data
-    mixing step of a corpus pipeline. RNG streams are engine-
-    internal → rows-only driver check; proportions are asserted in
-    tests."""
+    """Per-language stratified sample — the data-mixing step of a
+    corpus pipeline — via a content-stable hash threshold instead of
+    an engine-internal RNG: doc kept iff
+    ``md5('strat-' || doc_id) % 1000 < fraction[lang]*1000``.
+
+    Same marginal behavior as seeded ``sampleBy`` (independent
+    per-stratum Bernoulli, unlisted strata excluded) but
+    value-exact across engines/runs/cluster layouts — the property
+    a reproducible training-data freeze needs — and therefore fully
+    DuckDB-oracle-checkable. Shuffle-free: one map-side hash +
+    broadcast-literal map lookup per row. (The seeded ``sampleBy``
+    variant is still exercised in tests as the RNG-native
+    alternative.)
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # static fractions CONTRACT (no driver-side distinct-scan): any
-    # stratum not listed here is excluded from the sample, which is
-    # `sampleBy`'s native behavior for unlisted keys. The list covers
-    # every language the corpus generator emits (de/en/es/fr/zh)
-    # plus the lang-id fallback tags.
-    fractions = {
-        "en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5,
-        "th": 0.5, "und": 0.5,
-    }
+    frac = F.create_map(
+        *[F.lit(x) for kv in STRAT_FRACTIONS_MILLI.items() for x in kv]
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string"))), 1, 6),
+        16, 10,
+    ).cast("long") % 1000
+    return (
+        docs.select("doc_id", "lang", F.element_at(frac, F.col("lang")).alias("_thr"))
+        .where(bucket < F.col("_thr"))
+        .select("doc_id", "lang")
+    )
+
+
+_STRAT_THR_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRAT_FRACTIONS_MILLI.items()
+) + " ELSE -1 END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5('{_STRAT_SALT}' || doc_id::VARCHAR), 1, 6)) AS BIGINT)
+        % 1000 < {_STRAT_THR_SQL}
+"""
+
+
+def stratified_sample_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded engine-RNG variant (`sampleBy`) of `stratified_sample`
+    — kept as the native-API path; proportions (not identities) are
+    asserted in tests since RNG streams differ across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {k: v / 1000 for k, v in STRAT_FRACTIONS_MILLI.items()}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 

@@ -1,9 +1,10 @@
 """Central registry: query name → (spark callable, oracle SQL).
 
 The driver consumes this via ``__spark_entry__.queries()`` /
-``oracle_sql()``. Every SQL-expressible query has a DuckDB oracle;
-the one genuinely RNG-dependent op (`stratified_sample`) registers
-with ``None`` (driver falls back to a rows-only check).
+``oracle_sql()``. Every registered query has a DuckDB oracle (r3:
+`stratified_sample` was the last rows-only entry; it now uses a
+hash-threshold plan with a full oracle, and the seeded-RNG
+`sampleBy` variant lives on in tests as `stratified_sample_rng`).
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
@@ -157,8 +158,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
-    # rows-only (engine-internal RNG streams, not SQL-expressible):
-    ("stratified_sample", llm.stratified_sample, None),
+    # r3: converted from seeded-sampleBy rows-only to a
+    # hash-threshold plan with a full oracle (the sampleBy variant
+    # stays test-covered as `stratified_sample_rng`).
+    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -268,18 +268,27 @@ def test_hash_split_stable_under_corpus_growth(spark):
 
 
 def test_stratified_sample_proportions(spark):
+    """Both stratified-sample paths hit their per-language target
+    fractions; the hash-threshold path is additionally run-stable
+    (identical doc_id sets across invocations)."""
+    from big_data_code_spark.plans import llm
     from big_data_code_spark.plans.registry import QUERIES
     from big_data_code_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_CORRECT, "documents")
     totals = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
-    sampled = QUERIES["stratified_sample"](spark, SF_CORRECT)
-    got = {r["lang"]: r["c"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
-    for lang, total in totals.items():
-        if total < 30:
-            continue  # too small for a proportion assertion
-        frac = got.get(lang, 0) / total
-        assert 0.3 < frac < 0.7, (lang, frac)
+    for fn in (QUERIES["stratified_sample"], llm.stratified_sample_rng):
+        sampled = fn(spark, SF_CORRECT)
+        got = {r["lang"]: r["c"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        for lang, total in totals.items():
+            if total < 30:
+                continue  # too small for a proportion assertion
+            target = llm.STRAT_FRACTIONS_MILLI.get(lang, 0) / 1000
+            frac = got.get(lang, 0) / total
+            assert abs(frac - target) < 0.2, (fn.__name__, lang, frac, target)
+    a = {r["doc_id"] for r in QUERIES["stratified_sample"](spark, SF_CORRECT).collect()}
+    b = {r["doc_id"] for r in QUERIES["stratified_sample"](spark, SF_CORRECT).collect()}
+    assert a == b and a
 
 
 def test_lang_id_is_shuffle_free(spark):

@@ -114,6 +114,10 @@ BENCH_QUERIES = (
     "corpus_shuffle",
     "unigram_logprob",
     "embedding_quantize",
+    "stratified_sample",
+    "simhash_dup_pairs",
+    "chunk_dedup",
+    "doc_chunking",
 )
 
 

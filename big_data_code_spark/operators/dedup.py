@@ -435,3 +435,80 @@ def _simhash_pipeline(docs, id_col, text_col, hashed_of, bit_test) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    fps: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "fingerprint",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All UNordered id pairs whose 64-bit fingerprints are within
+    ``max_hamming`` bits — EXACTLY, via the pigeonhole band trick:
+    split each fingerprint into ``n_bands`` equal bit-bands; any
+    pair differing in ≤ ``n_bands - 1`` bits must agree on at least
+    one complete band, so a (band_idx, band_value) equi-join
+    generates a candidate superset and the Hamming filter keeps the
+    true pairs. Requires ``max_hamming < n_bands`` for the
+    exactness guarantee (asserted).
+
+    100 TB shape: the candidate join is a hash equi-join on
+    (band, value) — candidates scale with docs-per-bucket, never
+    all-pairs; the same hot-bucket salting hook as the MinHash LSH
+    join applies if a band value degenerates. One ``n_bands``-fold
+    fan-out shuffle + one distinct.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    assert 64 % n_bands == 0 and max_hamming < n_bands
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # both sides of the band self-join consume the fingerprints —
+    # persist so the (expensive: explode + 64 partial aggs) SimHash
+    # build runs once, exactly like the MinHash signature table.
+    fps = track_persisted(
+        fps.select(id_col, fp_col).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", "b.band", "b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("fp_a"), F.col("fp_b")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

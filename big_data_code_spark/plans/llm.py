@@ -293,7 +293,14 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "fingerprint")
 
 
-def _simhash_sql() -> str:
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_fp_cte() -> str:
+    """WITH-clause prefix computing `fpall(doc_id, fingerprint)` —
+    the md5-family SimHash of every corpus doc — shared by the
+    fingerprint oracle and the hamming-pairs oracle."""
     bit_sums = ",\n         ".join(
         f"SUM(CASE WHEN (('0x' || substr(h, {i // 4 + 1}, 1))::INT & {1 << (i % 4)}) != 0"
         f" THEN 1 ELSE -1 END) AS b{i}"
@@ -316,13 +323,211 @@ sums AS (
          {bit_sums}
   FROM ex GROUP BY doc_id
 ),
-fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS fingerprint FROM sums)
-SELECT c.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
-FROM corpus c LEFT JOIN fp ON c.doc_id = fp.doc_id
+fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS fingerprint FROM sums),
+fpall AS (
+  SELECT c.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+  FROM corpus c LEFT JOIN fp ON c.doc_id = fp.doc_id
+)
 """
 
 
-SIMHASH_FINGERPRINT_SQL = _simhash_sql()
+SIMHASH_FINGERPRINT_SQL = _simhash_fp_cte() + "SELECT doc_id, fingerprint FROM fpall"
+
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR GENERATION (r3) — the step the
+    fingerprint feeds: every unordered corpus pair within Hamming
+    distance ≤ 3, found EXACTLY by the 4-band pigeonhole join
+    (≤3 differing bits ⇒ at least one untouched 16-bit band), not
+    by an all-pairs scan. `operators/dedup.simhash_band_pairs`;
+    candidates are a (band, value) hash equi-join — the SimHash
+    analog of the MinHash LSH bucket join, and the standard
+    Charikar/Manku-Jain-Sarma web-dedup shape at crawl scale.
+    Exact-copy docs land at hamming 0; the oracle restates the band
+    join + popcount(xor) in SQL (DuckDB HUGEINT unsigned-shift
+    emulation)."""
+    fps = dedup.simhash_md5(_corpus(spark, sf_dir))
+    pairs = dedup.simhash_band_pairs(
+        fps, id_col="id", n_bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"), "hamming"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    # unsigned view of the signed fingerprint, then per-band
+    # div/mod — ≡ Spark's shiftrightunsigned & 0xFFFF
+    unsigned = (
+        "((CAST(fingerprint AS HUGEINT) + 18446744073709551616) % 18446744073709551616)"
+    )
+    band_val = " ".join(
+        f"WHEN {i} THEN CAST({unsigned} // {1 << (16 * i)} % 65536 AS BIGINT)"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+{_simhash_fp_cte()},
+banded AS (
+  SELECT doc_id, fingerprint, i AS band,
+         CASE i {band_val} END AS val
+  FROM fpall, unnest([0, 1, 2, 3]) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.fingerprint AS fa, b.fingerprint AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SIMHASH_DUP_PAIRS_SQL = _simhash_pairs_sql()
+
+
+# ------------------------------------------ sub-document dedup / chunking
+
+CHUNK_DEDUP_TOKENS = 16
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (r3) — the corpus-wide
+    line/paragraph dedup of the CCNet pipeline (Wenzek et al. 2020)
+    and the exact-substring pass of Lee et al. 2022, restated over
+    fixed 16-token chunks (this corpus has no newline/sentence
+    structure, so the chunk boundary is deterministic tokenization
+    instead of '\\n'). Every chunk occurrence after the first —
+    globally, ordered by (doc_id, chunk_idx) — is dropped, and each
+    doc is reassembled from its surviving chunks.
+
+    100 TB shape: explode → ONE shuffle on md5(chunk) (fixed-width
+    key; first-occurrence via row_number) → ONE shuffle back on
+    doc_id to reassemble. Never doc×doc; hash-partitioned both ways.
+
+    Returns (doc_id, n_chunks, n_kept, kept_text); exact-copy docs
+    collapse to n_kept = 0 / kept_text NULL.
+    """
+    c = CHUNK_DEDUP_TOKENS
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    chunks = toks.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, int(ceil(size(toks) / {c}.0))),"
+                f" i -> array_join(slice(toks, (i-1)*{c}+1, {c}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    flagged = chunks.select(
+        "doc_id", "idx", "chunk", (F.row_number().over(w) == 1).alias("keep")
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("idx", "chunk")))
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("_txt"),
+    )
+    return agg.select(
+        "doc_id", "n_chunks", "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("_txt")).alias("kept_text"),
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         array_to_string(
+           tokens[(i-1)*{CHUNK_DEDUP_TOKENS}+1 : i*{CHUNK_DEDUP_TOKENS}], ' ') AS chunk
+  FROM (SELECT doc_id, tokens,
+               unnest(range(1, CAST(ceil(len(tokens)/{CHUNK_DEDUP_TOKENS}.0) AS BIGINT) + 1)) AS i
+        FROM tok WHERE len(tokens) > 0)
+),
+flag AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       string_agg(chunk, ' ' ORDER BY idx) FILTER (keep) AS kept_text
+FROM flag GROUP BY doc_id
+"""
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (r3) — split each document
+    into 32-token windows with stride 24 (8-token overlap), the
+    preprocessing step every embedding/RAG indexing pipeline and
+    fixed-context pretraining tokenizer runs before featurization.
+    Start positions are 0, S, 2S, …: one window when n ≤ W, else
+    ceil((n−W)/S)+1 windows so the tail is always covered.
+
+    Shuffle-free: per-row `transform(sequence(...))` + posexplode —
+    pure map-side fan-out, which is what lets it run as a streaming
+    stage at ingest on a 100 TB corpus.
+
+    Returns (doc_id, chunk_id, chunk_tokens, chunk_text).
+    """
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    base = toks.where(F.size("toks") > 0).select(
+        "doc_id", "toks",
+        F.when(F.size("toks") <= w, F.lit(1).cast("long"))
+        .otherwise(F.ceil((F.size("toks") - w) / F.lit(s)) + 1)
+        .alias("ns"),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ns) - 1), s -> named_struct("
+                f"'chunk_tokens', size(slice(toks, s*{s}+1, {w})),"
+                f" 'chunk_text', array_join(slice(toks, s*{s}+1, {w}), ' ')))"
+            )
+        ).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+base AS (SELECT doc_id, tokens, len(tokens) AS n FROM tok WHERE len(tokens) > 0),
+st AS (
+  SELECT doc_id, tokens,
+         unnest(range(0, CASE WHEN n <= {CHUNK_WINDOW} THEN 1
+                              ELSE CAST(ceil((n - {CHUNK_WINDOW})/{CHUNK_STRIDE}.0) AS BIGINT) + 1
+                         END)) AS s
+  FROM base)
+SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+       CAST(len(tokens[s*{CHUNK_STRIDE}+1 : s*{CHUNK_STRIDE}+{CHUNK_WINDOW}]) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(tokens[s*{CHUNK_STRIDE}+1 : s*{CHUNK_STRIDE}+{CHUNK_WINDOW}], ' ')
+         AS chunk_text
+FROM st
+"""
+
+
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

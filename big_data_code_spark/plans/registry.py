@@ -93,15 +93,19 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
     ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
     ("embedding_quantize", llm.embedding_quantize, llm.EMBEDDING_QUANTIZE_SQL),
-    # -- 47-50: round-1-green TPC-H entries (not sampled in r2) to
-    #    fill the prefix.
+    # -- 47-50: NEW r3 operators (never driver-checked) displace the
+    #    round-1-green TPC-H fillers from the prefix.
+    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
+    ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
+    ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
+    ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
+    # -- 51+: round-1-green entries displaced by the new ops, then
+    #    entries green in CORRECTNESS_r02.json (driver-proved last
+    #    round) in their r2 order.
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
     ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
     ("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL),
-    # -- 51+: round-1-green displaced by the new ops, then entries
-    #    green in CORRECTNESS_r02.json (driver-proved last round) in
-    #    their r2 order; rows-only entry last.
     ("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL),
     ("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL),
     ("q17_small_quantity_revenue", tpch.q17_small_quantity_revenue, tpch.Q17_SQL),
@@ -158,10 +162,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
-    # r3: converted from seeded-sampleBy rows-only to a
-    # hash-threshold plan with a full oracle (the sampleBy variant
-    # stays test-covered as `stratified_sample_rng`).
-    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

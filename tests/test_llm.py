@@ -454,3 +454,114 @@ def test_sequence_packing_invariants(spark):
             assert r["seq_id"] == off // SEQ_PACK_LEN
             off += r["n_tokens"]
     assert any(r["is_split"] for r in rows), "corpus must produce split docs"
+
+
+# ------------------------------------------ r3: sub-doc dedup / chunking / simhash pairs
+
+
+NEW_R3_ORACLE_QUERIES = (
+    "stratified_sample",
+    "simhash_dup_pairs",
+    "chunk_dedup",
+    "doc_chunking",
+)
+
+
+@pytest.mark.parametrize("name", NEW_R3_ORACLE_QUERIES)
+def test_r3_oracle_smoke(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+def test_simhash_band_pairs_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness: the 4-band bucket join must recover
+    EXACTLY the hamming ≤ 3 pair set a brute-force all-pairs scan
+    finds (on a small fingerprint set where brute force is
+    feasible)."""
+    from itertools import combinations
+
+    from big_data_code_spark.operators.dedup import simhash_band_pairs
+
+    # fingerprints engineered around band boundaries: exact copies,
+    # 1-3 bit flips in one band, 3 flips spread over 3 bands, >3.
+    fps = [
+        (1, 0x0123456789ABCDEF),
+        (2, 0x0123456789ABCDEF),              # hamming 0
+        (3, 0x0123456789ABCDEE),              # 1 bit, band 0
+        (4, 0x0123456789ABCDE8),              # 3 bits changed vs 5? depends
+        (5, 0x1123456689ABCDEE),              # spread across 3 bands
+        (6, 0x7FFFFFFFFFFFFFFF),              # far from everything
+        (7, -0x8000000000000000),             # sign bit handling
+        (8, -0x7FFFFFFFFFFFFFFF),             # near 7
+    ]
+    df = spark.createDataFrame(fps, "id long, fingerprint long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(df, n_bands=4, max_hamming=3).collect()
+    }
+    want = {}
+    for (ia, fa), (ib, fb) in combinations(fps, 2):
+        h = bin((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if h <= 3:
+            want[(ia, ib)] = h
+    assert got == want and want, want
+
+
+def test_chunk_dedup_invariants(spark):
+    """Exact-copy docs lose every chunk; global kept-chunk count ==
+    distinct chunk count; originals are untouched unless they share
+    a chunk with an earlier doc."""
+    from big_data_code_spark.plans.llm import EXACT_DUP_MOD
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["chunk_dedup"](spark, SF_SMOKE).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    exact_copies = [r for r in rows if 1_000_000 <= r["doc_id"] < 2_000_000]
+    assert exact_copies, "corpus must contain exact copies"
+    for r in exact_copies:
+        orig = by_id[r["doc_id"] - 1_000_000]
+        assert r["n_kept"] == 0 and r["kept_text"] is None, r
+        assert orig.n_kept > 0  # the first occurrence wins
+        assert r["n_chunks"] == orig["n_chunks"]
+    assert all(r["n_kept"] <= r["n_chunks"] for r in rows)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Window starts at 0, stride S; union of [s, s+W) must cover
+    [0, n); consecutive windows overlap by W - S except at the
+    tail."""
+    from big_data_code_spark.functions.text import tokenize
+    from big_data_code_spark.plans.llm import CHUNK_STRIDE, CHUNK_WINDOW
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("n")).collect()
+    }
+    chunks = QUERIES["doc_chunking"](spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, n in n_tokens.items() if n > 0}
+    multi = 0
+    for doc_id, rs in by_doc.items():
+        n = n_tokens[doc_id]
+        rs.sort(key=lambda r: r["chunk_id"])
+        covered = 0
+        for i, r in enumerate(rs):
+            start = i * CHUNK_STRIDE
+            expect_len = min(CHUNK_WINDOW, n - start)
+            assert r["chunk_id"] == i
+            assert r["chunk_tokens"] == expect_len, (doc_id, i, n)
+            covered = start + r["chunk_tokens"]
+        assert covered == n, (doc_id, covered, n)
+        multi += len(rs) > 1
+    assert multi > 0, "corpus must contain multi-chunk docs"
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    from big_data_code_spark.plans.registry import QUERIES
+
+    plan = physical_plan(QUERIES["doc_chunking"](spark, SF_SMOKE))
+    assert "Exchange" not in plan

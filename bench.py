@@ -118,6 +118,7 @@ BENCH_QUERIES = (
     "simhash_dup_pairs",
     "chunk_dedup",
     "doc_chunking",
+    "perplexity_filter",
 )
 
 

@@ -14,9 +14,10 @@ driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
 LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, this
 round's five NEW oracles — ann_ivf, both HLL tolerance contracts,
 the flushed streaming bounce rate, the real-codec multimodal_decode
-— and five NEW operators: bpe_pair_stats, vocab_coverage,
-corpus_shuffle, unigram_logprob, embedding_quantize) plus four
-round-1-green TPC-H entries to fill 50.
+— and nine NEW operators: bpe_pair_stats, vocab_coverage,
+corpus_shuffle, unigram_logprob, embedding_quantize,
+stratified_sample (hash-threshold form), simhash_dup_pairs,
+chunk_dedup, doc_chunking) filling all 50 slots.
 The 50 entries green in `CORRECTNESS_r02.json` sit after the
 prefix; nothing about a query's semantics depends on its position.
 
@@ -99,6 +100,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
+    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
     # -- 51+: round-1-green entries displaced by the new ops, then
     #    entries green in CORRECTNESS_r02.json (driver-proved last
     #    round) in their r2 order.

@@ -565,3 +565,25 @@ def test_doc_chunking_is_shuffle_free(spark):
 
     plan = physical_plan(QUERIES["doc_chunking"](spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+def test_perplexity_filter_drops_bottom_decile_per_lang(spark):
+    from math import floor
+
+    from big_data_code_spark.plans.llm import PPLX_DROP_FRACTION
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["perplexity_filter"](spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        dropped = [r for r in rs if not r["keep"]]
+        assert len(dropped) == floor(len(rs) * PPLX_DROP_FRACTION), lang
+        if dropped:
+            worst_kept = min(
+                (r["mean_logprob"], r["doc_id"]) for r in rs if r["keep"]
+            )
+            assert all(
+                (r["mean_logprob"], r["doc_id"]) < worst_kept for r in dropped
+            ), lang

@@ -119,6 +119,7 @@ BENCH_QUERIES = (
     "chunk_dedup",
     "doc_chunking",
     "perplexity_filter",
+    "token_budget_mix",
 )
 
 

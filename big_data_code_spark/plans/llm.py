@@ -1551,6 +1551,78 @@ WHERE CAST(('0x' || substr(md5('{_STRAT_SALT}' || doc_id::VARCHAR), 1, 6)) AS BI
 """
 
 
+#: per-language token budgets for `token_budget_mix` (static
+#: contract like STRAT_FRACTIONS_MILLI; unlisted langs get budget 0
+#: and are excluded). Sized to bite at sf0.01+ (each language holds
+#: roughly 4k corpus tokens there).
+TOKEN_BUDGETS = {
+    "en": 2000, "de": 1500, "fr": 1500, "es": 1000, "zh": 1000,
+    "th": 800, "und": 800,
+}
+_MIX_SALT = "mix-"
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (r3) — training mixes are
+    specified in TOKENS per language, not document counts: fill
+    each language's budget greedily in salted-md5 (uniform,
+    reproducible) order and keep a doc iff the running token total
+    through it stays within budget.
+
+    One window shuffle per language partition (cumulative sum in
+    md5 order) — the same partitioned-window shape as
+    `sequence_packing`; at 100 TB the budget is enforced per
+    (language, shard) with proportional sub-budgets so no single
+    partition needs the language's global order.
+
+    Returns (doc_id, lang, n_tokens, cum_tokens, keep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    budget = F.element_at(
+        F.create_map(*[F.lit(x) for kv in TOKEN_BUDGETS.items() for x in kv]),
+        F.col("lang"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id", "lang", "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= F.coalesce(budget, F.lit(0))).alias("keep"),
+    )
+
+
+_MIX_BUDGET_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in TOKEN_BUDGETS.items()
+) + " ELSE 0 END"
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_MIX_SALT}' || doc_id::VARCHAR), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       cum_tokens <= {_MIX_BUDGET_SQL} AS keep
+FROM c
+"""
+
+
 def stratified_sample_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded engine-RNG variant (`sampleBy`) of `stratified_sample`
     — kept as the native-API path; proportions (not identities) are
@@ -1623,6 +1695,44 @@ SELECT c.doc_id,
        CAST(coalesce(m.component, c.doc_id) AS BIGINT) AS canonical_id,
        coalesce(m.component, c.doc_id) = c.doc_id AS is_kept
 FROM corpus c LEFT JOIN mapping m ON c.doc_id = m.doc_id
+"""
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (r3) — the dedup REPORT a
+    pipeline publishes alongside the keep verdicts: how many
+    clusters of each size exist and how many docs they absorb
+    (singletons = unique docs; the tail of big clusters is what
+    near-dup mining is for).
+
+    Derivative of `dedup_corpus_final` (LSH → CC → canonical): two
+    more map-side-combinable aggregations on top — cost is the
+    dedup itself. Returns (cluster_size, n_clusters, n_docs).
+    """
+    base = dedup_corpus_final(spark, sf_dir)
+    cs = base.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        cs.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+DEDUP_CLUSTER_STATS_SQL = f"""
+WITH base AS ({DEDUP_CORPUS_FINAL_SQL}),
+cs AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM base GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY 1
 """
 
 

@@ -14,10 +14,12 @@ driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
 LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, this
 round's five NEW oracles — ann_ivf, both HLL tolerance contracts,
 the flushed streaming bounce rate, the real-codec multimodal_decode
-— and nine NEW operators: bpe_pair_stats, vocab_coverage,
+— and NEW operators: bpe_pair_stats, vocab_coverage,
 corpus_shuffle, unigram_logprob, embedding_quantize,
 stratified_sample (hash-threshold form), simhash_dup_pairs,
-chunk_dedup, doc_chunking) filling all 50 slots.
+chunk_dedup, doc_chunking) filling all 50 slots;
+perplexity_filter (also new, position 51) waits for the r4
+rotation since never-checked entries now outnumber the sample.
 The 50 entries green in `CORRECTNESS_r02.json` sit after the
 prefix; nothing about a query's semantics depends on its position.
 
@@ -101,6 +103,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
     ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
+    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
+    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
     # -- 51+: round-1-green entries displaced by the new ops, then
     #    entries green in CORRECTNESS_r02.json (driver-proved last
     #    round) in their r2 order.

@@ -587,3 +587,46 @@ def test_perplexity_filter_drops_bottom_decile_per_lang(spark):
             assert all(
                 (r["mean_logprob"], r["doc_id"]) < worst_kept for r in dropped
             ), lang
+
+
+def test_token_budget_mix_greedy_fill(spark):
+    """Kept docs are exactly the md5-order prefix whose running
+    token total stays within the language budget; unlisted langs
+    keep nothing."""
+    from big_data_code_spark.plans.llm import TOKEN_BUDGETS
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["token_budget_mix"](spark, SF_CORRECT).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    biting = 0
+    for lang, rs in by_lang.items():
+        budget = TOKEN_BUDGETS.get(lang, 0)
+        rs.sort(key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+            assert r["keep"] == (run <= budget)
+        kept_tokens = max(
+            (r["cum_tokens"] for r in rs if r["keep"]), default=0
+        )
+        assert kept_tokens <= budget
+        biting += any(not r["keep"] for r in rs)
+    assert biting > 0, "budgets must bite at sf0.01"
+
+
+def test_dedup_cluster_stats_consistency(spark):
+    """Histogram totals must reconcile with the underlying keep
+    verdicts: sum(n_clusters) = #kept docs, sum(n_docs) = corpus
+    size, and the seeded exact copies guarantee clusters of size
+    at least 2."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    hist = QUERIES["dedup_cluster_stats"](spark, SF_SMOKE).collect()
+    base = QUERIES["dedup_corpus_final"](spark, SF_SMOKE).collect()
+    assert sum(r["n_clusters"] for r in hist) == sum(1 for b in base if b["is_kept"])
+    assert sum(r["n_docs"] for r in hist) == len(base)
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in hist)
+    assert any(r["cluster_size"] >= 2 for r in hist)

@@ -125,6 +125,8 @@ BNLJ_ALLOWED = {
     "mix_balance_uniform",       # single-row min-count scalar broadcast
     "unigram_logprob",           # single-row (N, V) scalar broadcast —
                                  # the LM's normalizing constants
+    "perplexity_filter",         # inherits unigram_logprob's (N, V)
+                                 # scalar broadcast
 }
 
 

@@ -512,3 +512,97 @@ def test_embedding_quantize_error_bound(spark, vec):
     assert all(-127 <= v <= 127 for v in q)
     for x, v in zip(fvec, q):
         assert abs(v * scale - x) <= scale / 2 + 1e-9 * amax, (x, v, scale)
+
+
+# ------------------------------------------------ simhash band pairs
+
+fps_strategy = st.lists(
+    st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=24, unique=True
+)
+
+
+@given(fps=fps_strategy, flips=st.lists(st.integers(0, 63), max_size=3))
+@settings(**SETTINGS)
+def test_simhash_band_pairs_matches_bruteforce(spark, fps, flips):
+    """Random 64-bit fingerprints (plus one engineered near-copy of
+    the first: ≤3 random bit flips, so close pairs always exist):
+    the 4-band bucket join returns EXACTLY the hamming ≤ 3 pairs a
+    brute-force scan finds."""
+    from itertools import combinations
+
+    from big_data_code_spark.operators.dedup import simhash_band_pairs
+
+    near = fps[0]
+    for b in flips:
+        near ^= 1 << b
+    near = near - 2**64 if near >= 2**63 else near
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    if near not in fps:
+        rows.append((len(fps), near))
+    df = spark.createDataFrame(rows, "id long, fingerprint long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(df, n_bands=4, max_hamming=3).collect()
+    }
+    want = {}
+    for (ia, fa), (ib, fb) in combinations(rows, 2):
+        h = bin((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if h <= 3:
+            want[(ia, ib)] = h
+    assert got == want
+
+
+# ------------------------------------------------ chunk dedup
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=70).map(
+        lambda chars: " ".join(chars)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_chunk_dedup_matches_python_model(spark, texts):
+    """Random tiny-vocab corpora (lots of chunk collisions): Spark's
+    global first-occurrence chunk dedup equals a sequential Python
+    hash-set model over docs in doc_id order."""
+    from big_data_code_spark.operators import dedup as _unused  # noqa: F401
+    from big_data_code_spark.plans.llm import CHUNK_DEDUP_TOKENS, chunk_dedup
+
+    c = CHUNK_DEDUP_TOKENS
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    # python model
+    seen: set[str] = set()
+    want = {}
+    for i, t in rows:
+        toks = t.split()
+        chunks = [" ".join(toks[j * c : (j + 1) * c]) for j in range((len(toks) + c - 1) // c)]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        want[i] = (
+            len(chunks),
+            len(kept),
+            " ".join(kept) if kept else None,
+        )
+
+    # spark path on the same frame (bypass the sf_dir corpus loader)
+    import big_data_code_spark.plans.llm as llm_mod
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = llm_mod._corpus
+    llm_mod._corpus = lambda _s, _d: df
+    try:
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+            for r in chunk_dedup(spark, "ignored").collect()
+        }
+    finally:
+        llm_mod._corpus = orig
+    assert got == want

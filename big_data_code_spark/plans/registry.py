@@ -168,6 +168,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
+    # r3: streaming foreachBatch ingest dedup — per-verdict
+    # independence makes the batch incremental-dedup SQL an exact
+    # oracle for the streamed run.
+    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -460,3 +460,26 @@ def test_stream_stream_join_state_is_watermark_bounded(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert removed >= 40, f"expected the hour-0 burst evicted, removed={removed}"
+
+
+def test_streaming_ingest_dedup_equals_batch_incremental(spark):
+    """The foreachBatch streamed ingest (3 micro-batches) must equal
+    the batch-at-once incremental dedup row-for-row, and the staging
+    must really be multi-file (so foreachBatch runs per micro-batch,
+    not once)."""
+    import os
+
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.plans.speed import _chunked_docs_dir
+
+    src = _chunked_docs_dir(spark, SF_SMOKE)
+    chunk_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(chunk_files) == 3
+
+    streamed = sorted(
+        tuple(r) for r in QUERIES["streaming_ingest_dedup"](spark, SF_SMOKE).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch and streamed

@@ -120,6 +120,7 @@ BENCH_QUERIES = (
     "doc_chunking",
     "perplexity_filter",
     "token_budget_mix",
+    "streaming_ingest_dedup",
 )
 
 

@@ -429,6 +429,11 @@ GROUP BY 1, 2
 
 # ------------------------------------------ streaming ingest dedup
 
+#: sink dirs of prior streaming_ingest_dedup runs, pruned on the
+#: next invocation (keep-last-1, ElephantDB-style retention).
+_INGEST_SINKS: list[str] = []
+
+
 def _chunked_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
     """Stage the incoming-batch side of the dedup corpus (the
     seeded copies, doc_id ≥ 1M) into ``n_chunks`` parquet files
@@ -492,6 +497,25 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
     from .llm import MINHASH_LSH_THRESHOLD, _corpus
 
+    # the sink is ephemeral staging: drop sinks from PREVIOUS
+    # invocations (their returned DataFrames have been consumed by
+    # then — harness loops materialize before re-invoking), so bench
+    # reps / driver sweeps don't accumulate /tmp dirs. Stale sinks
+    # from DEAD processes are pruned by age (1 h leaves any live
+    # concurrent run untouched).
+    while len(_INGEST_SINKS) > 1:
+        shutil.rmtree(_INGEST_SINKS.pop(0), ignore_errors=True)
+    import time as _time
+
+    for d in os.listdir(tempfile.gettempdir()):
+        p = os.path.join(tempfile.gettempdir(), d)
+        if (
+            d.startswith("ingest_dedup_")
+            and p not in _INGEST_SINKS
+            and _time.time() - os.path.getmtime(p) > 3600
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
     src = _chunked_docs_dir(spark, sf_dir)
     master = _corpus(spark, sf_dir).where(F.col("doc_id") < 1_000_000)
     master_hashes = master.select(F.md5("text").alias("h")).distinct()
@@ -501,6 +525,7 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.minhash_signatures(master).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sink = os.path.join(tempfile.gettempdir(), f"ingest_dedup_{_uuid.uuid4().hex[:10]}")
+    _INGEST_SINKS.append(sink)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         exact_ids = (

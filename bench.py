@@ -121,6 +121,7 @@ BENCH_QUERIES = (
     "perplexity_filter",
     "token_budget_mix",
     "streaming_ingest_dedup",
+    "embedding_pq",
 )
 
 

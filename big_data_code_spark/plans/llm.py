@@ -818,6 +818,136 @@ SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# ------------------------------------------------ product quantization
+
+PQ_M = 4        #: subspaces (64-dim vectors → 16-dim subvectors)
+PQ_SUBDIM = 16
+PQ_K = 8        #: codebook size per subspace (256 in production)
+
+#: (corpus fingerprint, m) → trained sub-codebook (same build/search
+#: split + invalidation rule as _IVF_INDEX_CACHE).
+_PQ_CODEBOOK_CACHE: dict[tuple[str, float, int, int], list[list[float]]] = {}
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column (r3) — the
+    FAISS-PQ storage shape: split each 64-dim vector into 4
+    16-dim subvectors, train an 8-centroid codebook per subspace
+    (the same deterministic md5-init k-means-lite as `ann_ivf`,
+    `operators/ann.ivf_train`), and encode every vector as 4 small
+    codes + its reconstruction error. 64 doubles → 4 codes is the
+    64×-compression trick that lets a 100 TB embedding corpus serve
+    ANN from RAM; codebooks are trained once per corpus and cached
+    (build/search split), and ENCODING is entirely per-row
+    expressions — zero shuffles.
+
+    Deterministic end to end, so (unlike real PQ deployments) it is
+    EXACTLY oracle-checkable: the SQL restates all four per-subspace
+    trainings (init hash, both Lloyd rounds, dense re-numbering) and
+    the nearest-code assignment. Returns (vec_id, codes, sq_err).
+    """
+    emb = _embeddings(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fp = _ivf_cache_key(sf_dir)
+    codebooks = []
+    for m in range(PQ_M):
+        key = (*fp, m)
+        cb = _PQ_CODEBOOK_CACHE.get(key)
+        if cb is None:
+            sub = emb.select(
+                "vec_id", F.slice(dv, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub")
+            )
+            cb = ann.ivf_train(sub, n_cells=PQ_K, iters=1, vec_col="sub")
+            _PQ_CODEBOOK_CACHE[key] = cb
+        codebooks.append(cb)
+    codes, errs = [], []
+    for m, cb in enumerate(codebooks):
+        dists = ann._centroid_dists(
+            F.slice(dv, m * PQ_SUBDIM + 1, PQ_SUBDIM), cb
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        errs.append(F.array_min(dists))
+    sq_err = errs[0]
+    for e in errs[1:]:
+        sq_err = sq_err + e
+    return emb.select("vec_id", F.array(*codes).alias("codes"), sq_err.alias("sq_err"))
+
+
+def _pq_sql() -> str:
+    # per-subspace restatement of the ANN_IVF_SQL training CTEs on
+    # vec slices; same tie-breaks (dist, then dense centroid id).
+    def dist(vec_expr: str, cen_expr: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, {cen_expr}),"
+            f" z -> (z[1] - z[2]) * (z[1] - z[2])))"
+        )
+
+    parts = ["WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
+    selects = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        sv = f"vec[{lo}:{hi}]"
+        parts.append(f"""a0_{m} AS (
+  SELECT vec_id, {sv} AS v,
+         (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % {PQ_K})::INT AS cell
+  FROM c
+),
+cen0_{m} AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(mm ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(v[i + 1]) AS mm
+          FROM a0_{m} CROSS JOIN range(0, {PQ_SUBDIM}) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+a1_{m} AS (
+  SELECT vec_id, v, rn::INT AS cell FROM (
+    SELECT a.vec_id, a.v, cb.rn,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {dist("a.v", "cb.cen")}, cb.rn) AS pick
+    FROM a0_{m} a CROSS JOIN cen0_{m} cb
+  ) WHERE pick = 1
+),
+cen1_{m} AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(mm ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(v[i + 1]) AS mm
+          FROM a1_{m} CROSS JOIN range(0, {PQ_SUBDIM}) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+code_{m} AS (
+  SELECT vec_id, code, d FROM (
+    SELECT a.vec_id, cb.rn::INT AS code,
+           {dist("a.v", "cb.cen")} AS d,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {dist("a.v", "cb.cen")}, cb.rn) AS pick
+    FROM a1_{m} a CROSS JOIN cen1_{m} cb
+  ) WHERE pick = 1
+)""")
+        selects.append(f"code_{m}")
+    joins = "\n  ".join(
+        f"JOIN {s} ON c.vec_id = {s}.vec_id" for s in selects
+    )
+    codes = ", ".join(f"code_{m}.code" for m in range(PQ_M))
+    err = " + ".join(f"code_{m}.d" for m in range(PQ_M))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT c.vec_id, [{codes}] AS codes, {err} AS sq_err
+FROM c
+  {joins}
+"""
+    )
+
+
+EMBEDDING_PQ_SQL = _pq_sql()
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"

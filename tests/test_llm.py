@@ -630,3 +630,28 @@ def test_dedup_cluster_stats_consistency(spark):
     assert sum(r["n_docs"] for r in hist) == len(base)
     assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in hist)
     assert any(r["cluster_size"] >= 2 for r in hist)
+
+
+def test_embedding_pq_invariants(spark):
+    """Codes are 4 per vector in [0, K); reconstruction error is
+    non-negative, deterministic across runs, and on average beats
+    the zero-codebook baseline (mean ||v||^2)."""
+    from big_data_code_spark.operators.ann import dot
+    from big_data_code_spark.plans.llm import PQ_K, PQ_M, _embeddings
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["embedding_pq"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+        assert r["sq_err"] >= 0.0
+    again = QUERIES["embedding_pq"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    emb = _embeddings(spark, SF_SMOKE)
+    mean_norm2 = emb.select(
+        F.avg(dot(F.col("embedding"), F.col("embedding"))).alias("m")
+    ).first()["m"]
+    mean_err = sum(r["sq_err"] for r in rows) / len(rows)
+    assert mean_err < mean_norm2

@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "token_budget_mix",
     "streaming_ingest_dedup",
     "embedding_pq",
+    "ann_pq",
 )
 
 

@@ -873,17 +873,22 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.array(*codes).alias("codes"), sq_err.alias("sq_err"))
 
 
-def _pq_sql() -> str:
+def _pq_dist_sql(vec_expr: str, cen_expr: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {cen_expr}),"
+        f" z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+
+
+def _pq_cte() -> str:
+    """WITH-prefix computing cen1_{{m}} (trained sub-codebooks) and
+    code_{{m}} (per-vector code + distance) for all subspaces —
+    shared by the PQ-encode oracle and the ADC-search oracle."""
     # per-subspace restatement of the ANN_IVF_SQL training CTEs on
     # vec slices; same tie-breaks (dist, then dense centroid id).
-    def dist(vec_expr: str, cen_expr: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({vec_expr}, {cen_expr}),"
-            f" z -> (z[1] - z[2]) * (z[1] - z[2])))"
-        )
+    dist = _pq_dist_sql
 
     parts = ["WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
-    selects = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
         sv = f"vec[{lo}:{hi}]"
@@ -929,14 +934,17 @@ code_{m} AS (
     FROM a1_{m} a CROSS JOIN cen1_{m} cb
   ) WHERE pick = 1
 )""")
-        selects.append(f"code_{m}")
+    return ",\n".join(parts)
+
+
+def _pq_sql() -> str:
     joins = "\n  ".join(
-        f"JOIN {s} ON c.vec_id = {s}.vec_id" for s in selects
+        f"JOIN code_{m} ON c.vec_id = code_{m}.vec_id" for m in range(PQ_M)
     )
     codes = ", ".join(f"code_{m}.code" for m in range(PQ_M))
     err = " + ".join(f"code_{m}.d" for m in range(PQ_M))
     return (
-        ",\n".join(parts)
+        _pq_cte()
         + f"""
 SELECT c.vec_id, [{codes}] AS codes, {err} AS sq_err
 FROM c
@@ -946,6 +954,91 @@ FROM c
 
 
 EMBEDDING_PQ_SQL = _pq_sql()
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) search over PQ codes
+    (r3) — the search path product quantization exists for: each
+    query precomputes a per-subspace distance TABLE to the 8
+    codebook centroids (4×8 doubles), and every corpus vector's
+    approximate distance is 4 table lookups + 3 adds on its CODES —
+    the vectors themselves are never touched at scan time. The scan
+    is a broadcast of the tiny query tables over the code table
+    (the compressed linear scan; in production IVF cells prune it —
+    `ann_ivf` is that operator).
+
+    Deterministic end to end (codebooks from `embedding_pq`) → the
+    oracle restates the distance tables, the lookup-sum, and the
+    (adist, vec_id) ranking exactly. Returns
+    (q_id, rank, vec_id, adist); recall vs exact L2 is tested.
+    """
+    codes_df = embedding_pq(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    fp = _ivf_cache_key(sf_dir)
+    codebooks = [_PQ_CODEBOOK_CACHE[(*fp, m)] for m in range(PQ_M)]
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q_tables = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            ann._centroid_dists(
+                F.slice(dv, m * PQ_SUBDIM + 1, PQ_SUBDIM), cb
+            ).alias(f"dt{m}")
+            for m, cb in enumerate(codebooks)
+        ],
+    )
+    joined = codes_df.crossJoin(F.broadcast(q_tables))
+    adist = F.element_at(F.col("dt0"), F.col("codes")[0] + 1)
+    for m in range(1, PQ_M):
+        adist = adist + F.element_at(F.col(f"dt{m}"), F.col("codes")[m] + 1)
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (
+        joined.select("q_id", "vec_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", "adist")
+    )
+
+
+def _ann_pq_sql() -> str:
+    qd = ",\n".join(
+        f"""qd_{m} AS (
+  SELECT q.vec_id AS q_id, cb.rn AS code,
+         {_pq_dist_sql(f"q.vec[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", "cb.cen")} AS d
+  FROM (SELECT * FROM c WHERE vec_id < {ANN_N_QUERIES}) q CROSS JOIN cen1_{m} cb
+)"""
+        for m in range(PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN code_{m} ON code_0.vec_id = code_{m}.vec_id" for m in range(1, PQ_M)
+    )
+    qd_joins = "\n  ".join(
+        f"JOIN qd_{m} ON qd_{m}.code = code_{m}.code AND qd_{m}.q_id = qd_0.q_id"
+        for m in range(1, PQ_M)
+    )
+    adist = " + ".join(f"qd_{m}.d" for m in range(PQ_M))
+    return (
+        _pq_cte()
+        + f""",
+{qd},
+scored AS (
+  SELECT qd_0.q_id, code_0.vec_id, {adist} AS adist
+  FROM code_0
+  {code_joins}
+  JOIN qd_0 ON qd_0.code = code_0.code
+  {qd_joins}
+),
+ranked AS (
+  SELECT q_id, vec_id, adist,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, adist FROM ranked WHERE rank <= {ANN_K}
+"""
+    )
+
+
+ANN_PQ_SQL = _ann_pq_sql()
 
 
 # ---------------------------------------------------------------- text analysis

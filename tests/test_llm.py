@@ -655,3 +655,38 @@ def test_embedding_pq_invariants(spark):
     ).first()["m"]
     mean_err = sum(r["sq_err"] for r in rows) / len(rows)
     assert mean_err < mean_norm2
+
+
+def test_ann_pq_recall_vs_exact_l2(spark):
+    """ADC over 4x8 codebooks is coarse on random vectors (K=256 in
+    production), but must still beat noise: recall >= 0.1 of the
+    exact-L2 top-10, self-consistent across runs."""
+    from pyspark.sql.window import Window
+
+    from big_data_code_spark.operators.ann import _as_double, dot
+    from big_data_code_spark.plans.llm import ANN_K, ANN_N_QUERIES, _embeddings
+    from big_data_code_spark.plans.registry import QUERIES
+
+    emb = _embeddings(spark, SF_SMOKE).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANN_K)
+        .collect()
+    }
+    got = {(r["q_id"], r["vec_id"]) for r in QUERIES["ann_pq"](spark, SF_SMOKE).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.1, f"recall {recall:.2f}"

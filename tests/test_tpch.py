@@ -127,6 +127,11 @@ BNLJ_ALLOWED = {
                                  # the LM's normalizing constants
     "perplexity_filter",         # inherits unigram_logprob's (N, V)
                                  # scalar broadcast
+    "ann_pq",                    # ADC compressed linear scan: tiny
+                                 # query distance tables broadcast
+                                 # over 4-byte codes — the intended
+                                 # PQ plan (IVF cells prune it in
+                                 # production: ann_ivf)
 }
 
 

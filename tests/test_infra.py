@@ -535,3 +535,24 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "event_type" in plan.split("PushedFilters")[1][:300]
     assert filtered.count() == events.where("event_type = 'click'").count()
+
+
+def test_registry_prefix_and_oracle_invariants():
+    """Driver contract hygiene (no Spark needed): every registry
+    entry has an oracle; the driver-sampled 50-entry prefix is all
+    oracle-backed; names are unique; every oracle SQL mentions at
+    least one driver table."""
+    from big_data_code_spark.plans.registry import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    assert len(names) >= 110
+    tables = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    )
+    for name in names:
+        sql = ORACLES[name]
+        assert sql, f"{name} has no oracle"
+        assert any(t in sql for t in tables), name
+    assert all(ORACLES[n] for n in names[:50])

@@ -123,6 +123,7 @@ BENCH_QUERIES = (
     "streaming_ingest_dedup",
     "embedding_pq",
     "ann_pq",
+    "ann_ivf_pq",
 )
 
 

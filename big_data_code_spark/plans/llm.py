@@ -744,9 +744,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final corpus assignment + top-2-cell probe per query; exact cosine
 # rank ≤ k inside probed cells. n_cells=8, n_probe=2, dim=64 match
 # the ivf_train/ivf_ann_topk defaults.
-ANN_IVF_SQL = f"""
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-a0 AS (
+#: IVF training + cell/probe CTEs (reference `c`), shared by the
+#: plain-IVF oracle and the IVF+PQ composition oracle.
+_IVF_TRAIN_CTE = f"""a0 AS (
   SELECT vec_id, vec,
          (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 8)::INT AS cell
   FROM c
@@ -801,7 +801,11 @@ probe AS (
                       cen1.rn) AS pick
     FROM (SELECT * FROM c WHERE vec_id < {ANN_N_QUERIES}) q CROSS JOIN cen1
   ) WHERE pick <= 2
-),
+)"""
+
+ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_IVF_TRAIN_CTE},
 scored AS (
   SELECT probe.q_id, cells.c_id AS vec_id,
          list_dot_product(cells.c_vec, probe.q_vec) /
@@ -999,8 +1003,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_pq_sql() -> str:
-    qd = ",\n".join(
+def _adc_qd_cte() -> str:
+    """Per-query ADC distance-table CTEs qd_{{m}} (query × codebook
+    centroid squared-L2), shared by the plain ADC scan and the
+    IVF+PQ composition."""
+    return ",\n".join(
         f"""qd_{m} AS (
   SELECT q.vec_id AS q_id, cb.rn AS code,
          {_pq_dist_sql(f"q.vec[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", "cb.cen")} AS d
@@ -1008,6 +1015,10 @@ def _ann_pq_sql() -> str:
 )"""
         for m in range(PQ_M)
     )
+
+
+def _ann_pq_sql() -> str:
+    qd = _adc_qd_cte()
     code_joins = "\n  ".join(
         f"JOIN code_{m} ON code_0.vec_id = code_{m}.vec_id" for m in range(1, PQ_M)
     )
@@ -1039,6 +1050,112 @@ SELECT q_id, rank, vec_id, adist FROM ranked WHERE rank <= {ANN_K}
 
 
 ANN_PQ_SQL = _ann_pq_sql()
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composition (r3) — the FAISS ``IndexIVFPQ`` shape
+    and the actual 100 TB ANN deployment: IVF cells prune the
+    corpus to each query's 2 nearest cells, and the surviving
+    candidates are scored by ADC over their 4-byte PQ codes — the
+    full vectors are touched by NEITHER the scan NOR the scoring.
+    Both indexes (IVF centroids, PQ codebooks) train once per
+    corpus and are cached; the candidate join is an equi-join on
+    cell id.
+
+    Deterministic end to end → the oracle composes the PQ-training,
+    IVF-training, and ADC-table CTEs and is hash-exact including
+    the float adist. Returns (q_id, rank, vec_id, adist).
+    """
+    codes_df = embedding_pq(spark, sf_dir)  # also fills the PQ cache
+    emb = _embeddings(spark, sf_dir)
+    key = _ivf_cache_key(sf_dir)
+    centroids = _IVF_INDEX_CACHE.get(key)
+    if centroids is None:
+        centroids = ann.ivf_train(emb)
+        _IVF_INDEX_CACHE[key] = centroids
+    cells = ann.ivf_assign(emb, centroids, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    qdists = ann._centroid_dists(dv, centroids)
+    probe = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            qdists,
+                            lambda d, i: F.struct(d.alias("dist"), i.alias("cell")),
+                        )
+                    ),
+                    lambda s: s["cell"],
+                ),
+                1, 2,
+            )
+        ).alias("cell"),
+    )
+    codebooks = [_PQ_CODEBOOK_CACHE[(*key, m)] for m in range(PQ_M)]
+    q_tables = queries.select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            ann._centroid_dists(
+                F.slice(dv, m * PQ_SUBDIM + 1, PQ_SUBDIM), cb
+            ).alias(f"dt{m}")
+            for m, cb in enumerate(codebooks)
+        ],
+    )
+    probe_t = probe.join(q_tables, "q_id")
+    cand = cells.join(codes_df.select("vec_id", "codes"), "vec_id").join(
+        F.broadcast(probe_t), "cell"
+    )
+    adist = F.element_at(F.col("dt0"), F.col("codes")[0] + 1)
+    for m in range(1, PQ_M):
+        adist = adist + F.element_at(F.col(f"dt{m}"), F.col("codes")[m] + 1)
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (
+        cand.select("q_id", "vec_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", "adist")
+    )
+
+
+def _ann_ivf_pq_sql() -> str:
+    code_joins = "\n  ".join(
+        f"JOIN code_{m} ON cells.c_id = code_{m}.vec_id" for m in range(PQ_M)
+    )
+    qd_joins = "\n  ".join(
+        f"JOIN qd_{m} ON qd_{m}.q_id = probe.q_id AND qd_{m}.code = code_{m}.code"
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"qd_{m}.d" for m in range(PQ_M))
+    return (
+        _pq_cte()
+        + ",\n"
+        + _IVF_TRAIN_CTE
+        + ",\n"
+        + _adc_qd_cte()
+        + f""",
+scored AS (
+  SELECT probe.q_id, cells.c_id AS vec_id, {adist} AS adist
+  FROM cells JOIN probe USING (cell)
+  {code_joins}
+  {qd_joins}
+),
+ranked AS (
+  SELECT q_id, vec_id, adist,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, adist FROM ranked WHERE rank <= {ANN_K}
+"""
+    )
+
+
+ANN_IVF_PQ_SQL = _ann_ivf_pq_sql()
 
 
 # ---------------------------------------------------------------- text analysis

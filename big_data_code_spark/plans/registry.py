@@ -107,6 +107,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
     ("embedding_pq", llm.embedding_pq, llm.EMBEDDING_PQ_SQL),
     ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
+    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
     # -- 51+: round-1-green entries displaced by the new ops, then
     #    entries green in CORRECTNESS_r02.json (driver-proved last
     #    round) in their r2 order.

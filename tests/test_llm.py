@@ -690,3 +690,26 @@ def test_ann_pq_recall_vs_exact_l2(spark):
     got = {(r["q_id"], r["vec_id"]) for r in QUERIES["ann_pq"](spark, SF_SMOKE).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.1, f"recall {recall:.2f}"
+
+
+def test_ann_ivf_pq_prunes_consistently(spark):
+    """IVF+PQ scores a SUBSET of what the full ADC scan scores, so
+    at every (query, rank) its approximate distance is >= the full
+    scan's; overlap with the full scan's top-k must be substantial
+    (probed cells hold the near neighbors)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    full = {
+        (r["q_id"], r["rank"]): (r["adist"], r["vec_id"])
+        for r in QUERIES["ann_pq"](spark, SF_SMOKE).collect()
+    }
+    pruned = {
+        (r["q_id"], r["rank"]): (r["adist"], r["vec_id"])
+        for r in QUERIES["ann_ivf_pq"](spark, SF_SMOKE).collect()
+    }
+    assert pruned
+    for key, (ad, _vid) in pruned.items():
+        if key in full:
+            assert ad >= full[key][0] - 1e-12, key
+    overlap = {v for _, v in pruned.values()} & {v for _, v in full.values()}
+    assert len(overlap) >= len({v for _, v in pruned.values()}) * 0.3

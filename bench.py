@@ -124,6 +124,7 @@ BENCH_QUERIES = (
     "embedding_pq",
     "ann_pq",
     "ann_ivf_pq",
+    "bigram_logprob",
 )
 
 

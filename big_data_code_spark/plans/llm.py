@@ -2695,6 +2695,126 @@ FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
 """
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (r3) — the next rung above
+    `unigram_logprob`: mean over a doc's adjacent token pairs of
+    ln((c2(prev,cur) + 1) / (c1(prev) + V)), add-one smoothing,
+    where c2 = corpus bigram count, c1 = corpus count of `prev` as
+    a bigram head, V = corpus vocabulary size. Conditional
+    probabilities catch word-salad text that unigram frequency
+    cannot (every token common, transitions absurd).
+
+    100 TB shape: bigrams are built PER ROW (`transform` over the
+    token array — no self-join), then two map-side-combinable count
+    shuffles (doc×bigram, bigram) + a hash join back on the bigram
+    key; V is the one-row scalar broadcast (allowlisted). In
+    production the model table is trimmed to top-K bigrams with a
+    backoff — here the corpus vocabulary is small enough to keep
+    whole.
+
+    Float determinism: JVM `Math.log` and libm `ln` disagree by
+    1 ulp on ~4% of this model's ratio inputs (measured), so unlike
+    the unigram score the per-bigram terms are NOT bit-identical
+    cross-engine. The operator therefore defines its precision
+    contract as terms QUANTIZED to the 1e-6 grid (`round(term, 6)`
+    — ten orders of magnitude above ulp noise, so both engines land
+    on the same grid point) folded in SORTED (prev, cur) order; the
+    oracle mirrors both. Docs with < 2 tokens score (0 bigrams,
+    sum 0, mean 0).
+
+    Returns (doc_id, n_bigrams, logprob_sum, mean_logprob).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS prev, toks[i] AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    dt = bg.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab_v"))
+    )
+    term = F.round(
+        F.col("n") * F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab_v"))),
+        6,
+    )
+    folded = (
+        dt.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "n",
+            F.struct(F.col("prev"), F.col("cur"), term.alias("t")).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("logprob_sum"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logprob_sum", F.lit(0.0)).alias("logprob_sum"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("logprob_sum") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_logprob"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+bg AS (
+  SELECT doc_id, tokens[i] AS prev, tokens[i + 1] AS cur
+  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
+        FROM tok WHERE len(tokens) >= 2)
+),
+dt AS (SELECT doc_id, prev, cur, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+scal AS (
+  SELECT count(DISTINCT tok) AS V
+  FROM (SELECT unnest(tokens) AS tok FROM tok)
+),
+folded AS (
+  SELECT dt.doc_id,
+         CAST(sum(dt.n) AS BIGINT) AS n_bigrams,
+         list_sum(list(round(dt.n * ln((c2.c2 + 1.0) / (c1.c1 + scal.V)), 6)
+                       ORDER BY dt.prev, dt.cur)) AS logprob_sum
+  FROM dt
+  JOIN c2 ON dt.prev = c2.prev AND dt.cur = c2.cur
+  JOIN c1 ON dt.prev = c1.prev
+  CROSS JOIN scal
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       coalesce(f.n_bigrams, 0) AS n_bigrams,
+       coalesce(f.logprob_sum, 0.0) AS logprob_sum,
+       CASE WHEN coalesce(f.n_bigrams, 0) > 0
+            THEN f.logprob_sum / f.n_bigrams ELSE 0.0 END AS mean_logprob
+FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+
+
 PPLX_DROP_FRACTION = 0.1
 
 

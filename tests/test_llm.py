@@ -713,3 +713,25 @@ def test_ann_ivf_pq_prunes_consistently(spark):
             assert ad >= full[key][0] - 1e-12, key
     overlap = {v for _, v in pruned.values()} & {v for _, v in full.values()}
     assert len(overlap) >= len({v for _, v in pruned.values()}) * 0.3
+
+
+def test_bigram_logprob_consistency(spark):
+    """Oracle parity at sf0.01 (the 1e-6 term-quantization contract
+    holds beyond the smoke SF) and n_bigrams == n_tokens - 1 for
+    multi-token docs."""
+    from big_data_code_spark.functions.text import tokenize
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    assert_matches_oracle(spark, "bigram_logprob", SF_CORRECT)
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(tokenize(F.col("text"))).alias("n"))
+        .collect()
+    }
+    for r in QUERIES["bigram_logprob"](spark, SF_SMOKE).collect():
+        expect = max(n_toks[r["doc_id"]] - 1, 0)
+        assert r["n_bigrams"] == expect, r
+        if expect:
+            assert r["mean_logprob"] < 0

@@ -127,6 +127,8 @@ BNLJ_ALLOWED = {
                                  # the LM's normalizing constants
     "perplexity_filter",         # inherits unigram_logprob's (N, V)
                                  # scalar broadcast
+    "bigram_logprob",            # single-row vocabulary-size scalar
+                                 # broadcast (same shape as unigram)
     "ann_pq",                    # ADC compressed linear scan: tiny
                                  # query distance tables broadcast
                                  # over 4-byte codes — the intended

@@ -125,6 +125,7 @@ BENCH_QUERIES = (
     "ann_pq",
     "ann_ivf_pq",
     "bigram_logprob",
+    "corpus_drift",
 )
 
 

@@ -2815,6 +2815,96 @@ FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
 """
 
 
+DRIFT_TOP_K = 100
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (r3) — the data-quality check an ingest
+    pipeline runs before absorbing a batch: per-token
+    Jensen-Shannon divergence contributions between the incoming
+    batch's token distribution and the master's, over the master's
+    top-100 tokens (Laplace +1 smoothing so absent tokens don't
+    blow up). Alerting sums js_contrib (∈ [0, ln 2]) and compares
+    to a threshold; the per-token rows say WHICH tokens drifted.
+
+    100 TB shape: one conditional-aggregate count shuffle over the
+    exploded tokens (map-side combinable, both sides in one pass),
+    a vocab-sized top-K, and two scalar totals (broadcast,
+    allowlisted). ln terms quantized to the 1e-6 grid (the
+    `bigram_logprob` cross-engine contract); the p/q ratios are
+    single int/int double divisions — engine-exact.
+
+    Returns (tok, n_master, n_batch, p_master, p_batch, js_contrib).
+    """
+    corpus = _corpus(spark, sf_dir)
+    side_master = F.col("doc_id") < 1_000_000
+    toks = corpus.select(
+        side_master.alias("is_master"),
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_master"), 1).otherwise(0)).alias("n_master"),
+        F.sum(F.when(~F.col("is_master"), 1).otherwise(0)).alias("n_batch"),
+    )
+    w = Window.orderBy(F.desc("n_master"), "tok")
+    top = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= DRIFT_TOP_K
+    )
+    sums = top.agg(
+        F.sum("n_master").alias("sm"), F.sum("n_batch").alias("sb")
+    )
+    joined = top.crossJoin(F.broadcast(sums))
+    p = (F.col("n_master") + 1.0) / (F.col("sm") + DRIFT_TOP_K)
+    q = (F.col("n_batch") + 1.0) / (F.col("sb") + DRIFT_TOP_K)
+    mid = (p + q) / 2.0
+    contrib = F.round(0.5 * (p * F.log(p / mid) + q * F.log(q / mid)), 6)
+    return joined.select(
+        "tok",
+        F.col("n_master").cast("long").alias("n_master"),
+        F.col("n_batch").cast("long").alias("n_batch"),
+        p.alias("p_master"),
+        q.alias("p_batch"),
+        contrib.alias("js_contrib"),
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH {_CORPUS_CTE},
+tok AS (
+  SELECT doc_id < 1000000 AS is_master, unnest({_TOKENS}) AS tok
+  FROM corpus
+),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN is_master THEN 1 ELSE 0 END) AS BIGINT) AS n_master,
+         CAST(sum(CASE WHEN is_master THEN 0 ELSE 1 END) AS BIGINT) AS n_batch
+  FROM tok GROUP BY 1
+),
+top AS (
+  SELECT * FROM (
+    SELECT tok, n_master, n_batch,
+           row_number() OVER (ORDER BY n_master DESC, tok) AS rk
+    FROM counts
+  ) WHERE rk <= {DRIFT_TOP_K}
+),
+sums AS (SELECT CAST(sum(n_master) AS BIGINT) AS sm,
+                CAST(sum(n_batch) AS BIGINT) AS sb FROM top)
+SELECT tok, n_master, n_batch,
+       (n_master + 1.0) / (sm + {DRIFT_TOP_K}) AS p_master,
+       (n_batch + 1.0) / (sb + {DRIFT_TOP_K}) AS p_batch,
+       round(0.5 * ((n_master + 1.0) / (sm + {DRIFT_TOP_K})
+                      * ln(((n_master + 1.0) / (sm + {DRIFT_TOP_K}))
+                           / (((n_master + 1.0) / (sm + {DRIFT_TOP_K})
+                               + (n_batch + 1.0) / (sb + {DRIFT_TOP_K})) / 2.0))
+                    + (n_batch + 1.0) / (sb + {DRIFT_TOP_K})
+                      * ln(((n_batch + 1.0) / (sb + {DRIFT_TOP_K}))
+                           / (((n_master + 1.0) / (sm + {DRIFT_TOP_K})
+                               + (n_batch + 1.0) / (sb + {DRIFT_TOP_K})) / 2.0))),
+             6) AS js_contrib
+FROM top CROSS JOIN sums
+"""
+
+
 PPLX_DROP_FRACTION = 0.1
 
 

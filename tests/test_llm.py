@@ -735,3 +735,22 @@ def test_bigram_logprob_consistency(spark):
         assert r["n_bigrams"] == expect, r
         if expect:
             assert r["mean_logprob"] < 0
+
+
+def test_corpus_drift_js_properties(spark):
+    """Per-token JS contributions are non-negative (up to the 1e-6
+    quantization) and sum within [0, ln 2]; probabilities are valid
+    distributions over the top-K support."""
+    import math
+
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["corpus_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["js_contrib"] for r in rows)
+    assert -1e-6 * len(rows) <= total <= math.log(2) + 1e-6
+    assert all(r["js_contrib"] >= -1e-6 for r in rows)
+    assert all(0 < r["p_master"] < 1 and 0 < r["p_batch"] < 1 for r in rows)
+    # seeded batch = copies of master docs -> similar but not
+    # necessarily identical distributions; drift must be small
+    assert total < 0.05, total

@@ -129,6 +129,8 @@ BNLJ_ALLOWED = {
                                  # scalar broadcast
     "bigram_logprob",            # single-row vocabulary-size scalar
                                  # broadcast (same shape as unigram)
+    "corpus_drift",              # single-row (sum_master, sum_batch)
+                                 # totals broadcast
     "ann_pq",                    # ADC compressed linear scan: tiny
                                  # query distance tables broadcast
                                  # over 4-byte codes — the intended

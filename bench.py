@@ -126,6 +126,7 @@ BENCH_QUERIES = (
     "ann_ivf_pq",
     "bigram_logprob",
     "corpus_drift",
+    "curriculum_order",
 )
 
 

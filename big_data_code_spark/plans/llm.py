@@ -2815,6 +2815,75 @@ FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
 """
 
 
+CURRICULUM_BANDS = 4
+_CUR_SALT = "cur-"
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (r3) — stage training docs
+    easiest-first: band each language's docs into quality quartiles
+    by their corpus-LM score (`unigram_logprob`; high mean logprob =
+    predictable = easy) and emit a per-language curriculum position
+    that walks the bands in order with a salted-md5 shuffle INSIDE
+    each band (deterministic variety without breaking the easy→hard
+    staging). The loader interleaves language streams by position.
+
+    Pure integer/rank logic on bit-exact scores (no float
+    thresholds), one language-partitioned window on top of the LM
+    scoring — engine-exact with a full oracle.
+
+    Returns (doc_id, lang, band, curriculum_pos).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob"), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    banded = scored.select(
+        "doc_id", "lang",
+        F.floor(
+            (F.row_number().over(w_rank) - 1)
+            * CURRICULUM_BANDS
+            / F.count(F.lit(1)).over(wn)
+        ).cast("long").alias("band"),
+    )
+    w_pos = Window.partitionBy("lang").orderBy(
+        "band",
+        F.md5(F.concat(F.lit(_CUR_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return banded.select(
+        "doc_id", "lang", "band",
+        F.row_number().over(w_pos).cast("long").alias("curriculum_pos"),
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH ulp AS ({UNIGRAM_LOGPROB_SQL}),
+scored AS (
+  SELECT u.doc_id, d.lang, u.mean_logprob
+  FROM ulp u JOIN documents d ON u.doc_id = d.doc_id
+),
+banded AS (
+  SELECT doc_id, lang,
+         CAST(floor((row_number() OVER (
+                 PARTITION BY lang ORDER BY mean_logprob DESC, doc_id) - 1)
+               * {CURRICULUM_BANDS}
+               / count(*) OVER (PARTITION BY lang)) AS BIGINT) AS band
+  FROM scored
+)
+SELECT doc_id, lang, band,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY band, md5('{_CUR_SALT}' || doc_id::VARCHAR), doc_id)
+         AS BIGINT) AS curriculum_pos
+FROM banded
+"""
+
+
 DRIFT_TOP_K = 100
 
 

@@ -110,6 +110,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
     ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
     ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
+    ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
     # -- 51+: round-1-green entries displaced by the new ops, then
     #    entries green in CORRECTNESS_r02.json (driver-proved last
     #    round) in their r2 order.

@@ -754,3 +754,28 @@ def test_corpus_drift_js_properties(spark):
     # seeded batch = copies of master docs -> similar but not
     # necessarily identical distributions; drift must be small
     assert total < 0.05, total
+
+
+def test_curriculum_order_bands_are_staged(spark):
+    """Within each language: bands partition docs into ~quartiles,
+    curriculum positions are a 1..n permutation walking bands in
+    order, and every band-b doc's LM score is >= every band-(b+1)
+    doc's (easy -> hard staging)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    scores = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in QUERIES["unigram_logprob"](spark, SF_SMOKE).collect()
+    }
+    by_lang = {}
+    for r in QUERIES["curriculum_order"](spark, SF_SMOKE).collect():
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert sorted(r["curriculum_pos"] for r in rs) == list(range(1, len(rs) + 1))
+        rs.sort(key=lambda r: r["curriculum_pos"])
+        assert [r["band"] for r in rs] == sorted(r["band"] for r in rs), lang
+        for b in range(3):
+            lo = [scores[r["doc_id"]] for r in rs if r["band"] == b]
+            hi = [scores[r["doc_id"]] for r in rs if r["band"] == b + 1]
+            if lo and hi:
+                assert min(lo) >= max(hi), (lang, b)

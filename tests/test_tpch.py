@@ -131,6 +131,8 @@ BNLJ_ALLOWED = {
                                  # broadcast (same shape as unigram)
     "corpus_drift",              # single-row (sum_master, sum_batch)
                                  # totals broadcast
+    "curriculum_order",          # inherits unigram_logprob's (N, V)
+                                 # scalar broadcast
     "ann_pq",                    # ADC compressed linear scan: tiny
                                  # query distance tables broadcast
                                  # over 4-byte codes — the intended

@@ -127,6 +127,8 @@ BENCH_QUERIES = (
     "bigram_logprob",
     "corpus_drift",
     "curriculum_order",
+    "dedup_semantic_final",
+    "streaming_top_pages_hourly",
 )
 
 

@@ -1752,6 +1752,72 @@ WHERE list_dot_product(a.v, b.v) /
 TFIDF_TOP_K = 5
 
 
+def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (r3) — the embedding-space
+    counterpart of `dedup_corpus_final`: cosine ≥ 0.95 near-dup
+    PAIRS from the banded-LSH plan → connected components over the
+    pair graph → one canonical vector kept per duplicate cluster.
+    THE verdict table an embedding-dedup stage ships:
+    (vec_id, canonical_id, is_kept).
+
+    Same scale posture as the text pipeline: bucketed candidates
+    (never all-pairs), O(log n) pointer-jumping CC; the oracle
+    restates pairs as the exact all-pairs cosine (cross-checked
+    equal to the LSH plan in tests) + WITH RECURSIVE closure.
+    """
+    from ..operators.graph import connected_components
+
+    vc = _vector_corpus(spark, sf_dir)
+    pairs = ann.cosine_dup_pairs_lsh(vc, threshold=COSINE_DUP_THRESHOLD)
+    mapping = connected_components(
+        pairs.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))
+    )
+    return (
+        vc.select("vec_id")
+        .join(
+            mapping.select(F.col("node").alias("vec_id"), "component"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").cast("long").alias("canonical_id"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("is_kept"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_FINAL_SQL = f"""
+WITH RECURSIVE {_VECTOR_CORPUS_CTE},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
+),
+undirected AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb AS a, va AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node
+),
+mapping AS (
+  SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT c.vec_id,
+       CAST(coalesce(m.component, c.vec_id) AS BIGINT) AS canonical_id,
+       coalesce(m.component, c.vec_id) = c.vec_id AS is_kept
+FROM vcorpus c LEFT JOIN mapping m ON c.vec_id = m.vec_id
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document.
 

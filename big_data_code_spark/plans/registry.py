@@ -111,6 +111,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
     ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
     ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
+    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
+    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
     # -- 51+: round-1-green entries displaced by the new ops, then
     #    entries green in CORRECTNESS_r02.json (driver-proved last
     #    round) in their r2 order.

@@ -571,3 +571,46 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+def streaming_top_pages_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 pages from the speed layer (r3) — the classic
+    Storm/Trident rolling top-N serving view: the complete-mode
+    hourly windowed counts (same stream as
+    `streaming_pageviews_hourly`) ranked per hour on the bounded
+    sink, ties broken on page id. On a bounded stream this equals
+    the batch rank over the hourly rollup → exact oracle.
+
+    Returns (hour_bucket, rank, event_type, n_views).
+    """
+    from pyspark.sql.window import Window
+
+    table = streaming_pageviews_hourly(spark, sf_dir)
+    w = Window.partitionBy("hour_bucket").orderBy(
+        F.desc("n_views"), "event_type"
+    )
+    return (
+        table.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("hour_bucket", "rank", "event_type", "n_views")
+    )
+
+
+STREAMING_TOP_PAGES_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n_views
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hour_bucket, event_type, n_views,
+         CAST(row_number() OVER (
+           PARTITION BY hour_bucket
+           ORDER BY n_views DESC, event_type) AS BIGINT) AS rank
+  FROM hourly
+)
+SELECT hour_bucket, rank, event_type, n_views
+FROM ranked WHERE rank <= 3
+"""

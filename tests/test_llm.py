@@ -779,3 +779,17 @@ def test_curriculum_order_bands_are_staged(spark):
             hi = [scores[r["doc_id"]] for r in rs if r["band"] == b + 1]
             if lo and hi:
                 assert min(lo) >= max(hi), (lang, b)
+
+
+def test_dedup_semantic_final_clusters_seeded_pairs(spark):
+    """Every seeded perturbed vector (vec_id >= 1M) must collapse to
+    its original as canonical; originals stay kept."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = {r["vec_id"]: r for r in QUERIES["dedup_semantic_final"](spark, SF_SMOKE).collect()}
+    seeded = [r for v, r in rows.items() if v >= 1_000_000]
+    assert seeded
+    for r in seeded:
+        assert r["canonical_id"] == r["vec_id"] - 1_000_000, r
+        assert not r["is_kept"]
+        assert rows[r["canonical_id"]]["is_kept"]

@@ -483,3 +483,23 @@ def test_streaming_ingest_dedup_equals_batch_incremental(spark):
         tuple(r) for r in QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
     )
     assert streamed == batch and streamed
+
+
+def test_streaming_top_pages_ranks_within_hours(spark):
+    """Top-3 per hour: ranks 1..<=3, counts non-increasing within
+    each hour, and rank-1 matches the max hourly count."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["streaming_top_pages_hourly"](spark, SF_SMOKE).collect()
+    hourly = {}
+    for r in QUERIES["streaming_pageviews_hourly"](spark, SF_SMOKE).collect():
+        hourly.setdefault(r["hour_bucket"], []).append(r["n_views"])
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(r["hour_bucket"], []).append(r)
+    for hb, rs in by_hour.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r["n_views"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        assert counts[0] == max(hourly[hb])

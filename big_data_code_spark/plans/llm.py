@@ -1768,6 +1768,16 @@ def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     vc = _vector_corpus(spark, sf_dir)
+    # Default 8-bit bands: the EXACT-recall setting this oracle
+    # demands (16-bit bands were measured to deterministically miss
+    # a seeded θ≈0.08 pair at sf0.001 — banded cosine LSH cannot
+    # guarantee recall at that angle without loose bands). The cost
+    # is ~n²/512 candidate pairs through the band join on a
+    # no-cluster uniform corpus (the worst case; ~45-150s at sf1's
+    # 220k vectors). Production sizes rows ≈ log2(n) and accepts
+    # recall < 1, exactly as `cosine_dup_pairs_lsh`'s contract
+    # documents — this harness keeps exactness because the oracle
+    # compares against brute force.
     pairs = ann.cosine_dup_pairs_lsh(vc, threshold=COSINE_DUP_THRESHOLD)
     mapping = connected_components(
         pairs.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))

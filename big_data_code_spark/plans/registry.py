@@ -17,9 +17,13 @@ the flushed streaming bounce rate, the real-codec multimodal_decode
 — and NEW operators: bpe_pair_stats, vocab_coverage,
 corpus_shuffle, unigram_logprob, embedding_quantize,
 stratified_sample (hash-threshold form), simhash_dup_pairs,
-chunk_dedup, doc_chunking) filling all 50 slots;
-perplexity_filter (also new, position 51) waits for the r4
-rotation since never-checked entries now outnumber the sample.
+chunk_dedup, doc_chunking) filling all 50 slots. Twelve MORE new
+oracle-backed r3 operators sit at positions 51+ (perplexity_filter,
+token_budget_mix, dedup_cluster_stats, embedding_pq, ann_pq,
+ann_ivf_pq, bigram_logprob, corpus_drift, curriculum_order,
+dedup_semantic_final, streaming_top_pages_hourly, plus
+streaming_ingest_dedup near the tail) — they outnumber the sample
+and are the r4 rotation's prefix candidates.
 The 50 entries green in `CORRECTNESS_r02.json` sit after the
 prefix; nothing about a query's semantics depends on its position.
 

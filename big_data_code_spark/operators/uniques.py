@@ -83,3 +83,39 @@ def uniques_hll(df: DataFrame, key: str, ts: str, user: str) -> DataFrame:
     return fanned.groupBy(key, "granularity", "bucket").agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("unique_visitors_est")
     )
+
+
+def uniques_hll_sketches(df: DataFrame, key: str, ts: str, user: str) -> DataFrame:
+    """Raw mergeable HLL sketch BYTES per (key, granularity, bucket)
+    — the value the reference actually ships to its serving store
+    (`uniquesElephantDB` + `ToSerializedString`,
+    `BatchWorkflow.java:367-397`): the serving layer stores the
+    sketch, not the estimate, so downstream readers can keep
+    merging (e.g. ad-hoc bucket ranges) before estimating.
+
+    Same two-level build as `uniques_hll` (hourly sketches = the
+    only full-data shuffle; coarser granularities by sketch union),
+    but the final union is NOT collapsed to an estimate — the
+    ``sketch`` column is the compact-serialized DataSketches HLL
+    binary, directly usable as a key/value export value and
+    re-unionable / estimable on read via ``hll_union_agg`` /
+    ``hll_sketch_estimate``.
+    """
+    hourly = (
+        df.select(F.col(key), hour_bucket(F.col(ts)).alias("hour_bucket"), F.col(user))
+        .groupBy(key, "hour_bucket")
+        .agg(F.hll_sketch_agg(F.col(user), F.lit(HLL_LGK)).alias("sketch"))
+    )
+    fanned = hourly.select(
+        key,
+        F.explode(emit_granularities(F.col("hour_bucket"))).alias("gb"),
+        "sketch",
+    ).select(
+        key,
+        F.col("gb.granularity").alias("granularity"),
+        F.col("gb.bucket").alias("bucket"),
+        "sketch",
+    )
+    return fanned.groupBy(key, "granularity", "bucket").agg(
+        F.hll_union_agg(F.col("sketch")).alias("sketch")
+    )

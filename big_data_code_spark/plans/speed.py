@@ -256,6 +256,57 @@ GROUP BY 1
 """
 
 
+def streaming_bounce_rate_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native streaming bounce rate (r4) — the HEADLINE bounce
+    query: native ``session_window`` with the reference's 30-min
+    visit gap, bounce ⇔ visit start == last (`AnalyzeVisits`,
+    `TridentSpeedLayer.java:143-235`; aggregation ≙ the Trident
+    count+sum combiner). Whole pipeline stays in the JVM state
+    store — no Python call per state key — measured ~10× faster
+    than the `applyInPandasWithState` twin at sf0.1 and linear at
+    sf1. `streaming_bounce_rate` remains registered as the
+    custom-expiry parity twin (per-micro-batch timeout protocol);
+    THIS is the plan a 100 TB deployment runs.
+
+    Complete mode on a bounded stream ≡ batch 30-min gap-islands →
+    exact oracle.
+    """
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    sessions = sl.sessionize_stream(stream, gap="30 minutes")
+    table = sl.run_stream_to_table(sessions, "complete")
+    return table.groupBy(F.col("event_type").alias("domain")).agg(
+        F.count(F.lit(1)).alias("num_visits"),
+        F.sum(
+            F.when(F.col("session_start_us") == F.col("session_last_us"), 1).otherwise(0)
+        ).alias("num_bounces"),
+    )
+
+
+STREAMING_BOUNCE_RATE_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT event_type, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT event_type, user_id, ts,
+         sum(new_s) OVER (PARTITION BY event_type, user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), visits AS (
+  SELECT event_type AS domain, user_id, sid,
+         min(ts) AS vmin, max(ts) AS vmax
+  FROM sess GROUP BY 1, 2, 3
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS num_visits,
+       CAST(sum(CASE WHEN vmin = vmax THEN 1 ELSE 0 END) AS BIGINT) AS num_bounces
+FROM visits
+GROUP BY 1
+"""
+
+
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream → native ``session_window`` sessionization
     (15-min gap) per event_type × user. Complete mode on a bounded
@@ -429,9 +480,6 @@ GROUP BY 1, 2
 
 # ------------------------------------------ streaming ingest dedup
 
-#: sink dirs of prior streaming_ingest_dedup runs, pruned on the
-#: next invocation (keep-last-1, ElephantDB-style retention).
-_INGEST_SINKS: list[str] = []
 
 
 def _chunked_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
@@ -497,21 +545,16 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
     from .llm import MINHASH_LSH_THRESHOLD, _corpus
 
-    # the sink is ephemeral staging: drop sinks from PREVIOUS
-    # invocations (their returned DataFrames have been consumed by
-    # then — harness loops materialize before re-invoking), so bench
-    # reps / driver sweeps don't accumulate /tmp dirs. Stale sinks
-    # from DEAD processes are pruned by age (1 h leaves any live
-    # concurrent run untouched).
-    while len(_INGEST_SINKS) > 1:
-        shutil.rmtree(_INGEST_SINKS.pop(0), ignore_errors=True)
+    # the sink is ephemeral staging, deleted before this call
+    # returns (the result is localCheckpoint-ed off it — see below),
+    # so no sink list is needed. Stale sinks from DEAD processes are
+    # pruned by age (1 h leaves any live concurrent run untouched).
     import time as _time
 
     for d in os.listdir(tempfile.gettempdir()):
         p = os.path.join(tempfile.gettempdir(), d)
         if (
             d.startswith("ingest_dedup_")
-            and p not in _INGEST_SINKS
             and _time.time() - os.path.getmtime(p) > 3600
         ):
             shutil.rmtree(p, ignore_errors=True)
@@ -525,7 +568,12 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.minhash_signatures(master).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sink = os.path.join(tempfile.gettempdir(), f"ingest_dedup_{_uuid.uuid4().hex[:10]}")
-    _INGEST_SINKS.append(sink)
+    # seed the sink with a zero-row file of the verdict schema so
+    # the final read succeeds even if every micro-batch is empty
+    # (ADVICE r3: an all-filtered source wrote no parquet at all).
+    spark.createDataFrame(
+        [], "doc_id long, is_exact_dup boolean, is_near_dup boolean, verdict string"
+    ).write.mode("overwrite").parquet(sink)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         exact_ids = (
@@ -570,7 +618,15 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # snapshot the verdicts OFF the staging dir (eager
+    # localCheckpoint → executor block storage), then delete it:
+    # the returned DataFrame no longer references the sink path, so
+    # callers can hold it as long as they like (ADVICE r3: a later
+    # invocation's pruning used to vanish an earlier caller's
+    # unread result).
+    result = spark.read.parquet(sink).localCheckpoint(eager=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return result
 
 
 def streaming_top_pages_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

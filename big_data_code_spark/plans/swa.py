@@ -16,7 +16,7 @@ from ..functions.urls import normalize_url
 from ..operators.graph import connected_components
 from ..operators.rollup import multi_granularity_rollup
 from ..operators.sessionize import visit_stats
-from ..operators.uniques import uniques_exact, uniques_hll
+from ..operators.uniques import uniques_exact, uniques_hll, uniques_hll_sketches
 from ..sources.tables import load_table
 
 
@@ -125,6 +125,96 @@ keyed AS (
 )
 SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % 32 AS shard,
        key, total_views
+FROM keyed
+"""
+
+
+def keyvalue_export_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch BYTES through the serving-layer key/value export
+    (r4) — the last reference wire-format analog:
+    `uniquesElephantDB` ships the raw serialized sketch as the
+    domain value (`ToSerializedString`,
+    `BatchWorkflow.java:367-397`), so readers can merge-then-
+    estimate. This relation is that export: key =
+    ``url/granularity-bucket``, shard = md5-mod, value = the
+    mergeable DataSketches HLL binary from
+    `operators.uniques.uniques_hll_sketches`.
+
+    Driver-hashability + accuracy contract in one: the binary value
+    itself is engine-specific, so the registered projection DECODES
+    it in-plan (``hll_sketch_estimate`` over the value column —
+    proving the blob in the export is a valid, estimable sketch),
+    emits the byte length, and flags the estimate against the exact
+    count (the `uniques_over_time_hll` tolerance pattern). The
+    oracle restates key, shard, exact count, and asserts the flag;
+    the filesystem roundtrip (export → read one shard → union +
+    estimate) is covered in `tests/test_swa_batch.py`.
+    """
+    from ..serving.keyvalue import N_SHARDS_DEFAULT, md5_mod_shard, url_bucketed_key
+
+    events = load_table(spark, sf_dir, "events")
+    sketches = uniques_hll_sketches(events, key="event_type", ts="ts", user="user_id")
+    key = url_bucketed_key(F.col("event_type"), F.col("granularity"), F.col("bucket"))
+    kv = sketches.select(
+        md5_mod_shard(key, N_SHARDS_DEFAULT).alias("shard"),
+        key.alias("key"),
+        F.col("sketch").alias("value"),
+        "event_type",
+        "granularity",
+        "bucket",
+    )
+    exact = uniques_exact(events, key="event_type", ts="ts", user="user_id")
+    return kv.join(exact, ["event_type", "granularity", "bucket"]).select(
+        "shard",
+        "key",
+        (F.length("value") > 0).alias("value_ok"),
+        F.col("unique_visitors").cast("long").alias("exact_uniques"),
+        (
+            F.abs(F.hll_sketch_estimate(F.col("value")) - F.col("unique_visitors"))
+            <= 0.05 * F.col("unique_visitors")
+        ).alias("within_5pct"),
+    )
+
+
+# The sketch binary is engine-specific, so the oracle checks the
+# serving CONTRACT: the exact key/shard layout, the exact uniques
+# the sketch must approximate, the in-tolerance flag, and that a
+# non-empty sketch blob was exported (`value_ok` computed in-plan,
+# asserted `true`; a corrupt blob would additionally fail
+# hll_sketch_estimate in-plan long before the hash compare).
+KEYVALUE_EXPORT_HLL_SQL = """
+WITH hourly_users AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         user_id
+  FROM events
+),
+fanned AS (
+  SELECT event_type,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN hour_bucket
+           WHEN 'd' THEN hour_bucket // 24
+           WHEN 'w' THEN (hour_bucket // 24) // 7
+           ELSE (hour_bucket // 24) // 28
+         END AS bucket,
+         user_id
+  FROM hourly_users
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+),
+view AS (
+  SELECT event_type, granularity, bucket,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques
+  FROM fanned
+  GROUP BY 1, 2, 3
+),
+keyed AS (
+  SELECT event_type || '/' || granularity || '-' || CAST(bucket AS VARCHAR) AS key,
+         exact_uniques
+  FROM view
+)
+SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % 32 AS shard,
+       key, true AS value_ok, exact_uniques, true AS within_5pct
 FROM keyed
 """
 

@@ -162,17 +162,77 @@ def test_serialized_export_roundtrip(spark, tmp_path):
     assert got == want
 
 
+def test_hll_sketch_export_roundtrip(spark, tmp_path):
+    """The `uniquesElephantDB` analog (r4): export raw HLL sketch
+    BYTES as the key/value domain value, read a shard back, and
+    estimate FROM the stored blob — decode-on-read must land within
+    5% of the exact uniques for every key, and re-union of hourly
+    blobs must estimate the day (mergeability survives the store)."""
+    from big_data_code_spark.operators.uniques import uniques_exact, uniques_hll_sketches
+    from big_data_code_spark.serving import keyvalue as kv
+    from big_data_code_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    sketches = uniques_hll_sketches(events, key="event_type", ts="ts", user="user_id")
+    path = str(tmp_path / "edb_uniques_hll")
+    key = kv.url_bucketed_key(F.col("event_type"), F.col("granularity"), F.col("bucket"))
+    kv.export_key_value(
+        sketches, path, key, ["sketch"], kv.md5_mod_shard(key, 8)
+    )
+
+    back = spark.read.parquet(path)
+    est = {
+        r["key"]: r["est"]
+        for r in back.select(
+            "key", F.hll_sketch_estimate(F.col("sketch")).alias("est")
+        ).collect()
+    }
+    exact = {
+        f"{r['event_type']}/{r['granularity']}-{r['bucket']}": r["unique_visitors"]
+        for r in uniques_exact(events, key="event_type", ts="ts", user="user_id").collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= 0.05 * e + 1, (k, est[k], e)
+
+    # mergeability through the store: union the stored HOURLY blobs
+    # of one day and compare against that day's stored blob estimate
+    hourly = back.where(F.col("key").rlike("/h-"))
+    day_est = (
+        hourly.select(
+            F.split(F.col("key"), "/").getItem(0).alias("url"),
+            (F.regexp_extract("key", r"h-(\d+)", 1).cast("long") / 24).cast("long").alias("day"),
+            "sketch",
+        )
+        .groupBy("url", "day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    )
+    assert day_est
+    for r in day_est:
+        k = f"{r['url']}/d-{r['day']}"
+        assert abs(r["est"] - exact[k]) <= 0.05 * exact[k] + 1, (k, r["est"])
+
+
 def test_multimodal_features_shape_and_determinism(spark):
+    from big_data_code_spark.plans.llm import multimodal_features
     from big_data_code_spark.plans.registry import QUERIES
 
-    out1 = QUERIES["multimodal_features"](spark, SF_SMOKE).collect()
-    out2 = QUERIES["multimodal_features"](spark, SF_SMOKE).collect()
+    out1 = multimodal_features(spark, SF_SMOKE).collect()
+    out2 = multimodal_features(spark, SF_SMOKE).collect()
     assert len(out1) == len(out2) > 0
     by_id1 = {r["asset_id"]: r for r in out1}
     by_id2 = {r["asset_id"]: r for r in out2}
     assert by_id1.keys() == by_id2.keys()
     for aid, r in by_id1.items():
         assert len(r["features"]) == 16
+    # registry projection (r4): same run, histogram flattened to
+    # f00..f15 doubles for the driver's pandas canonicalizer
+    flat = {r["asset_id"]: r for r in QUERIES["multimodal_features"](spark, SF_SMOKE).collect()}
+    assert flat.keys() == by_id1.keys()
+    for aid, r in by_id1.items():
+        got = [flat[aid][f"f{i:02d}"] for i in range(16)]
+        assert got == pytest.approx(list(r["features"]), abs=0.0)
         assert abs(sum(r["features"]) - 1.0) < 1e-5  # L1-normalized histogram
         assert r["features"] == by_id2[aid]["features"]
         assert r["n_bytes"] > 0

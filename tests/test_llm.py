@@ -637,17 +637,23 @@ def test_embedding_pq_invariants(spark):
     non-negative, deterministic across runs, and on average beats
     the zero-codebook baseline (mean ||v||^2)."""
     from big_data_code_spark.operators.ann import dot
-    from big_data_code_spark.plans.llm import PQ_K, PQ_M, _embeddings
+    from big_data_code_spark.plans.llm import PQ_K, PQ_M, _embeddings, embedding_pq
     from big_data_code_spark.plans.registry import QUERIES
 
-    rows = QUERIES["embedding_pq"](spark, SF_SMOKE).collect()
+    rows = embedding_pq(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert len(r["codes"]) == PQ_M
         assert all(0 <= c < PQ_K for c in r["codes"])
         assert r["sq_err"] >= 0.0
-    again = QUERIES["embedding_pq"](spark, SF_SMOKE).collect()
+    again = embedding_pq(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the registry's driver-hashable projection is the same encode,
+    # codes flattened to code_0..code_3 (r4 contract fix)
+    flat = {r["vec_id"]: r for r in QUERIES["embedding_pq"](spark, SF_SMOKE).collect()}
+    for r in rows:
+        fr = flat[r["vec_id"]]
+        assert [fr[f"code_{m}"] for m in range(PQ_M)] == list(r["codes"])
 
     emb = _embeddings(spark, SF_SMOKE)
     mean_norm2 = emb.select(
@@ -782,14 +788,25 @@ def test_curriculum_order_bands_are_staged(spark):
 
 
 def test_dedup_semantic_final_clusters_seeded_pairs(spark):
-    """Every seeded perturbed vector (vec_id >= 1M) must collapse to
-    its original as canonical; originals stay kept."""
+    """r4 recall contract for the production 4×16-bit banding:
+    ≥90% of seeded perturbed vectors (vec_id >= 1M, θ≈0.08 from
+    their originals) must collapse to their original as canonical
+    (expected ≈98.7%, deterministic — md5 planes, no RNG); every
+    collapse that DOES happen must be to the true original, and
+    that original stays kept. The exact-recall 8-bit banding is
+    covered separately by the `cosine_dup_pairs_lsh` vs brute-force
+    cross-check."""
     from big_data_code_spark.plans.registry import QUERIES
 
     rows = {r["vec_id"]: r for r in QUERIES["dedup_semantic_final"](spark, SF_SMOKE).collect()}
     seeded = [r for v, r in rows.items() if v >= 1_000_000]
     assert seeded
-    for r in seeded:
+    collapsed = [r for r in seeded if not r["is_kept"]]
+    assert len(collapsed) >= 0.9 * len(seeded), (len(collapsed), len(seeded))
+    for r in collapsed:
         assert r["canonical_id"] == r["vec_id"] - 1_000_000, r
-        assert not r["is_kept"]
         assert rows[r["canonical_id"]]["is_kept"]
+    # a missed seed is its own (kept) singleton — never a wrong merge
+    for r in seeded:
+        if r["is_kept"]:
+            assert r["canonical_id"] == r["vec_id"], r

@@ -4,8 +4,29 @@ Builds a PLAIN SparkSession (deliberately NOT ``session.get_spark`` —
 the real driver hands ``queries()`` callables an externally-built
 session with default confs, which is exactly the path that broke
 round 1), runs registry queries at sf0.01, and compares each against
-its DuckDB oracle the same way the driver does: sort columns by
-name, compare row multisets.
+its DuckDB oracle the same way the driver does.
+
+r4 hardening: the comparator now replicates the driver's REAL
+canonicalization, reverse-engineered from CORRECTNESS_r03.json —
+pandas frames, columns sorted by name, ``sort_values`` over all
+columns, then a dtype-SENSITIVE equality (``DataFrame.equals`` after
+datetime normalization). Consequences, matching observed driver
+behavior exactly:
+
+* array/list output columns CRASH the multi-column ``sort_values``
+  factorization ("unhashable type: 'list'") → recorded as an error,
+  like the driver's `err` rows for multimodal_features /
+  embedding_quantize in r3;
+* int64-vs-float64 skew (e.g. DuckDB HUGEINT window sums landing as
+  float64) FAILS even when every value is equal — the
+  sequence_packing r3 failure mode;
+* datetime ns-vs-us skew and date-object-vs-datetime64 are
+  TOLERATED (both sides normalized to datetime64[ns]) — the driver
+  passed q18/q3/dedup_events with exactly that skew in r3.
+
+The previous stringified-tuple comparator was WEAKER than the driver
+and let three broken contracts reach it undetected; do not resurrect
+it.
 
 Usage::
 
@@ -16,6 +37,7 @@ Usage::
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 import time
@@ -24,6 +46,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -54,6 +77,55 @@ def plain_session() -> SparkSession:
     )
 
 
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name,
+    datetimes normalized to datetime64[ns] (the one skew the driver
+    tolerates), rows sorted by all columns. Raises TypeError on
+    unhashable (list/dict) cells, as the driver does."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[ns]")
+        elif s.dtype == object:
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, (datetime.date, datetime.datetime))
+                for v in non_null
+            ):
+                df[c] = pd.to_datetime(s)
+    # multi-column sort_values factorizes via a hash table → this is
+    # where the driver blows up on list cells; let it propagate.
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    """Return (cols_ok, match, diff_note). dtype-sensitive."""
+    cols_ok = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    if not cols_ok:
+        return False, False, f"cols {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    s = canonicalize(spark_pdf)
+    d = canonicalize(duck_pdf)
+    if len(s) != len(d):
+        return True, False, f"rowcount {len(s)} vs {len(d)}"
+    # dtype mismatch = driver hash mismatch even with equal values.
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            return True, False, f"dtype[{c}] spark={s[c].dtype} duck={d[c].dtype}"
+    if s.equals(d):
+        return True, True, None
+    # find first differing cell for the report
+    for c in s.columns:
+        neq = ~(
+            (s[c] == d[c])
+            | (s[c].isna() & d[c].isna())
+        )
+        if neq.any():
+            i = int(neq.idxmax())
+            return True, False, f"value[{c}][row {i}] {s[c][i]!r} vs {d[c][i]!r}"
+    return True, True, None  # only NaN-vs-NaN object edge cases
+
+
 def main() -> None:
     from big_data_code_spark.plans.registry import ORACLES, QUERIES
 
@@ -71,37 +143,26 @@ def main() -> None:
 
     from big_data_code_spark.cacheutil import release_persisted
 
-    none_safe = lambda t: tuple((v is None, str(type(v)), str(v)) for v in t)  # noqa: E731
     n_pass = n_fail = n_noracle = 0
     for name in names:
         release_persisted()  # drop plan-internal caches between queries
         t0 = time.perf_counter()
         try:
             sdf = QUERIES[name](spark, SF_DIR)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = sdf.columns
+            spark_pdf = sdf.toPandas()
             sql = ORACLES.get(name)
             if sql is None:
                 n_noracle += 1
-                print(f"NO-ORACLE {name}: rows={len(spark_rows)} ({time.perf_counter()-t0:.1f}s)")
+                print(f"NO-ORACLE {name}: rows={len(spark_pdf)} ({time.perf_counter()-t0:.1f}s)")
                 continue
-            res = con.sql(sql)
-            duck_cols = res.columns
-            duck_rows = [tuple(r) for r in res.fetchall()]
-            ok_cols = sorted(spark_cols) == sorted(duck_cols)
-            sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
-            didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-            s = sorted((tuple(row[i] for i in sidx) for row in spark_rows), key=none_safe)
-            d = sorted((tuple(row[i] for i in didx) for row in duck_rows), key=none_safe)
-            if ok_cols and s == d:
+            duck_pdf = con.sql(sql).df()
+            cols_ok, match, diff = compare(spark_pdf, duck_pdf)
+            if match:
                 n_pass += 1
-                print(f"PASS      {name}: rows={len(s)} ({time.perf_counter()-t0:.1f}s)")
+                print(f"PASS      {name}: rows={len(spark_pdf)} ({time.perf_counter()-t0:.1f}s)")
             else:
                 n_fail += 1
-                diff = None
-                if ok_cols:
-                    diff = next(((a, b) for a, b in zip(s, d) if a != b), ("len", (len(s), len(d))))
-                print(f"FAIL      {name}: cols_ok={ok_cols} rows={len(s)}/{len(d)} diff={diff}")
+                print(f"FAIL      {name}: cols_ok={cols_ok} rows={len(spark_pdf)}/{len(duck_pdf)} diff={diff}")
         except Exception:
             n_fail += 1
             print(f"ERROR     {name}:")

@@ -83,7 +83,12 @@ BENCH_QUERIES = (
     "multimodal_decode",
     "streaming_pageviews_hourly",
     "streaming_uniques_hourly_hll",
-    "streaming_bounce_rate",
+    # r4: the JVM session_window bounce rate is the headline; the
+    # applyInPandasWithState custom-expiry twin (streaming_bounce_rate)
+    # stays registered + oracle-checked but out of the bench — its
+    # Python-per-state-key cost is a documented parity demonstration,
+    # not the production plan (VERDICT r3 #6).
+    "streaming_bounce_rate_native",
     "streaming_sessions",
     "person_purge",
     "log_compaction",
@@ -129,6 +134,7 @@ BENCH_QUERIES = (
     "curriculum_order",
     "dedup_semantic_final",
     "streaming_top_pages_hourly",
+    "keyvalue_export_hll",
 )
 
 

@@ -616,3 +616,59 @@ def test_registry_prefix_and_oracle_invariants():
         assert sql, f"{name} has no oracle"
         assert any(t in sql for t in tables), name
     assert all(ORACLES[n] for n in names[:50])
+
+
+#: DuckDB result type → the Spark simpleString(s) that land on the
+#: SAME pandas dtype under the driver's canonicalizer. Widths are
+#: exact on purpose (int32 vs int64 flips the dtype-sensitive hash);
+#: the datetime family is pooled (the driver normalizes ns↔us and
+#: date-object↔datetime64 — proven by q18/q3/dedup_events in r3).
+#: HUGEINT (DuckDB's window-sum-of-BIGINT type) is deliberately
+#: absent: it lands as float64 vs Spark's int64 — the r3
+#: sequence_packing failure.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date", "timestamp", "timestamp_ntz"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+}
+
+
+def test_prefix_driver_canonicalizer_compat(spark):
+    """The r3 postmortem test (ADVICE r3): the driver canonicalizes
+    with pandas sort_values + a dtype-SENSITIVE hash, so a prefix
+    entry must (a) emit NO array/map columns (they crash the
+    multi-column sort's factorization — the multimodal_features /
+    embedding_quantize r3 errors) and (b) agree with its oracle on
+    exact column dtypes (int64 vs float64 flips the hash even with
+    equal values — the sequence_packing r3 failure). Checks every
+    driver-sampled prefix entry's Spark schema against the DuckDB
+    oracle's LIMIT-0 result types at sf0.001."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from big_data_code_spark.plans.registry import ORACLES, QUERIES
+    from tests.conftest import duck_con
+
+    con = duck_con(SF_SMOKE)
+    decimal_ok = lambda d, s: d.startswith("DECIMAL") and s.startswith("decimal")  # noqa: E731
+    for name in list(QUERIES)[:50]:
+        sdf = QUERIES[name](spark, SF_SMOKE)
+        spark_types = {}
+        for f in sdf.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType)), (
+                f"{name}.{f.name}: array/map output crashes the driver canonicalizer"
+            )
+            spark_types[f.name] = f.dataType.simpleString()
+        res = con.sql(f"SELECT * FROM ({ORACLES[name]}) _q LIMIT 0")
+        duck_types = dict(zip(res.columns, (str(t) for t in res.types)))
+        assert set(duck_types) == set(spark_types), (name, duck_types, spark_types)
+        for c, dt in duck_types.items():
+            st = spark_types[c]
+            ok = st in _DUCK_TO_SPARK.get(dt, set()) or decimal_ok(dt, st)
+            assert ok, f"{name}.{c}: oracle {dt} vs spark {st} flips the driver hash"

@@ -135,6 +135,14 @@ BENCH_QUERIES = (
     "dedup_semantic_final",
     "streaming_top_pages_hourly",
     "keyvalue_export_hll",
+    "temperature_mix",
+    "ccnet_buckets",
+    "tokenizer_fertility",
+    "data_card_stats",
+    "streaming_funnel_hourly",
+    "ann_range_search",
+    "minhash_containment",
+    "exact_substring_dedup",
 )
 
 

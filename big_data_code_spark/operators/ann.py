@@ -146,6 +146,59 @@ def lsh_ann_topk(
     )
 
 
+def lsh_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Radius/range variant of `lsh_ann_topk` (r4): every corpus
+    vector with cosine ≥ ``tau`` among the band-sharing candidates
+    — the similarity-JOIN primitive (threshold dedup, retrieval
+    cutoffs, knn-graph edges), where top-k is the wrong contract.
+
+    Identical candidate generation (broadcast banded queries,
+    (band, slice) equi-join, distinct) and the same md5-plane
+    determinism, so the plan is exactly oracle-restatable.
+
+    Returns (q_id, vec_id, sim).
+    """
+    planes = hyperplanes(dim, n_planes)
+    rows = n_planes // n_bands
+    sig = lsh_signature(F.col(vec_col), planes)
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.concat(F.lit(f"{b}:"), F.substring(F.col("sig"), b * rows + 1, rows))
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(f"{id_alias}_vec"), sig.alias("sig"))
+            .select(id_alias, f"{id_alias}_vec", F.explode(bands).alias("bk"))
+        )
+
+    cand = (
+        banded(corpus, "c_id")
+        .join(F.broadcast(banded(queries, "q_id")), "bk")
+        .select("q_id", "q_id_vec", "c_id", "c_id_vec")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "q_id",
+            F.col("c_id").alias(id_col),
+            cosine(F.col("c_id_vec"), F.col("q_id_vec")).alias("sim"),
+        )
+        .where(F.col("sim") >= tau)
+    )
+
+
 def ivf_assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
     """Assign each vector to its nearest centroid by squared L2.
 

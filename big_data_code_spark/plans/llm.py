@@ -3316,3 +3316,532 @@ EMBEDDING_QUANTIZE_CSV_SQL = (
     "WITH base AS (" + EMBEDDING_QUANTIZE_SQL + ")\n"
     "SELECT vec_id, scale, array_to_string(q, ',') AS q_csv FROM base"
 )
+
+
+# ------------------------------------------- r4: corpus-planning ops
+
+MIX_TEMPERATURE_ALPHA = 0.3
+TEMP_MIX_BUDGET = 10_000
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling weights (r4) — the
+    multilingual-LM mix recipe: sample language l with probability
+    proportional to ``n_l^alpha`` (alpha = 0.3), which up-weights
+    low-resource languages relative to their raw share. Emits each
+    language's document count, normalized sampling weight, and the
+    expected number of sampled documents at a fixed budget — the
+    table a training-mix planner freezes before a run.
+
+    Scale shape: one map-side-combinable count shuffle (per-lang
+    counts — a handful of rows), then arithmetic on a broadcast
+    one-row normalizer. The normalizer Z = Σ n_l^alpha folds the
+    per-lang terms in LANG-SORTED order (`array_sort(collect_list)`
+    + `aggregate`, the `unigram_logprob` contract) so the double
+    sum is bit-identical cross-engine; pow() can differ by 1 ulp
+    between JVM and libm, so weights are quantized to the 1e-6 grid
+    (the `bigram_logprob` precision contract).
+
+    Returns (lang, n_docs, weight, expected_docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wp = counts.select(
+        "lang",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double"), F.lit(MIX_TEMPERATURE_ALPHA)).alias("p"),
+    )
+    z = wp.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("z")
+    )
+    return wp.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+        F.round(F.lit(TEMP_MIX_BUDGET) * F.col("p") / F.col("z"), 3).alias(
+            "expected_docs"
+        ),
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+wp AS (SELECT lang, n_docs, pow(n_docs, {MIX_TEMPERATURE_ALPHA}) AS p FROM counts),
+z AS (SELECT list_sum(list(p ORDER BY lang)) AS z FROM wp)
+SELECT lang, n_docs,
+       round(p / z.z, 6) AS weight,
+       round({TEMP_MIX_BUDGET} * p / z.z, 3) AS expected_docs
+FROM wp CROSS JOIN z
+"""
+
+
+CCNET_N_BUCKETS = 3
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets per language
+    (r4): rank every document by its corpus-LM score
+    (`unigram_logprob`, bit-identical cross-engine) within its
+    language and cut into three equal-population buckets — the
+    standard pre-filter shape for web-scale corpora (keep head,
+    sample middle, drop tail).
+
+    The cut is pure integer arithmetic on the rank
+    (``(rank-1)*3 div n``), so the verdict is engine-exact with no
+    float-threshold ambiguity. One window shuffle on lang on top of
+    the LM scoring; at 100 TB the bucket boundary would come from a
+    quantile sketch instead of a full per-lang sort (same
+    documented trade as `perplexity_filter`).
+
+    Returns (doc_id, lang, mean_logprob, lang_rank, bucket).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("mean_logprob"), "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        F.row_number().over(w).cast("long").alias("lang_rank"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    bucket_ix = F.expr(f"(lang_rank - 1) * {CCNET_N_BUCKETS} div _n")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        "lang_rank",
+        F.when(bucket_ix == 0, F.lit("head"))
+        .when(bucket_ix == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH ulp AS ({UNIGRAM_LOGPROB_SQL}),
+ranked AS (
+  SELECT u.doc_id, d.lang, u.mean_logprob,
+         CAST(row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY u.mean_logprob DESC, u.doc_id) AS BIGINT) AS lang_rank,
+         count(*) OVER (PARTITION BY d.lang) AS n_lang
+  FROM ulp u JOIN documents d ON u.doc_id = d.doc_id
+)
+SELECT doc_id, lang, mean_logprob, lang_rank,
+       CASE (lang_rank - 1) * {CCNET_N_BUCKETS} // n_lang
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked
+"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility metrics per language (r4): BPE tokens per
+    whitespace word and bytes per BPE token — the standard check
+    that a tokenizer isn't pathologically fragmenting some language
+    (fertility ≫ 1.5 means that language pays more compute per word
+    of content).
+
+    Entirely map-side per-row counts + one tiny per-lang agg
+    shuffle; the ratios are single long/long double divisions
+    (engine-exact). Returns (lang, n_docs, n_tokens, n_words,
+    n_bytes, tokens_per_word, bytes_per_token).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_w"),
+        F.octet_length("text").cast("long").alias("n_b"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("n_tokens"),
+        F.sum("n_w").alias("n_words"),
+        F.sum("n_b").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_bytes",
+        F.when(F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("tokens_per_word"),
+        F.when(F.col("n_tokens") > 0, F.col("n_bytes") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("bytes_per_token"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_bpe,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_w,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_b
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+         CAST(sum(n_w) AS BIGINT) AS n_words,
+         CAST(sum(n_b) AS BIGINT) AS n_bytes
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs, n_tokens, n_words, n_bytes,
+       CASE WHEN n_words > 0 THEN n_tokens / n_words ELSE 0.0 END
+         AS tokens_per_word,
+       CASE WHEN n_tokens > 0 THEN n_bytes / n_tokens ELSE 0.0 END
+         AS bytes_per_token
+FROM agg
+"""
+
+
+def data_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus datasheet (r4) — the "data card" table a
+    dataset release ships: volume (docs/tokens/bytes), the exact
+    lower-median document length, the max, the share of documents
+    passing the composite quality filter, and the share of empty
+    documents. One pass computes the per-row signals (shuffle-free
+    expressions shared with `doc_quality_filter`), one per-lang agg
+    + one per-lang window for the exact median rank.
+
+    All-integer or single-division outputs → engine-exact. At
+    100 TB the median would come from an approx-quantile sketch;
+    the exact rank form is the oracle-checkable contract here.
+
+    Returns (lang, n_docs, n_tokens, n_bytes, mean_tokens,
+    median_tokens, max_tokens, pct_quality_pass, pct_empty).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    quality = doc_quality_filter(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    per = docs.select(
+        "doc_id",
+        "lang",
+        F.octet_length("text").cast("long").alias("n_b"),
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = per.select(
+        "lang",
+        "n_tokens",
+        "n_b",
+        "keep",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n_lang"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_b").alias("n_bytes"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.max(
+                F.when(
+                    F.col("rnk") == F.expr("(n_lang + 1) div 2"),
+                    F.col("n_tokens"),
+                )
+            ).alias("median_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            (F.col("n_tokens") / F.col("n_docs")).alias("mean_tokens"),
+            "median_tokens",
+            "max_tokens",
+            (F.col("n_pass") / F.col("n_docs")).alias("pct_quality_pass"),
+            (F.col("n_empty") / F.col("n_docs")).alias("pct_empty"),
+        )
+    )
+
+
+DATA_CARD_STATS_SQL = f"""
+WITH q AS ({DOC_QUALITY_FILTER_SQL}),
+per AS (
+  SELECT d.lang, q.n_tokens, q.keep,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_b,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.n_tokens, d.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY d.lang) AS n_lang
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_b) AS BIGINT) AS n_bytes,
+       CAST(sum(n_tokens) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_tokens,
+       CAST(max(CASE WHEN rnk = (n_lang + 1) // 2 THEN n_tokens END) AS BIGINT)
+         AS median_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(count(*) AS BIGINT) AS pct_quality_pass,
+       CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(count(*) AS BIGINT) AS pct_empty
+FROM per
+GROUP BY lang
+"""
+
+
+# ------------------------------- r4: similarity/dedup breadth ops
+
+ANN_RANGE_TAU = 0.3
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed RANGE search (r4) — the radius variant of
+    `ann_lsh`: for each query, every corpus vector with cosine ≥
+    τ = 0.3 among the band-sharing candidates (the similarity-join
+    building block: dedup thresholds, retrieval cutoffs, and graph
+    construction all want "all neighbors above τ", not top-k).
+
+    Same scale posture and determinism contract as `ann_lsh`:
+    candidates from the (band, signature-slice) equi-join — never
+    all-pairs — and the md5-derived planes make the whole plan
+    EXACTLY oracle-checkable (the SQL restates planes, signatures,
+    bands, candidates, and the threshold filter).
+
+    Returns (q_id, vec_id, sim).
+    """
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return ann.lsh_range_search(emb, queries, tau=ANN_RANGE_TAU)
+
+
+ANN_RANGE_SEARCH_SQL = f"""
+WITH planes AS (
+  SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
+                          % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS p
+  FROM range(0, 16) t(j)
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sigs AS (
+  SELECT c.vec_id,
+         string_agg(CASE WHEN list_dot_product(c.vec, p.p) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM c CROSS JOIN planes p
+  GROUP BY c.vec_id
+),
+bands AS (
+  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 4 + 1, 4) AS bk
+  FROM sigs CROSS JOIN range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+  FROM bands cb JOIN bands qb ON cb.bk = qb.bk
+  WHERE qb.vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id AS vec_id,
+         list_dot_product(cv.vec, qv.vec) /
+           (sqrt(list_dot_product(cv.vec, cv.vec)) *
+            sqrt(list_dot_product(qv.vec, qv.vec))) AS sim
+  FROM cand
+  JOIN c cv ON cand.c_id = cv.vec_id
+  JOIN c qv ON cand.q_id = qv.vec_id
+)
+SELECT q_id, vec_id, sim FROM scored WHERE sim >= {ANN_RANGE_TAU}
+"""
+
+
+MINHASH_CONTAINMENT_TAU = 0.8
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-aware near-dup detection (r4): for every
+    MinHash-LSH candidate pair, the EXACT shingle-set containments
+    C(A→B) = |A∩B|/|A| and C(B→A) = |A∩B|/|B| plus Jaccard, kept
+    when either containment ≥ 0.8. Jaccard misses the
+    small-doc-inside-big-doc case (|A∩B|/|A∪B| is tiny when
+    |B| ≫ |A| even if A ⊂ B); containment is the signal
+    sub-document duplication filtering needs.
+
+    Scale shape: candidates come from the banded signature
+    equi-join (threshold 0 — every band-sharing pair), and the
+    exact intersection counts join shingle occurrences ONLY for
+    candidate pairs — never an all-pairs shingle join. Integer /
+    integer divisions → engine-exact oracle.
+
+    Returns (doc_id_a, doc_id_b, containment_a, containment_b,
+    jaccard).
+    """
+    corpus = _corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(corpus, threshold=0.0).select(
+        "doc_id_a", "doc_id_b"
+    )
+    sh = corpus.select(
+        "doc_id", F.explode(word_shingles(tokenize(F.col("text")))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "s")
+    inter = (
+        cand.join(a, "doc_id_a")
+        .join(b, ["doc_id_b", "s"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("n_inter") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_inter") / F.col("n_b")).alias("containment_b"),
+            (
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(
+            (F.col("containment_a") >= MINHASH_CONTAINMENT_TAU)
+            | (F.col("containment_b") >= MINHASH_CONTAINMENT_TAU)
+        )
+    )
+
+
+MINHASH_CONTAINMENT_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON c.doc_id_a = a.doc_id
+  JOIN ex b ON c.doc_id_b = b.doc_id AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       i.n_inter / sa.n_sh AS containment_a,
+       i.n_inter / sb.n_sh AS containment_b,
+       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_id_a = sa.doc_id
+JOIN sizes sb ON i.doc_id_b = sb.doc_id
+WHERE i.n_inter / sa.n_sh >= {MINHASH_CONTAINMENT_TAU}
+   OR i.n_inter / sb.n_sh >= {MINHASH_CONTAINMENT_TAU}
+"""
+
+
+SUBSTR_WIN_K = 8
+
+
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-overlap detection (r4) — the exact-substring dedup
+    family: two docs are flagged when they share any exact
+    8-token window (SUBSTR_WIN_K). Each doc's distinct windows are
+    hashed (md5) and pairs come from the window-HASH equi-join —
+    16-byte keys shuffle, never window text, and never doc×doc.
+    Reports the shared-window count and each side's overlap
+    fraction, the evidence a span-level dedup pass acts on.
+
+    Boilerplate-heavy corpora make some windows hot; the join is
+    the same shape `operators/skew.salted_self_pairs` handles (hook
+    documented on `minhash_lsh_pairs`), and production would drop
+    top-frequency windows (stop-window list) before the join.
+
+    Returns (doc_id_a, doc_id_b, n_shared_windows, overlap_a,
+    overlap_b).
+    """
+    corpus = _corpus(spark, sf_dir)
+    win = corpus.select(
+        "doc_id",
+        F.explode(
+            word_shingles(tokenize(F.col("text")), n=SUBSTR_WIN_K)
+        ).alias("w"),
+    ).select("doc_id", F.md5("w").alias("h"))
+    sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_win"))
+    a = win.select(F.col("doc_id").alias("doc_id_a"), "h")
+    b = win.select(F.col("doc_id").alias("doc_id_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("n_win").alias("n_win_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("n_win").alias("n_win_b")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_windows",
+            (F.col("n_shared_windows") / F.col("n_win_a")).alias("overlap_a"),
+            (F.col("n_shared_windows") / F.col("n_win_b")).alias("overlap_b"),
+        )
+    )
+
+
+def _substr_window_expr() -> str:
+    terms = " || ' ' || ".join(
+        f"tokens[i+{d}]" if d else "tokens[i]" for d in range(SUBSTR_WIN_K)
+    )
+    return (
+        f"list_distinct(list_transform(range(1, len(tokens) - {SUBSTR_WIN_K - 2}),"
+        f" i -> md5({terms})))"
+    )
+
+
+EXACT_SUBSTRING_DEDUP_SQL = f"""
+WITH {_CORPUS_CTE},
+tokw AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+win AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= {SUBSTR_WIN_K}
+              THEN {_substr_window_expr()}
+              ELSE []::VARCHAR[] END AS ws
+  FROM tokw
+),
+ex AS (SELECT doc_id, unnest(ws) AS h FROM win),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win FROM ex GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_windows
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_id_a, s.doc_id_b, s.n_shared_windows,
+       s.n_shared_windows / sa.n_win AS overlap_a,
+       s.n_shared_windows / sb.n_win AS overlap_b
+FROM shared s
+JOIN sizes sa ON s.doc_id_a = sa.doc_id
+JOIN sizes sb ON s.doc_id_b = sb.doc_id
+"""

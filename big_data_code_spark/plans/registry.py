@@ -63,6 +63,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # -- new r4 operators (never driver-checked).
     ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
     ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
+    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
+    ("ccnet_buckets", llm.ccnet_buckets, llm.CCNET_BUCKETS_SQL),
+    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
+    ("data_card_stats", llm.data_card_stats, llm.DATA_CARD_STATS_SQL),
+    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
+    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
+    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
+    ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
@@ -90,6 +98,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
+    # -- 51+: remaining entries (r2-proved tail, then the r3 prefix
+    #    — all driver-proved in CORRECTNESS_r02/r03).
     ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
     ("keyvalue_export", swa.keyvalue_export, swa.KEYVALUE_EXPORT_SQL),
@@ -98,8 +108,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("training_corpus_final", llm.training_corpus_final, llm.TRAINING_CORPUS_FINAL_SQL),
     ("props_json_extract", advanced.props_json_extract, advanced.PROPS_JSON_EXTRACT_SQL),
     ("asof_last_event_value", advanced.asof_last_event_value, advanced.ASOF_LAST_EVENT_VALUE_SQL),
-    # -- 51+: remaining entries (r2-proved tail, then the r3 prefix
-    #    — all driver-proved in CORRECTNESS_r02/r03).
     ("value_percentiles", advanced.value_percentiles, advanced.VALUE_PERCENTILES_SQL),
     ("user_event_pivot", advanced.user_event_pivot, advanced.USER_EVENT_PIVOT_SQL),
     ("hourly_locf", advanced.hourly_locf, advanced.HOURLY_LOCF_SQL),

@@ -108,7 +108,11 @@ FLUSH_DOMAIN = "__flush__"
 
 
 def _chunked_events_dir(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 3, flush: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    flush: bool = False,
+    flush_mins: tuple[int, int] = (31, 62),
 ) -> str:
     """Stage events into ``n_chunks`` time-ordered parquet files so
     ``maxFilesPerTrigger=1`` yields deterministic micro-batches with
@@ -121,8 +125,11 @@ def _chunked_events_dir(
     are emitted before the stream ends, regardless of whether the
     engine schedules a trailing no-data batch. That makes the
     bounded run fully deterministic (and therefore
-    oracle-checkable)."""
-    suffix = "_flush" if flush else ""
+    oracle-checkable). ``flush_mins`` places the two sentinels —
+    (31, 62) min clears the 30-min visit timeout; window-agg
+    consumers pass larger offsets so the watermark also clears the
+    last hour window's END (e.g. (180, 360) for the funnel)."""
+    suffix = f"_flush{flush_mins[0]}_{flush_mins[1]}" if flush else ""
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"swa_stream_{os.path.basename(sf_dir)}_{n_chunks}{suffix}",
@@ -132,7 +139,9 @@ def _chunked_events_dir(
     # instead of re-running the chunk-write jobs every invocation
     src_stat = os.stat(os.path.join(sf_dir, "events.parquet"))
     marker = os.path.join(out_dir, "_STAGED")
-    fingerprint = f"{src_stat.st_mtime}:{src_stat.st_size}:{n_chunks}:{flush}"
+    fingerprint = (
+        f"{src_stat.st_mtime}:{src_stat.st_size}:{n_chunks}:{flush}:{flush_mins}"
+    )
     if os.path.isfile(marker) and open(marker).read() == fingerprint:
         return out_dir
 
@@ -168,7 +177,7 @@ def _chunked_events_dir(
             i,
         )
     if flush:
-        for j, mins in enumerate((31, 62)):
+        for j, mins in enumerate(flush_mins):
             sentinel = spark.range(1).select(
                 F.lit(-(j + 1)).cast("long").alias("event_id"),
                 us_to_ts(F.lit(hi + mins * 60_000_000)).cast("timestamp_ntz").alias("ts"),
@@ -363,6 +372,43 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id
  AND v.ts <= p.ts
  AND v.ts >= p.ts - INTERVAL 3600 SECOND
+"""
+
+
+def streaming_funnel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly view→purchase funnel (r4): the
+    three-stateful-operator append chain (interval join →
+    watermark-evicted dedup → hourly window agg,
+    `speed_layer.funnel_hourly_stream`) over deterministic
+    micro-batches. Flush sentinels at +180/+360 min push the final
+    watermark past every hour window's END, so the bounded run
+    emits every window and equals the batch interval-join + hourly
+    count — the exact oracle below.
+
+    Scale posture: all three state stores are watermark-bounded
+    (join buffers by the interval predicate, dedup keys by p_ts,
+    windows close as the watermark passes) — no unbounded state at
+    100 TB/day event rates.
+    """
+    src = _chunked_events_dir(spark, sf_dir, flush=True, flush_mins=(180, 360))
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    funnel = sl.funnel_hourly_stream(stream)
+    return sl.run_stream_to_table(funnel, "append")
+
+
+STREAMING_FUNNEL_HOURLY_SQL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+attributed AS (
+  SELECT DISTINCT p.event_id, p.ts
+  FROM p JOIN v ON p.user_id = v.user_id
+              AND v.ts <= p.ts
+              AND v.ts >= p.ts - INTERVAL 3600 SECOND
+)
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_attributed
+FROM attributed
+GROUP BY 1
 """
 
 

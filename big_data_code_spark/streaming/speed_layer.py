@@ -382,6 +382,57 @@ def view_purchase_join_stream(
     )
 
 
+def funnel_hourly_stream(events: DataFrame, horizon_secs: int = 3600) -> DataFrame:
+    """Streaming hourly funnel: attributed purchases per event-hour
+    — a THREE-stateful-operator chain (stream-stream interval join →
+    watermark-evicted dedup → event-time window agg) all in append
+    mode, the shape a real-time conversion dashboard runs.
+
+    A purchase is *attributed* iff the same user viewed within the
+    preceding ``horizon_secs``; the join can emit one row per
+    matching view, so `dropDuplicates([purchase_id, p_ts])` (state
+    evicted by the p_ts watermark) collapses to one row per
+    purchase before the hourly count.
+
+    Watermark is assigned BEFORE the type filters so flush
+    sentinels (a non-view/purchase domain) still advance it — the
+    window agg needs the final watermark past the LAST hour
+    window's end, which is why the funnel's staged source uses
+    (180, 360)-min sentinels instead of the visit-timeout (31, 62).
+    On a bounded flushed stream the append result equals the batch
+    interval-join + hourly count → exact oracle.
+
+    Returns (hour_bucket, n_attributed).
+    """
+    base = events.withWatermark("ts", "0 seconds")
+    views = base.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_secs} SECONDS")),
+    )
+    attributed = joined.select("purchase_id", "p_ts").dropDuplicates(
+        ["purchase_id", "p_ts"]
+    )
+    return (
+        attributed.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_bucket"),
+            "n_attributed",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once → effectively-once: drop duplicate event_ids
     within the watermark horizon. The reference gets idempotence

@@ -810,3 +810,152 @@ def test_dedup_semantic_final_clusters_seeded_pairs(spark):
     for r in seeded:
         if r["is_kept"]:
             assert r["canonical_id"] == r["vec_id"], r
+
+
+def test_temperature_mix_weights(spark):
+    """Weights sum to ~1, monotone in n_docs but flatter than the
+    raw share (the point of alpha < 1: low-resource langs gain),
+    and expected docs preserve the budget."""
+    from big_data_code_spark.plans.llm import TEMP_MIX_BUDGET
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["temperature_mix"](spark, SF_SMOKE).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["expected_docs"] for r in rows) - TEMP_MIX_BUDGET) < 1
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["weight"] <= b["weight"] + 1e-9
+        if a["n_docs"] < b["n_docs"]:
+            # temperature flattening: smaller langs get MORE than
+            # their raw share would give relative to bigger langs
+            assert (a["weight"] / b["weight"]) > (a["n_docs"] / b["n_docs"]), (a, b)
+
+
+def test_ccnet_buckets_are_equal_population_and_ordered(spark):
+    """Per lang: bucket sizes differ by at most 1 doc each from n/3,
+    and every head score >= every middle score >= every tail score."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    by_lang = {}
+    for r in QUERIES["ccnet_buckets"](spark, SF_SMOKE).collect():
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b) for b in order}
+        for b, sz in sizes.items():
+            assert abs(sz - n / 3) <= 1, (lang, sizes)
+        for b_hi, b_lo in (("head", "middle"), ("middle", "tail")):
+            hi = [r["mean_logprob"] for r in rs if r["bucket"] == b_hi]
+            lo = [r["mean_logprob"] for r in rs if r["bucket"] == b_lo]
+            if hi and lo:
+                assert min(hi) >= max(lo), (lang, b_hi, b_lo)
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """Ratios recompute from the reported sums; every lang with text
+    has fertility >= 1 (a BPE-ish regex never merges words)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["tokenizer_fertility"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["n_words"]:
+            assert r["tokens_per_word"] == r["n_tokens"] / r["n_words"]
+            assert r["tokens_per_word"] >= 1.0, r
+        if r["n_tokens"]:
+            assert r["bytes_per_token"] == r["n_bytes"] / r["n_tokens"]
+
+
+def test_data_card_stats_recomputes_from_docs(spark):
+    """The datasheet matches a per-lang recompute from the quality
+    table: counts, medians (exact lower median), and pass rates."""
+    from big_data_code_spark.plans.llm import doc_quality_filter
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = {r["doc_id"]: r["lang"] for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()}
+    quality = {r["doc_id"]: r for r in doc_quality_filter(spark, SF_SMOKE).collect()}
+    per_lang = {}
+    for did, lang in docs.items():
+        per_lang.setdefault(lang, []).append(quality[did])
+    cards = {r["lang"]: r for r in QUERIES["data_card_stats"](spark, SF_SMOKE).collect()}
+    assert cards.keys() == per_lang.keys()
+    for lang, qs in per_lang.items():
+        card = cards[lang]
+        assert card["n_docs"] == len(qs)
+        assert card["n_tokens"] == sum(q["n_tokens"] for q in qs)
+        assert card["max_tokens"] == max(q["n_tokens"] for q in qs)
+        toks = sorted(q["n_tokens"] for q in qs)
+        assert card["median_tokens"] == toks[(len(toks) + 1) // 2 - 1]
+        assert card["pct_quality_pass"] == sum(q["keep"] for q in qs) / len(qs)
+
+
+def test_ann_range_search_matches_brute_force_on_candidates(spark):
+    """Every returned pair clears tau; the self-pair (sim=1) is
+    always retrieved; no pair the brute-force scan puts under tau
+    ever appears."""
+    from big_data_code_spark.operators.ann import cosine
+    from big_data_code_spark.plans.llm import ANN_RANGE_TAU, _embeddings
+    from big_data_code_spark.plans.registry import QUERIES
+
+    got = QUERIES["ann_range_search"](spark, SF_SMOKE).collect()
+    assert got
+    q_ids = {r["q_id"] for r in got}
+    for r in got:
+        assert r["sim"] >= ANN_RANGE_TAU
+    for q in q_ids:
+        assert any(r["q_id"] == q and r["vec_id"] == q for r in got), q
+
+    # cross-check sims against a direct computation
+    emb = _embeddings(spark, SF_SMOKE)
+    a = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("cv"))
+    pairs = {(r["q_id"], r["vec_id"]): r["sim"] for r in got}
+    direct = (
+        a.join(b, F.lit(True))
+        .where(F.col("q_id") < 8)
+        .select("q_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+        .collect()
+    )
+    for r in direct:
+        key = (r["q_id"], r["vec_id"])
+        if key in pairs:
+            assert abs(pairs[key] - r["sim"]) < 1e-12
+
+
+def test_minhash_containment_finds_prefix_containment(spark):
+    """Seeded near-copies (original + 3-token tail) contain the
+    original completely: containment_a == 1.0 while jaccard < 1."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["minhash_containment"](spark, SF_SMOKE).collect()
+    assert rows
+    near = [r for r in rows if r["doc_id_b"] == r["doc_id_a"] + 2_000_000]
+    assert near, "seeded near pairs must surface"
+    for r in near:
+        assert r["containment_a"] == 1.0, r
+        assert r["jaccard"] < 1.0, r
+    for r in rows:
+        assert max(r["containment_a"], r["containment_b"]) >= 0.8
+
+
+def test_exact_substring_dedup_flags_seeded_overlaps(spark):
+    """Exact copies share EVERY window (overlap 1.0 both sides);
+    near copies (3-token tail) share every original window
+    (overlap_a == 1.0, overlap_b < 1.0)."""
+    from big_data_code_spark.plans.registry import QUERIES
+
+    rows = QUERIES["exact_substring_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    originals = [r for r in rows if r["doc_id_a"] < 1_000_000]
+    exact = [r for r in originals if r["doc_id_b"] == r["doc_id_a"] + 1_000_000]
+    near = [r for r in originals if r["doc_id_b"] == r["doc_id_a"] + 2_000_000]
+    assert exact and near
+    for r in exact:
+        assert r["overlap_a"] == 1.0 and r["overlap_b"] == 1.0, r
+    for r in near:
+        assert r["overlap_a"] == 1.0 and r["overlap_b"] < 1.0, r

@@ -503,3 +503,13 @@ def test_streaming_top_pages_ranks_within_hours(spark):
         counts = [r["n_views"] for r in rs]
         assert counts == sorted(counts, reverse=True)
         assert counts[0] == max(hourly[hb])
+
+
+def test_streaming_funnel_hourly_matches_batch(spark):
+    """The 3-stateful-operator append chain (join -> dedup -> window
+    agg) equals the batch interval join + hourly count on a bounded
+    flushed stream, and never double-counts a purchase with several
+    prior views."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_funnel_hourly", SF_SMOKE)

@@ -138,6 +138,12 @@ BNLJ_ALLOWED = {
                                  # over 4-byte codes — the intended
                                  # PQ plan (IVF cells prune it in
                                  # production: ann_ivf)
+    "tfidf_top_terms",           # r4: single-row doc-count scalar
+                                 # broadcast (replaced the driver-side
+                                 # docs.count() job — VERDICT r3 #8)
+    "temperature_mix",           # single-row normalizer Z broadcast
+    "ccnet_buckets",             # inherits unigram_logprob's (N, V)
+                                 # scalar broadcast
 }
 
 

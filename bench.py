@@ -143,6 +143,9 @@ BENCH_QUERIES = (
     "ann_range_search",
     "minhash_containment",
     "exact_substring_dedup",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "knn_graph",
 )
 
 

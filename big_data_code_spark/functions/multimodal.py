@@ -309,8 +309,11 @@ def resize_assets(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
     so downstream stages see realistic post-resize batch sizes.
 
     The deterministic stand-in "resample" byte-subsamples the
-    payload to round(len * (target_px / source_px)) bytes with a
-    fixed stride — stable across runs, partitionings, and engines.
+    payload to floor(len * (target_px / source_px)) bytes with a
+    fixed stride — stable across runs, partitionings, and engines
+    (floor, not round: Python's banker's rounding differs from SQL
+    round-half-up exactly at .5, and the r4 registry oracle
+    restates this size formula).
     """
     schema = StructType(
         [
@@ -328,7 +331,7 @@ def resize_assets(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = []
             for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
                 scale = (target_w * target_h) / max(int(w) * int(h), 1)
-                n_out = max(int(round(len(content) * min(scale, 1.0))), 1)
+                n_out = max(int(len(content) * min(scale, 1.0)), 1)
                 idx = np.linspace(0, max(len(content) - 1, 0), n_out).astype(np.int64)
                 arr = np.frombuffer(content, dtype=np.uint8)
                 out.append(arr[idx].tobytes() if arr.size else b"\x00")

@@ -3845,3 +3845,208 @@ FROM shared s
 JOIN sizes sa ON s.doc_id_a = sa.doc_id
 JOIN sizes sb ON s.doc_id_b = sb.doc_id
 """
+
+
+# --------------------------------- r4: multimodal pipeline breadth
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the registry (r4): the video-ingest
+    shape — binary payload split into per-asset frames, every 2nd
+    kept — run through the REAL Arrow ``mapInPandas`` plumbing
+    (`functions/multimodal.sample_frames`; a real deployment swaps
+    the chunker for a demuxer, everything else is identical).
+
+    Driver-hashable projection: per frame, its byte length and the
+    first 16 bytes as hex — both restated by the oracle from the
+    deterministic chunking formula (step = len // n_frames, frame i
+    = bytes[i*step:(i+1)*step]) over the UTF-8 payload's hex, so a
+    hash-match proves the pandas chunking byte-exactly.
+
+    Returns (asset_id, frame_idx, n_bytes, head_hex).
+    """
+    from ..functions.multimodal import sample_frames, synthetic_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthetic_assets(docs), every_k=2)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.substring(F.hex(F.col("frame_bytes")), 1, 32).alias("head_hex"),
+    )
+
+
+MULTIMODAL_FRAMESAMPLE_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+         CASE WHEN doc_id % 3 = 2 THEN doc_id % 25 + 2 ELSE 1 END AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT asset_id, hx, len,
+         CAST(i AS INT) AS frame_idx,
+         greatest(len // greatest(n_frames, 1), 1) AS step
+  FROM a CROSS JOIN range(0, 26) t(i)
+  WHERE i < greatest(n_frames, 1) AND i % 2 = 0
+)
+SELECT asset_id, frame_idx,
+       greatest(least((frame_idx + 1) * step, len) - frame_idx * step, 0)
+         AS n_bytes,
+       substr(hx, CAST(2 * frame_idx * step + 1 AS BIGINT),
+              least(32, 2 * step)) AS head_hex
+FROM f
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass through the registry (r4): binary-in/binary-out
+    Arrow ``mapInPandas`` (`functions/multimodal.resize_assets` to
+    32×32), with the deterministic stand-in resample (payload
+    subsampled to floor(len·scale) bytes on a linspace stride; a
+    real deployment swaps in the codec, the pass shape is
+    identical).
+
+    Driver-hashable projection: output byte count plus the first
+    and last byte of the resized payload as hex. The oracle
+    restates the size formula and — because the linspace stride
+    always keeps byte 0 and byte len-1 — the head/tail bytes from
+    the ORIGINAL payload's hex, so a hash-match pins the UDF's
+    endpoints and sizing cross-engine.
+
+    Returns (asset_id, format, width, height, n_bytes, head_hex,
+    tail_hex).
+    """
+    from ..functions.multimodal import resize_assets, synthetic_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_assets(synthetic_assets(docs), 32, 32)
+    hx = F.hex(F.col("content"))
+    return resized.select(
+        "asset_id",
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.substring(hx, 1, 2).alias("head_hex"),
+        F.expr("substring(hex(content), length(hex(content)) - 1, 2)").alias(
+            "tail_hex"
+        ),
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webm' END
+           AS format,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+         (doc_id % 640 + 16) * (doc_id % 480 + 16) AS src_px
+  FROM documents
+),
+r AS (
+  SELECT asset_id, format, hx, len,
+         greatest(CAST(floor(len * least(1024.0 / src_px, 1.0)) AS BIGINT), 1)
+           AS n_out
+  FROM a
+)
+SELECT asset_id, format,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       n_out AS n_bytes,
+       CASE WHEN len = 0 THEN '00' ELSE substr(hx, 1, 2) END AS head_hex,
+       -- linspace(0, len-1, 1) keeps only byte 0, so a 1-byte
+       -- resample's tail IS its head; otherwise the stride's
+       -- inclusive endpoint is byte len-1
+       CASE WHEN len = 0 THEN '00'
+            WHEN n_out = 1 THEN substr(hx, 1, 2)
+            ELSE substr(hx, 2 * len - 1, 2) END AS tail_hex
+FROM r
+"""
+
+
+KNN_K = 5
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH construction (r4): top-5 cosine
+    neighbors per vector among LSH band candidates — the edge list
+    semantic-dedup clustering, label propagation, and
+    graph-based retrieval start from. Unlike `ann_lsh` (few queries
+    broadcast over the corpus), EVERY vector is a query here, so
+    candidates come from the symmetric band self-join
+    (`cosine_dup_pairs_lsh`, threshold −1 = keep all candidates) —
+    never a corpus×corpus product, and no broadcast of the big
+    side.
+
+    Candidate recall per band is (1−θ/π)^8 with the default 4×8-bit
+    banding — the documented ANN-graph trade (band width tunes
+    recall vs candidate count; recall is asserted against the
+    seeded near-dups, whose θ≈0.08 makes all-band miss ~1e-9).
+    Deterministic md5 planes → the oracle restates the whole
+    construction (plan equivalence).
+
+    Returns (src, rank, dst, cos).
+    """
+    emb = _embeddings(spark, sf_dir)
+    pairs = ann.cosine_dup_pairs_lsh(emb, threshold=-1.0)
+    sym = pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_id_b").alias("src"), F.col("vec_id_a").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH planes AS (
+  SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
+                          % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS p
+  FROM range(0, 32) t(j)
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sigs AS (
+  SELECT c.vec_id,
+         string_agg(CASE WHEN list_dot_product(c.vec, p.p) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM c CROSS JOIN planes p
+  GROUP BY c.vec_id
+),
+bands AS (
+  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 8 + 1, 8) AS bk
+  FROM sigs CROSS JOIN range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.va, cand.vb,
+         list_dot_product(x.vec, y.vec) /
+           (sqrt(list_dot_product(x.vec, x.vec)) *
+            sqrt(list_dot_product(y.vec, y.vec))) AS cos
+  FROM cand JOIN c x ON cand.va = x.vec_id
+            JOIN c y ON cand.vb = y.vec_id
+),
+sym AS (
+  SELECT va AS src, vb AS dst, cos FROM scored
+  UNION ALL
+  SELECT vb AS src, va AS dst, cos FROM scored
+),
+ranked AS (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (
+           PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
+  FROM sym
+)
+SELECT src, rank, dst, cos FROM ranked WHERE rank <= {KNN_K}
+"""

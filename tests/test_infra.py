@@ -672,3 +672,32 @@ def test_prefix_driver_canonicalizer_compat(spark):
             st = spark_types[c]
             ok = st in _DUCK_TO_SPARK.get(dt, set()) or decimal_ok(dt, st)
             assert ok, f"{name}.{c}: oracle {dt} vs spark {st} flips the driver hash"
+
+
+def test_multimodal_framesample_and_resize_registry(spark):
+    """The r4 registry projections of the frame-sample and resize
+    passes: every-2nd-frame selection, per-frame sizes reassemble
+    the payload, and resize endpoints/sizing hold."""
+    from big_data_code_spark.functions.multimodal import synthetic_assets
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    meta = {
+        r["asset_id"]: r
+        for r in synthetic_assets(docs).select("asset_id", "content", "n_frames").collect()
+    }
+    frames = {}
+    for r in QUERIES["multimodal_framesample"](spark, SF_SMOKE).collect():
+        frames.setdefault(r["asset_id"], []).append(r)
+    assert frames.keys() == meta.keys()
+    for aid, fs in frames.items():
+        n = max(meta[aid]["n_frames"], 1)
+        assert sorted(f["frame_idx"] for f in fs) == list(range(0, n, 2))
+
+    resized = {r["asset_id"]: r for r in QUERIES["multimodal_resize"](spark, SF_SMOKE).collect()}
+    for aid, r in resized.items():
+        content = meta[aid]["content"]
+        assert 1 <= r["n_bytes"] <= max(len(content), 1)
+        if content:
+            assert r["head_hex"] == content[:1].hex().upper()

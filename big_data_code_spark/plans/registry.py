@@ -74,6 +74,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
     ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
+    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
@@ -97,9 +98,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("person_purge", swa.person_purge, swa.PERSON_PURGE_SQL),
     ("incremental_pageviews_update", swa.incremental_pageviews_update, swa.INCREMENTAL_PAGEVIEWS_SQL),
     ("rolling_7d_uniques", swa.rolling_7d_uniques, swa.ROLLING_7D_UNIQUES_SQL),
-    ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     # -- 51+: remaining entries (r2-proved tail, then the r3 prefix
     #    — all driver-proved in CORRECTNESS_r02/r03).
+    ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),

@@ -591,6 +591,13 @@ def incremental_pageviews_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timebuckets import epoch_us, us_to_ts
 
     events = load_table(spark, sf_dir, "events")
+    # The batch/delta boundary is an INPUT in production: the batch
+    # ledger records the max event time the last completed view
+    # covered (what the reference notes when it ships a domain).
+    # This harness has no ledger, so the bounded run derives a
+    # stand-in cutoff from one min/max scan — a harness-only driver
+    # action, not the production path (same note as
+    # `lambda_merged_pageviews`, plans/speed.py).
     lo, hi = events.agg(
         F.min(epoch_us("ts")), F.max(epoch_us("ts"))
     ).first()

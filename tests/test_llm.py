@@ -982,3 +982,28 @@ def test_knn_graph_structure_and_seeded_recall(spark):
     # node is that node's max candidate similarity
     for src, edges in list(by_src.items())[:50]:
         assert edges[0]["cos"] >= edges[-1]["cos"]
+
+
+def test_lsh_signature_arrow_bit_identical(spark):
+    """The Arrow-vectorized signature must equal the JVM fold bit
+    for bit (same sequential IEEE op order) — this is what keeps the
+    banding-restating oracles exact when arrow_sig=True."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import _embeddings
+
+    emb = _embeddings(spark, SF_SMOKE)
+    for n_planes in (32, 48, 64):
+        planes = ann.hyperplanes(64, n_planes)
+        jvm = {
+            r["vec_id"]: r["s"]
+            for r in emb.select(
+                "vec_id", ann.lsh_signature(F.col("embedding"), planes).alias("s")
+            ).collect()
+        }
+        arw = {
+            r["vec_id"]: r["s"]
+            for r in emb.select(
+                "vec_id", ann.lsh_signature_arrow(planes)(F.col("embedding")).alias("s")
+            ).collect()
+        }
+        assert jvm == arw, n_planes

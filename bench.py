@@ -147,6 +147,11 @@ BENCH_QUERIES = (
     "multimodal_resize",
     "knn_graph",
     "value_percentiles_approx",
+    "gopher_repetition_rules",
+    "quality_logit",
+    "char_entropy",
+    "heavy_hitters_cms",
+    "ann_recall_eval",
 )
 
 

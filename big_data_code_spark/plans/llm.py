@@ -4057,3 +4057,458 @@ ranked AS (
 )
 SELECT src, rank, dst, cos FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+# ---------------------------------------------------- r4 wave 2:
+# quality classifiers, char entropy, CMS heavy hitters, ANN recall
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, table A1 shape;
+#: values tuned so each rule is live on the synthetic corpus).
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP = 2
+GOPHER_MAX_TOP2 = 0.08
+GOPHER_MAX_DUP3 = 0.05
+
+_STOP_SQL_BY_LANG = {
+    lang: "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    for lang in sorted(STOPWORDS)
+}
+
+
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition + well-formedness rules: the published
+    rule-filter shape for web corpora (word count band, mean word
+    length band, alphabetic-word fraction, stop-word floor, top-2-gram
+    occupancy, duplicate-3-gram ratio), each threshold a constant.
+
+    Plan shape: the per-document scalars are one shuffle-free map pass
+    (token HOFs); the top-2-gram occupancy is the one aggregation —
+    explode 2-grams → (doc, gram) count → per-doc max/sum, both
+    map-side combinable, so at 100 TB it's two hash shuffles keyed by
+    doc_id and never doc×doc. The duplicate-3-gram ratio stays
+    per-row (`array_distinct` over the doc's own grams). The verdict
+    compares unrounded doubles — every input is exact integer
+    arithmetic, so both engines derive bit-identical operands.
+
+    Returns (doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+    top2_frac, dup3_frac, keep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    all3 = word_shingles(F.col("toks"), distinct=False)
+    stop_best = F.greatest(
+        *[stopword_hits(F.col("toks"), lang) for lang in sorted(STOPWORDS)]
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.when(
+            F.size("toks") > 0,
+            F.aggregate(
+                F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mwl"),
+        F.when(
+            F.size("toks") > 0,
+            F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+            / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alpha_frac"),
+        stop_best.cast("long").alias("stop_hits"),
+        F.when(
+            F.size("toks") >= 3,
+            F.lit(1.0) - F.size(F.array_distinct(all3)) / F.size(all3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup3"),
+    )
+    g2 = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("g"),
+    )
+    t2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n") / F.sum("n")).alias("top2"))
+    )
+    j = base.join(t2, "doc_id", "left").withColumn(
+        "top2", F.coalesce("top2", F.lit(0.0))
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (F.col("mwl") >= GOPHER_MIN_MWL)
+        & (F.col("mwl") <= GOPHER_MAX_MWL)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP)
+        & (F.col("top2") <= GOPHER_MAX_TOP2)
+        & (F.col("dup3") <= GOPHER_MAX_DUP3)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "stop_hits",
+        F.round("top2", 6).alias("top2_frac"),
+        F.round("dup3", 6).alias("dup3_frac"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_REPETITION_RULES_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_words,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+                   / len(tokens)
+              ELSE 0.0 END AS alpha_frac,
+         greatest(
+           len(list_filter(tokens, t -> list_contains({_STOP_SQL_BY_LANG["de"]}, t))),
+           len(list_filter(tokens, t -> list_contains({_STOP_SQL_BY_LANG["en"]}, t))),
+           len(list_filter(tokens, t -> list_contains({_STOP_SQL_BY_LANG["es"]}, t))),
+           len(list_filter(tokens, t -> list_contains({_STOP_SQL_BY_LANG["fr"]}, t)))
+         )::BIGINT AS stop_hits,
+         CASE WHEN len(tokens) >= 3
+              THEN 1.0 - len(list_distinct(list_transform(
+                     range(1, len(tokens) - 1),
+                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])))
+                   / len(list_transform(range(1, len(tokens) - 1),
+                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+              ELSE 0.0 END AS dup3
+  FROM tok),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+  FROM tok WHERE len(tokens) >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(n) / sum(n) AS top2 FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.n_words,
+       round(b.mwl, 6) AS mean_word_len,
+       round(b.alpha_frac, 6) AS alpha_frac,
+       b.stop_hits,
+       round(coalesce(t2.top2, 0.0), 6) AS top2_frac,
+       round(b.dup3, 6) AS dup3_frac,
+       (b.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND b.mwl >= {GOPHER_MIN_MWL} AND b.mwl <= {GOPHER_MAX_MWL}
+        AND b.alpha_frac >= {GOPHER_MIN_ALPHA}
+        AND b.stop_hits >= {GOPHER_MIN_STOP}
+        AND coalesce(t2.top2, 0.0) <= {GOPHER_MAX_TOP2}
+        AND b.dup3 <= {GOPHER_MAX_DUP3}) AS keep
+FROM base b LEFT JOIN t2 ON b.doc_id = t2.doc_id
+"""
+
+
+#: Fixed-weight logistic quality classifier: hand-set weights over
+#: four cheap features (the fastText-classifier shape with the model
+#: frozen into the plan). The LINEAR logit is emitted — no sigmoid —
+#: so every arithmetic step is IEEE-exact cross-engine.
+QUALITY_LOGIT_EXPR = (
+    "-3.0 + 20.0 * stop_ratio - 8.0 * punct_ratio"
+    " + 0.4 * mtl + 2.0 * sat"
+)
+
+
+def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight quality classifier over per-row features
+    (stop-word ratio, punctuation ratio, mean token length, a
+    saturating length feature n/(n+100)): score = w·x + b, keep =
+    logit > 0. This is the standard learned-quality-filter serving
+    shape (weights trained offline, frozen into the pipeline) — at
+    serve time it's a shuffle-free map pass, whole-stage codegen,
+    no shuffle at any scale.
+
+    Float contract: the logit is a fixed left-to-right chain of
+    double +/*, identical text in both engines (`QUALITY_LOGIT_EXPR`),
+    over operands that are exact integer ratios — bit-identical
+    cross-engine, so `keep` needs no tolerance.
+
+    Returns (doc_id, n_tokens, logit, keep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0, stopword_hits(F.col("toks"), "en") / F.size("toks")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
+        F.when(
+            F.length("text") > 0, punct_count(F.col("text")) / F.length("text")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(
+            F.size("toks") > 0,
+            F.aggregate(
+                F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mtl"),
+        (F.size("toks") / (F.size("toks") + F.lit(100.0))).alias("sat"),
+    )
+    scored = feats.withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logit", 6).alias("logit"),
+        (F.col("logit") > 0).alias("keep"),
+    )
+
+
+QUALITY_LOGIT_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_filter(tokens,
+                     t -> list_contains({_STOP_SQL_BY_LANG["en"]}, t)))
+                   / len(tokens)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              ELSE 0.0 END AS mtl,
+         len(tokens) / (len(tokens) + 100.0) AS sat
+  FROM tok),
+scored AS (SELECT *, {QUALITY_LOGIT_EXPR} AS logit FROM feats)
+SELECT doc_id, n_tokens, round(logit, 6) AS logit, logit > 0 AS keep
+FROM scored
+"""
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/boilerplate detector (near-zero entropy = repeated
+    filler; near-log2(alphabet) = encrypted/compressed junk).
+
+    Plan: one explode → (doc, char) hash count (map-side combinable;
+    alphabet-bounded so the combine is near-total), per-doc totals by
+    window over the counted frame (≤ alphabet rows per doc, not per
+    char occurrence), then the sorted-fold float contract from
+    `unigram_logprob`/`bigram_logprob`: each term -(c/n)·ln(c/n) is
+    quantized to the 1e-6 grid and folded in char order, so JVM-vs-
+    libm ln ulp noise can't flip the hash.
+
+    Returns (doc_id, n_chars, n_distinct_chars, entropy) in nats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), ""), lambda c: c != "")
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    terms = cnt.withColumn("n", F.sum("c").over(w)).withColumn(
+        "t", F.expr("round(-(c / n) * ln(c / n), 6)")
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ch", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("entropy"),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), ''),
+                            c -> c <> '')) AS ch
+  FROM documents),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       count(*) AS n_distinct_chars,
+       list_sum(list(round(-(c / n) * ln(c / n), 6) ORDER BY ch)) AS entropy
+FROM tot
+GROUP BY doc_id
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 50
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode-Muthukrishnan):
+    DEPTH independent md5 hash rows × WIDTH counters; a term's
+    estimate is the min over its DEPTH cells; emit the top-K terms by
+    estimate with their true counts and the CMS overcount.
+
+    The sketch itself is the point at 100 TB: DEPTH×WIDTH counters
+    are a mergeable, fixed-size summary — each executor folds its
+    partition into a local sketch (here: the map-side partial agg of
+    the (row, bucket) sum) and only 1024 cells shuffle, regardless
+    of corpus vocabulary. The estimate join back is a broadcast of
+    those 1024 cells. Top-K is TakeOrdered (per-partition heaps, no
+    global sort), deterministic under (est desc, term asc).
+    Everything is integer arithmetic — exact cross-engine.
+
+    Returns (term, est, true_cnt, overcount), top-K rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    hashed = tf.select(
+        "term", "true_cnt", F.explode(rows).alias("i")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("i"), F.lit(":"), F.col("term"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    )
+    cells = hashed.groupBy("i", "bucket").agg(F.sum("true_cnt").alias("cell"))
+    est = (
+        hashed.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cell").alias("est"), F.max("true_cnt").alias("true_cnt"))
+    )
+    return (
+        est.select(
+            "term",
+            F.col("est").cast("long").alias("est"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("est"), "term")
+        .limit(CMS_TOP_K)
+    )
+
+
+HEAVY_HITTERS_CMS_SQL = f"""
+WITH tf AS (
+  SELECT term, count(*) AS true_cnt
+  FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+  GROUP BY term),
+hashed AS (
+  SELECT term, true_cnt, i,
+         ('0x' || substr(md5('cms' || i || ':' || term), 1, 7))::BIGINT
+           % {CMS_WIDTH} AS bucket
+  FROM tf CROSS JOIN range(0, {CMS_DEPTH}) t(i)),
+cells AS (
+  SELECT i, bucket, CAST(sum(true_cnt) AS BIGINT) AS cell
+  FROM hashed GROUP BY 1, 2),
+est AS (
+  SELECT h.term,
+         CAST(min(c.cell) AS BIGINT) AS est,
+         CAST(max(h.true_cnt) AS BIGINT) AS true_cnt
+  FROM hashed h JOIN cells c ON h.i = c.i AND h.bucket = c.bucket
+  GROUP BY h.term)
+SELECT term, est, true_cnt, est - true_cnt AS overcount
+FROM est
+ORDER BY est DESC, term
+LIMIT {CMS_TOP_K}
+"""
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the approximate ANN paths against the
+    brute-force exact top-k — the offline eval loop every ANN
+    deployment runs when (re)tuning an index. Joins each approximate
+    result set (`ann_lsh`, `ann_ivf`) against `ann_cosine_topk` on
+    (q_id, vec_id) and reports per-query hit counts and recall.
+
+    Pure composition of the existing deterministic operators — the
+    joins are on the tiny top-k result sets (queries × k rows), so
+    the eval itself costs nothing beyond the index scans it audits.
+
+    Returns (method, q_id, n_hits, recall).
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    qids = exact.select("q_id").distinct()
+    parts = []
+    for method, fn in (("ivf", ann_ivf), ("lsh", ann_lsh)):
+        ap = fn(spark, sf_dir).select("q_id", "vec_id")
+        hits = (
+            exact.join(ap, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            qids.join(hits, "q_id", "left").select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "method", "q_id", "n_hits", (F.col("n_hits") / ANN_K).alias("recall")
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({ANN_COSINE_TOPK_SQL})),
+lsh AS (SELECT q_id, vec_id FROM ({ANN_LSH_SQL})),
+ivf AS (SELECT q_id, vec_id FROM ({ANN_IVF_SQL})),
+qids AS (SELECT DISTINCT q_id FROM exact),
+h AS (
+  SELECT 'ivf' AS method, e.q_id, count(*) AS n_hits
+  FROM exact e JOIN ivf a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY e.q_id
+  UNION ALL
+  SELECT 'lsh' AS method, e.q_id, count(*) AS n_hits
+  FROM exact e JOIN lsh a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY e.q_id
+),
+m AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
+grid AS (SELECT m.method, q.q_id FROM m CROSS JOIN qids q)
+SELECT g.method, g.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / {ANN_K} AS recall
+FROM grid g LEFT JOIN h ON g.method = h.method AND g.q_id = h.q_id
+"""

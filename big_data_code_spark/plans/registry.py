@@ -75,6 +75,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
     ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
+    ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
+    ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
+    ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
+    ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

@@ -1007,3 +1007,170 @@ def test_lsh_signature_arrow_bit_identical(spark):
             ).collect()
         }
         assert jvm == arw, n_planes
+
+
+# ---------------------------------------------------- r4 wave 2
+
+
+def test_gopher_rules_verdict_recomputes_and_rules_are_live(spark):
+    """Every reported column recomputes from the raw text with the
+    same formulas; the combined verdict matches; and the rule set is
+    live on this corpus (both verdicts occur)."""
+    import re as _re
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    stops = {
+        lang: set(ws) for lang, ws in __import__(
+            "big_data_code_spark.functions.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS.items()
+    }
+    rows = QUERIES["gopher_repetition_rules"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    verdicts = set()
+    for r in rows:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", texts[r["doc_id"]].lower()) if t]
+        n = len(toks)
+        assert r["n_words"] == n
+        mwl = sum(map(len, toks)) / n if n else 0.0
+        alpha = sum(1 for t in toks if _re.search("[a-z]", t)) / n if n else 0.0
+        stop = max(sum(1 for t in toks if t in ws) for ws in stops.values())
+        g2 = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top2 = max(g2.count(g) for g in set(g2)) / len(g2) if g2 else 0.0
+        g3 = [" ".join(toks[i : i + 3]) for i in range(n - 2)] if n >= 3 else []
+        dup3 = 1.0 - len(set(g3)) / len(g3) if g3 else 0.0
+        assert r["mean_word_len"] == round(mwl, 6)
+        assert r["alpha_frac"] == round(alpha, 6)
+        assert r["stop_hits"] == stop
+        assert r["top2_frac"] == round(top2, 6)
+        assert r["dup3_frac"] == round(dup3, 6)
+        keep = (
+            llm.GOPHER_MIN_WORDS <= n <= llm.GOPHER_MAX_WORDS
+            and llm.GOPHER_MIN_MWL <= mwl <= llm.GOPHER_MAX_MWL
+            and alpha >= llm.GOPHER_MIN_ALPHA
+            and stop >= llm.GOPHER_MIN_STOP
+            and top2 <= llm.GOPHER_MAX_TOP2
+            and dup3 <= llm.GOPHER_MAX_DUP3
+        )
+        assert r["keep"] == keep, r
+        verdicts.add(keep)
+    assert verdicts == {True, False}
+
+
+def test_quality_logit_matches_manual_and_splits(spark):
+    """The logit recomputes from python over the raw text with the
+    exact weight chain; keep == logit > 0; both verdicts occur."""
+    import re as _re
+
+    from big_data_code_spark.functions.text import STOPWORDS
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    en = set(STOPWORDS["en"])
+    punct_re = _re.compile(r"[!-/:-@\[-`{-~]")
+    rows = QUERIES["quality_logit"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    verdicts = set()
+    for r in rows:
+        text = texts[r["doc_id"]]
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        assert r["n_tokens"] == n
+        stop_ratio = sum(1 for t in toks if t in en) / n if n else 0.0
+        punct_ratio = len(punct_re.findall(text)) / len(text) if text else 0.0
+        mtl = sum(map(len, toks)) / n if n else 0.0
+        sat = n / (n + 100.0)
+        logit = -3.0 + 20.0 * stop_ratio - 8.0 * punct_ratio + 0.4 * mtl + 2.0 * sat
+        assert abs(r["logit"] - round(logit, 6)) < 1e-12, r
+        assert r["keep"] == (logit > 0)
+        verdicts.add(r["keep"])
+    assert verdicts == {True, False}
+
+
+def test_char_entropy_bounds_and_manual_fold(spark):
+    """Entropy recomputes with the identical quantized sorted fold;
+    0 <= H <= ln(n_distinct) + fold slack."""
+    import math
+    from collections import Counter
+
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    rows = QUERIES["char_entropy"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        cnt = Counter(texts[r["doc_id"]].lower())
+        n = sum(cnt.values())
+        assert r["n_chars"] == n
+        assert r["n_distinct_chars"] == len(cnt)
+        h = 0.0
+        for ch in sorted(cnt):
+            p = cnt[ch] / n
+            h += round(-p * math.log(p), 6)
+        assert abs(r["entropy"] - h) < 1e-12, r
+        assert -1e-9 <= r["entropy"] <= math.log(len(cnt)) + 1e-4
+
+
+def test_heavy_hitters_cms_never_underestimates(spark):
+    """CMS invariants: est >= true count for every emitted term, true
+    counts match an exact recompute, and the true heaviest term is
+    emitted (its estimate is >= the global max frequency)."""
+    from collections import Counter
+    import re as _re
+
+    from big_data_code_spark.plans.llm import CMS_TOP_K
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    tf = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        tf.update(t for t in _re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+    rows = QUERIES["heavy_hitters_cms"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= CMS_TOP_K
+    for r in rows:
+        assert r["true_cnt"] == tf[r["term"]], r
+        assert r["est"] >= r["true_cnt"], r
+        assert r["overcount"] == r["est"] - r["true_cnt"]
+    if len(tf) <= CMS_TOP_K:
+        assert {r["term"] for r in rows} == set(tf)
+    else:
+        top_term = max(tf, key=lambda t: (tf[t], t))
+        assert any(r["term"] == top_term for r in rows)
+
+
+def test_ann_recall_eval_consistent_with_components(spark):
+    """recall == n_hits/k, and n_hits equals a manual intersection of
+    the exact and approximate top-k result sets."""
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in llm.ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        "lsh": {(r["q_id"], r["vec_id"]) for r in llm.ann_lsh(spark, SF_SMOKE).collect()},
+        "ivf": {(r["q_id"], r["vec_id"]) for r in llm.ann_ivf(spark, SF_SMOKE).collect()},
+    }
+    rows = QUERIES["ann_recall_eval"](spark, SF_SMOKE).collect()
+    assert len(rows) == 2 * llm.ANN_N_QUERIES
+    for r in rows:
+        want = sum(
+            1 for (q, v) in (exact & approx[r["method"]]) if q == r["q_id"]
+        )
+        assert r["n_hits"] == want, r
+        assert r["recall"] == r["n_hits"] / llm.ANN_K

@@ -152,6 +152,14 @@ BENCH_QUERIES = (
     "char_entropy",
     "heavy_hitters_cms",
     "ann_recall_eval",
+    "tfidf_cosine_pairs",
+    "bm25_search",
+    "pca_power_iteration",
+    "pagerank_knn_graph",
+    "source_blocklist_filter",
+    "bpe_train_merges",
+    "dp_noisy_counts",
+    "streaming_heavy_hitters_cms",
 )
 
 

@@ -4372,6 +4372,46 @@ CMS_WIDTH = 256
 CMS_TOP_K = 50
 
 
+def _cms_explode(tf: DataFrame) -> DataFrame:
+    """Fan a (term, n) frequency frame out to its CMS_DEPTH
+    (i, bucket) cells — the shared build step of the batch and
+    streaming sketches (md5 row-hash family, 7 hex chars % WIDTH)."""
+    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    return tf.select("term", "n", F.explode(rows).alias("i")).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("i"), F.lit(":"), F.col("term"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    )
+
+
+def _cms_topk(hashed: DataFrame, cells: DataFrame) -> DataFrame:
+    """Query phase: min-over-rows estimates joined against the
+    (broadcast) 1024-cell sketch, TakeOrdered top-K."""
+    est = (
+        hashed.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cell").alias("est"), F.max("n").alias("true_cnt"))
+    )
+    return (
+        est.select(
+            "term",
+            F.col("est").cast("long").alias("est"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("est"), "term")
+        .limit(CMS_TOP_K)
+    )
+
+
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (Cormode-Muthukrishnan):
     DEPTH independent md5 hash rows × WIDTH counters; a term's
@@ -4393,40 +4433,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
-    hashed = tf.select(
-        "term", "true_cnt", F.explode(rows).alias("i")
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cms"), F.col("i"), F.lit(":"), F.col("term"))),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CMS_WIDTH,
-    )
-    cells = hashed.groupBy("i", "bucket").agg(F.sum("true_cnt").alias("cell"))
-    est = (
-        hashed.join(F.broadcast(cells), ["i", "bucket"])
-        .groupBy("term")
-        .agg(F.min("cell").alias("est"), F.max("true_cnt").alias("true_cnt"))
-    )
-    return (
-        est.select(
-            "term",
-            F.col("est").cast("long").alias("est"),
-            F.col("true_cnt").cast("long").alias("true_cnt"),
-            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
-        )
-        .orderBy(F.desc("est"), "term")
-        .limit(CMS_TOP_K)
-    )
+    hashed = _cms_explode(tf)
+    cells = hashed.groupBy("i", "bucket").agg(F.sum("n").alias("cell"))
+    return _cms_topk(hashed, cells)
 
 
 HEAVY_HITTERS_CMS_SQL = f"""
@@ -4511,4 +4522,651 @@ SELECT g.method, g.q_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) / {ANN_K} AS recall
 FROM grid g LEFT JOIN h ON g.method = h.method AND g.q_id = h.q_id
+"""
+
+
+# ---------------------------------------------------- r4 wave 3:
+# sparse retrieval, iterative linear algebra / graph, governance
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf-weighted cosine re-ranking of MinHash-LSH candidate
+    pairs — the production candidate-then-rerank shape: the cheap
+    banded LSH join proposes pairs (never doc×doc), then each pair
+    is scored with the full weighted-cosine over its shared terms.
+    (On natural corpora the candidate generator could also be a
+    rare-term posting join with a df ceiling; this synthetic corpus
+    has a 31-term vocabulary with min df≈25, so every posting list
+    is hot and banding is the right generator.)
+
+    Float contract: idf is quantized to the 1e-6 grid
+    (`round(ln(N/df), 6)` — JVM vs libm ln ulp), weights are exact
+    products of BIGINT tf with grid doubles, and both the pair
+    numerator and the per-doc norms fold 1e-6-quantized products in
+    sorted term order (the `unigram_logprob` contract). The final
+    cosine is a single quotient of identical doubles — shipped raw.
+
+    Returns (doc_id_a, doc_id_b, n_shared_terms, cos).
+    """
+    corpus = _corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(corpus, threshold=0.0).select(
+        "doc_id_a", "doc_id_b"
+    )
+    tok = corpus.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", F.expr("tf * round(ln(n_docs / df), 6)").alias("w")
+        )
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term"), F.expr("round(w * w, 6)").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("norm2")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_id_a"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_id_b"), "term", F.col("w").alias("wb")
+    )
+    num = (
+        cand.join(wa, "doc_id_a")
+        .join(wb, ["doc_id_b", "term"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("term"), F.expr("round(wa * wb, 6)").alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("num"),
+        )
+    )
+    na = norm.select(F.col("doc_id").alias("doc_id_a"), F.col("norm2").alias("norm2_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_id_b"), F.col("norm2").alias("norm2_b"))
+    return (
+        num.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared_terms",
+            F.expr("num / (sqrt(norm2_a) * sqrt(norm2_b))").alias("cos"),
+        )
+    )
+
+
+_TFIDF_TOKENS_CORPUS = _TOKENS  # corpus CTE exposes `text` too
+
+TFIDF_COSINE_PAIRS_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+tk AS (SELECT doc_id, unnest({_TFIDF_TOKENS_CORPUS}) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM corpus),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * round(ln(nd.n_docs / dfreq.df), 6) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+nrm AS (
+  SELECT doc_id, list_sum(list(round(w * w, 6) ORDER BY term)) AS norm2
+  FROM w GROUP BY 1),
+num AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         list_sum(list(round(wa.w * wb.w, 6) ORDER BY wa.term)) AS num
+  FROM cand c
+  JOIN w wa ON c.doc_id_a = wa.doc_id
+  JOIN w wb ON c.doc_id_b = wb.doc_id AND wa.term = wb.term
+  GROUP BY 1, 2)
+SELECT n.doc_id_a, n.doc_id_b, n.n_shared_terms,
+       n.num / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos
+FROM num n
+JOIN nrm na ON n.doc_id_a = na.doc_id
+JOIN nrm nb ON n.doc_id_b = nb.doc_id
+"""
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 5
+BM25_TOP_K = 10
+
+#: Per-(query-term, doc) BM25 contribution — identical text in both
+#: engines; idf quantized to the 1e-6 grid, whole term quantized
+#: again before the sorted fold.
+#: Lucene-convention idf — ln(1 + (N-df+.5)/(df+.5)) — strictly
+#: positive even when df > N/2 (classic RSJ idf goes negative there,
+#: which on a tiny-vocabulary corpus inverts the ranking).
+_BM25_TERM_EXPR = (
+    "round(round(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)), 6)"
+    " * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 6)"
+)
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: the first BM25_N_QUERIES documents
+    act as queries (their distinct token sets); every document is
+    scored via the classic Robertson-Sparck-Jones BM25 (k1=1.2,
+    b=0.75) and the top-K per query is returned.
+
+    Plan shape at scale: the score join is `query-terms × posting
+    lists` — an equi-join on term restricted to the (tiny) query
+    vocabulary, so cost ∝ the postings of queried terms, never the
+    corpus × corpus product. df/avgdl are corpus statistics computed
+    once (map-side-combinable aggs; avgdl is an exact BIGINT sum
+    divided once). Per-query top-K is a window over each query's
+    scored set (TakeOrdered per query at scale). Scores fold
+    1e-6-quantized terms in sorted term order; ranking compares
+    identical doubles, ties broken by doc_id.
+
+    Returns (q_id, rank, doc_id, score).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scal = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("_sumdl")))
+        .select("n_docs", F.expr("_sumdl / n_docs").alias("avgdl"))
+    )
+    q = docs.where(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        q.join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("q_id", "doc_id", "term", F.expr(_BM25_TERM_EXPR).alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score")
+        )
+    )
+    win = Window.partitionBy("q_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            "q_id", F.row_number().over(win).cast("long").alias("rank"),
+            "doc_id", "score",
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+    )
+
+
+BM25_SEARCH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+scal AS (
+  SELECT n_docs, sumdl / n_docs AS avgdl
+  FROM (SELECT count(*) AS n_docs FROM documents)
+  CROSS JOIN (SELECT CAST(sum(dl) AS BIGINT) AS sumdl FROM dl)),
+q AS (
+  SELECT doc_id AS q_id, unnest(list_distinct({_TOKENS})) AS term
+  FROM documents WHERE doc_id < {BM25_N_QUERIES}),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         list_sum(list({_BM25_TERM_EXPR} ORDER BY q.term)) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfreq ON q.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN scal
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+PCA_POWER_ITERATIONS = 2
+PCA_DIM = 64
+#: Fixed-point scale for the order-free row sums: contributions are
+#: rounded onto a 1e-6 integer grid so the cross-row sum is an exact
+#: BIGINT add (associative — shuffle order can't move the result),
+#: the hourly_locf "cents" pattern applied to linear algebra.
+_PCA_CONTRIB_EXPR = "CAST(round(s * x * 1e6) AS BIGINT)"
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by power
+    iteration — v ← normalize(Xᵀ(Xv)), PCA_POWER_ITERATIONS fixed
+    rounds from the all-⅛ unit start vector, entirely in-plan (no
+    driver-side collect between rounds; the next round's v is a
+    one-row array crossJoined back in).
+
+    100 TB shape: each round is (a) a shuffle-free map computing
+    s_r = ⟨x_r, v⟩ per row against the broadcast v, then (b) ONE
+    map-side-combinable 64-key aggregation for u = Xᵀs. The
+    covariance matrix is never materialized (Xᵀ(Xv), not (XᵀX)v).
+    Cross-row float determinism comes from fixed-point contributions
+    (see `_PCA_CONTRIB_EXPR`): BIGINT sums are order-free, so the
+    result is exact under any partitioning; the per-row dot product
+    and the 64-term norm fold run in fixed index order.
+
+    Returns (dim, loading) — the final unit vector, 64 rows.
+    """
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    v = F.array(*[F.lit(0.125)] * PCA_DIM)
+    vrow = emb.sparkSession.range(1).select(v.alias("v"))
+    for _ in range(PCA_POWER_ITERATIONS):
+        s = emb.crossJoin(F.broadcast(vrow)).select(
+            "vec_id",
+            "vec",
+            F.aggregate(
+                F.zip_with("vec", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+        contrib = s.select("s", F.posexplode("vec").alias("j", "x"))
+        u = (
+            contrib.withColumn("c", F.expr(_PCA_CONTRIB_EXPR))
+            .groupBy("j")
+            .agg(F.expr("CAST(sum(c) AS BIGINT) / 1e6").alias("u"))
+        )
+        vrow = u.agg(
+            F.array_sort(F.collect_list(F.struct("j", "u"))).alias("a")
+        ).select(
+            F.expr(
+                "transform(a, p -> p.u / "
+                "sqrt(aggregate(transform(a, q -> q.u * q.u), 0.0D,"
+                " (acc, t) -> acc + t)))"
+            ).alias("v")
+        )
+    return vrow.select(F.posexplode("v").alias("dim", "loading")).select(
+        F.col("dim").cast("long").alias("dim"), "loading"
+    )
+
+
+def _pca_sql() -> str:
+    body = [
+        f"c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),",
+        f"v0 AS (SELECT list_transform(range(0, {PCA_DIM}), i -> 0.125e0) AS v),",
+    ]
+    prev = "v0"
+    for it in range(1, PCA_POWER_ITERATIONS + 1):
+        body.append(
+            f"""s{it} AS (
+  SELECT c.vec_id, c.vec, list_dot_product(c.vec, {prev}.v) AS s
+  FROM c CROSS JOIN {prev}),
+u{it} AS (
+  SELECT i AS j, CAST(sum({_PCA_CONTRIB_EXPR.replace('x', 'vec[i + 1]')}) AS BIGINT)
+           / 1e6 AS u
+  FROM s{it} CROSS JOIN range(0, {PCA_DIM}) t(i) GROUP BY i),
+v{it} AS (
+  SELECT list_transform(us, x ->
+           x / sqrt(list_sum(list_transform(us, y -> y * y)))) AS v
+  FROM (SELECT list(u ORDER BY j) AS us FROM u{it})),"""
+        )
+        prev = f"v{it}"
+    last = body[-1].rstrip(",")
+    body[-1] = last
+    return (
+        "WITH "
+        + "\n".join(body)
+        + f"""
+SELECT i AS dim, v[i + 1] AS loading
+FROM {prev} CROSS JOIN range(0, {PCA_DIM}) t(i)
+"""
+    )
+
+
+PCA_POWER_ITERATION_SQL = _pca_sql()
+
+
+PAGERANK_ITERATIONS = 3
+PAGERANK_DAMPING_EXPR = "0.15e0 / n_nodes + 0.85e0 * (s / 1e9)"
+_PR_CONTRIB_EXPR = "CAST(round(pr / deg * 1e9) AS BIGINT)"
+
+
+def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the kNN similarity graph (`knn_graph` edges),
+    PAGERANK_ITERATIONS fixed rounds, damping 0.85 — the centrality
+    pass used to pick representative documents per semantic
+    neighborhood (and the canonical iterative-graph workload).
+    Dangling mass is dropped (simplified PR), documented.
+
+    Each round is one join (edge × current rank, on src — a hash
+    shuffle keyed by node) and one 64-bit fixed-point aggregation
+    keyed by dst; node count is a broadcast scalar. Contributions
+    use the same order-free BIGINT grid as `pca_power_iteration`,
+    so the result is partitioning-independent; the per-node update
+    `0.15/N + 0.85·(Σ/1e9)` is an identical op chain cross-engine.
+
+    Returns (vec_id, pagerank) for every vector.
+    """
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    edges = track_persisted(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = _embeddings(spark, sf_dir).select("vec_id")
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "vec_id", F.expr("1e0 / n_nodes").alias("pr")
+    )
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("vec_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr(_PR_CONTRIB_EXPR).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("s")
+        )
+        pr = (
+            nodes.join(sums.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
+            .select("vec_id", F.coalesce("s", F.lit(0)).alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select("vec_id", F.expr(PAGERANK_DAMPING_EXPR).alias("pr"))
+        )
+    return pr.select("vec_id", F.col("pr").alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    body = f"""WITH edges AS (SELECT src, dst FROM ({KNN_GRAPH_SQL})),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+pr0 AS (SELECT vec_id, 1e0 / n_nodes AS pr FROM nodes CROSS JOIN nn),"""
+    prev = "pr0"
+    for it in range(1, PAGERANK_ITERATIONS + 1):
+        body += f"""
+c{it} AS (
+  SELECT e.dst, {_PR_CONTRIB_EXPR} AS c
+  FROM edges e JOIN {prev} p ON e.src = p.vec_id
+  JOIN deg d ON e.src = d.src),
+s{it} AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c{it} GROUP BY 1),
+pr{it} AS (
+  SELECT n.vec_id, {PAGERANK_DAMPING_EXPR} AS pr
+  FROM (SELECT nodes.vec_id, coalesce(s{it}.s, 0) AS s
+        FROM nodes LEFT JOIN s{it} ON nodes.vec_id = s{it}.dst) n
+  CROSS JOIN nn),"""
+        prev = f"pr{it}"
+    body = body.rstrip(",")
+    return body + f"\nSELECT vec_id, pr AS pagerank FROM {prev}\n"
+
+
+PAGERANK_KNN_GRAPH_SQL = _pagerank_sql()
+
+
+#: Source-governance blocklist: exact domains + prefix rules — the
+#: C4-style "block bad sources before anything else" gate.
+BLOCK_EXACT_SOURCES = ("src3", "src7")
+BLOCK_PREFIX_RULES = (("src1", 4),)  # (prefix, length)
+
+
+def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate over the `source` column: exact-match rules
+    and prefix rules, exact taking precedence. At 100 TB both rule
+    joins are broadcasts of a tiny dim table; the prefix rule is an
+    EQUI-join on substr(source, 1, len) — never a LIKE
+    broadcast-nested-loop — so it stays a hash join at any fact
+    size (per-length keys; rule lengths are the tiny driver-side
+    constant).
+
+    Returns (doc_id, source, blocked, rule) for every document,
+    rule ∈ exact:<src> | prefix:<p> | none.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    exact = spark.createDataFrame(
+        [(s, f"exact:{s}") for s in BLOCK_EXACT_SOURCES],
+        "source string, rule_exact string",
+    )
+    prefix = spark.createDataFrame(
+        [(p, ln, f"prefix:{p}") for p, ln in BLOCK_PREFIX_RULES],
+        "p string, ln int, rule_prefix string",
+    )
+    joined = docs.join(F.broadcast(exact), "source", "left")
+    pref_keys = joined.withColumn("_k4", F.substring("source", 1, 4))
+    joined2 = pref_keys.join(
+        F.broadcast(prefix.select(F.col("p").alias("_k4"), "rule_prefix")),
+        "_k4",
+        "left",
+    )
+    rule = F.coalesce("rule_exact", "rule_prefix", F.lit("none"))
+    return joined2.select(
+        "doc_id",
+        "source",
+        (rule != "none").alias("blocked"),
+        rule.alias("rule"),
+    )
+
+
+def _blocklist_sql() -> str:
+    exact_vals = ", ".join(f"('{s}', 'exact:{s}')" for s in BLOCK_EXACT_SOURCES)
+    prefix_vals = ", ".join(
+        f"('{p}', {ln}, 'prefix:{p}')" for p, ln in BLOCK_PREFIX_RULES
+    )
+    return f"""
+WITH exact(source, rule_exact) AS (VALUES {exact_vals}),
+pref(p, ln, rule_prefix) AS (VALUES {prefix_vals}),
+j AS (
+  SELECT d.doc_id, d.source, e.rule_exact, pr.rule_prefix
+  FROM documents d
+  LEFT JOIN exact e ON d.source = e.source
+  LEFT JOIN pref pr ON substr(d.source, 1, 4) = pr.p)
+SELECT doc_id, source,
+       coalesce(rule_exact, rule_prefix, 'none') <> 'none' AS blocked,
+       coalesce(rule_exact, rule_prefix, 'none') AS rule
+FROM j
+"""
+
+
+SOURCE_BLOCKLIST_FILTER_SQL = _blocklist_sql()
+
+
+# ---------------------------------------------------- r4 wave 4:
+# iterative BPE training, DP release, streaming sketch
+
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), the first
+    BPE_TRAIN_ROUNDS merge rounds end-to-end in one declarative
+    plan: word-frequency table → per-round weighted pair counts →
+    argmax pair (count desc, pair asc) → merge applied corpus-wide
+    → next round. `bpe_pair_stats` is one round of the counting;
+    this runs the actual training loop, unrolled in-plan (the
+    argmax is a 1-row broadcast scalar per round — the allowlisted
+    scalar pattern — never a driver collect).
+
+    The merge step is the classic space-join trick: a word's symbol
+    sequence is ``' s1 s2 … '`` and merging pair (a,b) is the
+    literal, left-to-right, non-overlapping
+    ``replace(s, ' a b ', ' ab ')`` — identical semantics in both
+    engines, and exactly BPE's greedy left-to-right pair merge
+    (``' a a a '`` → ``' aa a '``).
+
+    At 100 TB the word-frequency table is the standard shuffle-once
+    reduction (vocab ≪ corpus); each round then touches only the
+    vocab-sized frequency table — this is why production BPE
+    trainers run on word counts, not raw text, and this plan has
+    the same property.
+
+    Returns (round, left, right, pair_count, corpus_tokens) — one
+    row per training round; corpus_tokens is the weighted symbol
+    count AFTER applying that round's merge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    words = wf.select(
+        "word",
+        "wf",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+        ).alias("s"),
+    )
+    out_rounds = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = words.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                    " i -> struct(split(trim(s), ' ')[i-1] AS a,"
+                    " split(trim(s), ' ')[i] AS b))"
+                )
+            ).alias("p"),
+        ).where(F.expr("size(split(trim(s), ' ')) >= 2"))
+        cnt = (
+            pairs.select("wf", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("wf").cast("long").alias("cnt"))
+        )
+        best = cnt.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wf",
+            F.expr(
+                "replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+            ).alias("s"),
+            F.col("a").alias("_ma"),
+            F.col("b").alias("_mb"),
+            F.col("cnt").alias("_mc"),
+        )
+        stats = words.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.first("_ma").alias("lhs"),
+            F.first("_mb").alias("rhs"),
+            F.first("_mc").alias("pair_count"),
+            F.sum(
+                F.col("wf") * F.size(F.split(F.trim(F.col("s")), " "))
+            ).cast("long").alias("corpus_tokens"),
+        )
+        out_rounds.append(stats)
+        words = words.select("word", "wf", "s")
+    out = out_rounds[0]
+    for s in out_rounds[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_train_sql() -> str:
+    chars = "list_filter(regexp_split_to_array(word, ''), c -> c <> '')"
+    body = f"""WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+wf AS (SELECT word, count(*) AS wf FROM tok GROUP BY 1),
+w0 AS (
+  SELECT word, wf,
+         ' ' || array_to_string({chars}, ' ') || ' ' AS s
+  FROM wf),"""
+    prev = "w0"
+    selects = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        body += f"""
+p{rnd} AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(wf) AS BIGINT) AS cnt
+  FROM (
+    SELECT wf, unnest(list_transform(range(1, len(syms)),
+             i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+    FROM (SELECT wf, list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
+          FROM {prev}) t
+    WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+b{rnd} AS (SELECT a, b, cnt FROM p{rnd} ORDER BY cnt DESC, a, b LIMIT 1),
+w{rnd} AS (
+  SELECT word, wf,
+         replace(s, ' ' || b{rnd}.a || ' ' || b{rnd}.b || ' ',
+                 ' ' || b{rnd}.a || b{rnd}.b || ' ') AS s
+  FROM {prev} CROSS JOIN b{rnd}),"""
+        selects.append(
+            f"""SELECT {rnd}::BIGINT AS round, b{rnd}.a AS lhs, b{rnd}.b AS rhs,
+       b{rnd}.cnt AS pair_count,
+       (SELECT CAST(sum(wf * len(list_filter(string_split(trim(s), ' '),
+                                             x -> x <> ''))) AS BIGINT)
+        FROM w{rnd}) AS corpus_tokens
+FROM b{rnd}"""
+        )
+        prev = f"w{rnd}"
+    body = body.rstrip(",")
+    return body + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
+DP_EPSILON = 1.0
+#: Inverse-CDF Laplace(1/ε) noise from a seeded md5 uniform —
+#: identical text in both engines; u ∈ (0,1) from 52 hash bits.
+_DP_NOISE_EXPR = (
+    "round(CASE WHEN u < 0.5e0 THEN ln(2e0 * u) / {eps}"
+    " ELSE -ln(2e0 * (1e0 - u)) / {eps} END, 6)"
+).format(eps=f"{DP_EPSILON}e0")
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release per language: Laplace
+    (sensitivity 1 / ε) noise added to each group count — the
+    standard DP histogram mechanism, made reproducible by drawing
+    the uniform from md5('dp:'||lang) (a seeded release; production
+    would use a real RNG, the mechanism and plan are identical).
+
+    One map-side-combinable count shuffle; noise is a per-group
+    scalar expression (inverse-CDF Laplace, ln on the 1e-6 grid).
+    Returns (lang, n_docs, epsilon, noisy_count).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    withu = cnt.withColumn(
+        "u",
+        F.expr(
+            "conv(substring(md5(concat('dp:', lang)), 1, 13), 16, 10)"
+        ).cast("long")
+        / F.lit(4503599627370496.0),  # 2^52
+    )
+    return withu.select(
+        "lang",
+        "n_docs",
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.expr(f"n_docs + {_DP_NOISE_EXPR}").alias("noisy_count"),
+    )
+
+
+DP_NOISY_COUNTS_SQL = f"""
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+wu AS (
+  SELECT lang, n_docs,
+         ('0x' || substr(md5('dp:' || lang), 1, 13))::BIGINT
+           / 4503599627370496e0 AS u
+  FROM cnt)
+SELECT lang, n_docs, {DP_EPSILON}e0 AS epsilon,
+       n_docs + {_DP_NOISE_EXPR} AS noisy_count
+FROM wu
 """

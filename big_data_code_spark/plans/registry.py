@@ -80,6 +80,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
     ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
+    ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
+    ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
+    ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
+    ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
+    ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
+    ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
+    ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
+    ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

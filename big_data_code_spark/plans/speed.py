@@ -716,3 +716,108 @@ ranked AS (
 SELECT hour_bucket, rank, event_type, n_views
 FROM ranked WHERE rank <= 3
 """
+
+
+def _chunked_all_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage the FULL documents table into ``n_chunks`` parquet
+    files (doc_id % n) for file-stream micro-batch ingestion;
+    fingerprint-cached like `_chunked_docs_dir` (which stages only
+    the seeded incoming-batch side)."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"swa_alldocs_stream_{os.path.basename(sf_dir)}_{n_chunks}",
+    )
+    src_stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    marker = os.path.join(out_dir, "_STAGED")
+    fingerprint = f"{src_stat.st_mtime}:{src_stat.st_size}:{n_chunks}"
+    if os.path.isfile(marker) and open(marker).read() == fingerprint:
+        return out_dir
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for i in range(n_chunks):
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        docs.where(F.col("doc_id") % n_chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"{i:02d}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(
+            os.path.join(out_dir, f"{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return out_dir
+
+
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (r4): every micro-batch folds its
+    term counts into a partial 4×256 sketch appended to the sink;
+    the serve step MERGES the partials (cell-wise sum — CMS is a
+    mergeable sketch, the entire point of using it in a stream) and
+    answers top-K heavy hitters exactly like the batch operator.
+
+    Per-trigger state is the fixed 1024-cell partial — independent
+    of vocabulary or stream length — which is why this shape
+    survives unbounded streams where exact per-term streaming
+    counts would grow without bound. Cell sums are exact BIGINT
+    adds, so merged-stream ≡ batch and the batch oracle
+    (`HEAVY_HITTERS_CMS_SQL`) checks this stream hash-exactly.
+
+    Returns (term, est, true_cnt, overcount) — identical contract
+    to `heavy_hitters_cms`.
+    """
+    import uuid as _uuid
+
+    from ..functions.text import tokenize
+    from ..sources.tables import load_table
+    from .llm import _cms_explode, _cms_topk
+
+    src = _chunked_all_docs_dir(spark, sf_dir)
+    sink = os.path.join(
+        tempfile.gettempdir(), f"cms_stream_{_uuid.uuid4().hex[:10]}"
+    )
+    spark.createDataFrame([], "i int, bucket long, cell long").write.mode(
+        "overwrite"
+    ).parquet(sink)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        tf = (
+            batch_df.select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        (
+            _cms_explode(tf)
+            .groupBy("i", "bucket")
+            .agg(F.sum("n").alias("cell"))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    cells = (
+        spark.read.parquet(sink)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(sink, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    tf_all = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _cms_topk(_cms_explode(tf_all), cells)

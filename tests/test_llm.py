@@ -1174,3 +1174,269 @@ def test_ann_recall_eval_consistent_with_components(spark):
         )
         assert r["n_hits"] == want, r
         assert r["recall"] == r["n_hits"] / llm.ANN_K
+
+
+# ---------------------------------------------------- r4 wave 3
+
+
+def test_tfidf_cosine_pairs_manual_and_dup_ranking(spark):
+    """Cosines recompute from a python tf-idf over the candidate
+    pairs with the same quantized contract; exact-dup pairs score
+    cos≈1; range is [-eps, 1+eps]."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+
+    corpus = {
+        r["doc_id"]: r["text"] for r in llm._corpus(spark, SF_SMOKE).collect()
+    }
+    tf = {
+        d: Counter(t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t)
+        for d, txt in corpus.items()
+    }
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(corpus)
+    idf = {t: round(math.log(n / df[t]), 6) for t in df}
+    w = {d: {t: c * idf[t] for t, c in cnt.items()} for d, cnt in tf.items()}
+
+    def norm2(d):
+        return sum(round(w[d][t] * w[d][t], 6) for t in sorted(w[d]))
+
+    rows = QUERIES["tfidf_cosine_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    exact_pairs = 0
+    for r in rows:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        shared = sorted(set(w[a]) & set(w[b]))
+        assert r["n_shared_terms"] == len(shared)
+        num = sum(round(w[a][t] * w[b][t], 6) for t in shared)
+        want = num / (math.sqrt(norm2(a)) * math.sqrt(norm2(b)))
+        assert abs(r["cos"] - want) < 1e-12, (a, b)
+        assert -1e-9 <= r["cos"] <= 1 + 1e-9
+        if corpus[a] == corpus[b]:
+            exact_pairs += 1
+            assert r["cos"] > 0.999999
+    assert exact_pairs > 0
+
+
+def test_bm25_search_matches_manual_recompute(spark):
+    """The full top-k per query matches a python BM25 recompute
+    (Lucene idf, same quantization and tie-break); scores positive;
+    ranks dense."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    tf = {
+        d: Counter(t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t)
+        for d, txt in texts.items()
+    }
+    n_docs = len(texts)
+    df = Counter(t for c in tf.values() for t in c)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / n_docs
+    want = {}
+    for q in range(llm.BM25_N_QUERIES):
+        scored = []
+        for d, c in tf.items():
+            terms = sorted(set(tf[q]) & set(c))
+            if not terms:
+                continue
+            s = 0.0
+            for t in terms:
+                idf = round(math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)), 6)
+                s += round(
+                    idf * (c[t] * 2.2) / (c[t] + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)),
+                    6,
+                )
+            scored.append((d, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        want[q] = scored[: llm.BM25_TOP_K]
+    rows = QUERIES["bm25_search"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == llm.BM25_N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        got = [(r["doc_id"], r["score"]) for r in rs]
+        assert [g[0] for g in got] == [w[0] for w in want[q]], q
+        for (gd, gs), (wd, ws) in zip(got, want[q]):
+            assert abs(gs - ws) < 1e-9, (q, gd)
+            assert gs > 0
+
+
+def test_pca_power_iteration_unit_and_rayleigh(spark):
+    """The returned direction is unit-norm; its Rayleigh quotient
+    dominates each coordinate axis's (it's converging to the top
+    eigenvector, so after 2 rounds it should beat any single axis)."""
+    import numpy as np
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+
+    emb = llm._embeddings(spark, SF_SMOKE).select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    rows = QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()
+    assert len(rows) == llm.PCA_DIM
+    v = np.zeros(llm.PCA_DIM)
+    for r in rows:
+        v[r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    ray = float(np.linalg.norm(x @ v))
+    axis_best = max(float(np.linalg.norm(x[:, j])) for j in range(llm.PCA_DIM))
+    assert ray >= 0.99 * axis_best
+
+
+def test_pagerank_knn_graph_mass_and_floor(spark):
+    """Every node's rank >= the damping floor (1-d)/N; total mass
+    <= 1 (dangling mass dropped); nodes with in-edges exceed the
+    floor."""
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+
+    ranks = {
+        r["vec_id"]: r["pagerank"]
+        for r in QUERIES["pagerank_knn_graph"](spark, SF_SMOKE).collect()
+    }
+    n = len(ranks)
+    floor = 0.15 / n
+    assert all(pr >= floor - 1e-15 for pr in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+    in_deg = {
+        r["dst"]
+        for r in llm.knn_graph(spark, SF_SMOKE).select("dst").distinct().collect()
+    }
+    assert any(ranks[v] > floor * 1.5 for v in in_deg)
+
+
+def test_source_blocklist_rules_and_precedence(spark):
+    """Verdicts recompute from the rule constants; exact beats
+    prefix; every doc appears exactly once."""
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    rows = {r["doc_id"]: r for r in QUERIES["source_blocklist_filter"](spark, SF_SMOKE).collect()}
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d["doc_id"]]
+        src = d["source"]
+        if src in llm.BLOCK_EXACT_SOURCES:
+            want = f"exact:{src}"
+        elif any(src[:ln] == p for p, ln in llm.BLOCK_PREFIX_RULES):
+            p = next(p for p, ln in llm.BLOCK_PREFIX_RULES if src[:ln] == p)
+            want = f"prefix:{p}"
+        else:
+            want = "none"
+        assert r["rule"] == want, (src, r["rule"])
+        assert r["blocked"] == (want != "none")
+
+
+# ---------------------------------------------------- r4 wave 4
+
+
+def test_bpe_train_merges_matches_reference_trainer(spark):
+    """The learned merges equal a reference python BPE trainer
+    (greedy left-to-right merge, (count desc, pair asc) argmax) run
+    on the same word-frequency table; corpus_tokens decreases by
+    pair_count each round."""
+    import re as _re
+    from collections import Counter
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    wf = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        wf.update(t for t in _re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+    words = {w: (list(w), n) for w, n in wf.items()}
+    expected = []
+    total0 = sum(len(syms) * n for syms, n in words.values())
+    prev_total = total0
+    for _ in range(llm.BPE_TRAIN_ROUNDS):
+        pc = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, (syms, n) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, n)
+        total = sum(len(syms) * n for syms, n in words.values())
+        expected.append((a, b, cnt, total))
+        prev_total = total
+    rows = sorted(
+        QUERIES["bpe_train_merges"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == llm.BPE_TRAIN_ROUNDS
+    for r, (a, b, cnt, total) in zip(rows, expected):
+        assert (r["lhs"], r["rhs"]) == (a, b), r
+        assert r["pair_count"] == cnt
+        assert r["corpus_tokens"] == total
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Noise recomputes from the seeded md5 uniform through the
+    inverse-CDF Laplace; noisy - true is bounded by the quantized
+    noise; counts match an exact recompute."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    truth = Counter(
+        r["lang"] for r in load_table(spark, SF_SMOKE, "documents").collect()
+    )
+    rows = QUERIES["dp_noisy_counts"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r["n_docs"] == truth[r["lang"]]
+        assert r["epsilon"] == llm.DP_EPSILON
+        h = hashlib.md5(f"dp:{r['lang']}".encode()).hexdigest()
+        u = int(h[:13], 16) / 4503599627370496.0
+        if u < 0.5:
+            noise = round(math.log(2.0 * u) / llm.DP_EPSILON, 6)
+        else:
+            noise = round(-math.log(2.0 * (1.0 - u)) / llm.DP_EPSILON, 6)
+        assert abs(r["noisy_count"] - (r["n_docs"] + noise)) < 1e-9, r
+
+
+def test_streaming_cms_equals_batch_cms(spark):
+    """Merged per-batch partial sketches answer identically to the
+    batch sketch (CMS mergeability, stream ≡ batch)."""
+    from big_data_code_spark.plans.llm import heavy_hitters_cms
+    from big_data_code_spark.plans.speed import streaming_heavy_hitters_cms
+
+    batch = sorted(
+        tuple(r) for r in heavy_hitters_cms(spark, SF_SMOKE).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_heavy_hitters_cms(spark, SF_SMOKE).collect()
+    )
+    assert batch == stream

@@ -160,6 +160,9 @@ BENCH_QUERIES = (
     "bpe_train_merges",
     "dp_noisy_counts",
     "streaming_heavy_hitters_cms",
+    "build_term_index",
+    "merge_upsert_orders",
+    "table_profile_events",
 )
 
 

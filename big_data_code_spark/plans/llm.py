@@ -5170,3 +5170,211 @@ SELECT lang, n_docs, {DP_EPSILON}e0 AS epsilon,
        n_docs + {_DP_NOISE_EXPR} AS noisy_count
 FROM wu
 """
+
+
+# ---------------------------------------------------- r4 wave 5:
+# table profiling, MERGE upsert, inverted-index materialization
+
+
+def build_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index MATERIALIZATION over the corpus: one row per
+    term with document frequency and the full posting list (sorted,
+    comma-joined — the driver-hashable projection; a production
+    index would store the array/bitmap). This is the build step
+    `bm25_search`/`tfidf_cosine_pairs` presuppose, as its own
+    first-class output.
+
+    One explode + one term-keyed agg (map-side combinable distinct
+    via the (doc,term) pre-group); posting lists are sorted
+    in-plan, so the output is deterministic. At 100 TB posting
+    lists for stop-grade terms get long — production shards them
+    (doc-range segments per term); the plan's term-keyed shuffle is
+    already the sharding key.
+
+    Returns (term, df, postings).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+    )
+
+
+BUILD_TERM_INDEX_SQL = f"""
+WITH dt AS (
+  SELECT term, doc_id
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+  GROUP BY 1, 2)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM dt
+GROUP BY term
+"""
+
+
+#: RF-style maintenance batch seeds (deterministic key mods).
+MERGE_DELETE_MOD = 13
+MERGE_UPDATE_MOD = 7
+MERGE_INSERT_MOD = 11
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (TPC-H refresh-function shape) as one
+    declarative plan: a maintenance batch carrying deletes
+    (key % 13 = 0), updates (% 7 = 0, +10% totalprice) and inserts
+    (% 11 = 0, re-keyed +10M) is applied to `orders` — anti-join
+    the deletes, override with updates, union the inserts. This is
+    what `MERGE INTO` compiles to on engines without a native
+    command; at scale all three arms are key-equi-joins on the
+    (already bucketable) order key and the batch side is the
+    small one.
+
+    Update precedence over delete matches SQL MERGE's WHEN MATCHED
+    ordering (update listed first). Returns (o_orderkey,
+    o_orderstatus, o_totalprice, op) — op ∈ kept|updated|inserted.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deletes = orders.where(
+        (F.col("o_orderkey") % MERGE_DELETE_MOD == 0)
+        & (F.col("o_orderkey") % MERGE_UPDATE_MOD != 0)
+    ).select("o_orderkey")
+    updates = orders.where(F.col("o_orderkey") % MERGE_UPDATE_MOD == 0).select(
+        "o_orderkey", F.expr("o_totalprice * 1.1e0").alias("new_price")
+    )
+    inserts = orders.where(F.col("o_orderkey") % MERGE_INSERT_MOD == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("inserted").alias("op"),
+    )
+    base = (
+        orders.join(deletes, "o_orderkey", "left_anti")
+        .join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+            F.when(F.col("new_price").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("op"),
+        )
+    )
+    return base.unionByName(inserts)
+
+
+MERGE_UPSERT_ORDERS_SQL = f"""
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, o_totalprice * 1.1e0 AS new_price
+  FROM o WHERE o_orderkey % {MERGE_UPDATE_MOD} = 0),
+base AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         coalesce(u.new_price, o.o_totalprice) AS o_totalprice,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated' ELSE 'kept' END AS op
+  FROM o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+  WHERE NOT (o.o_orderkey % {MERGE_DELETE_MOD} = 0
+             AND o.o_orderkey % {MERGE_UPDATE_MOD} <> 0))
+SELECT * FROM base
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice,
+       'inserted' AS op
+FROM o WHERE o_orderkey % {MERGE_INSERT_MOD} = 0
+"""
+
+
+#: Profiled columns: (name, kind) — numeric vs string.
+_PROFILE_COLS = (
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("value", "num"),
+    ("event_type", "str"),
+    ("props", "str"),
+)
+
+
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of `events`: per column the row
+    count, null count, exact distinct count, and min/max (numeric
+    columns in the num pair, string columns in the str pair) — the
+    statistics a cost-based optimizer or data-quality monitor
+    collects.
+
+    SINGLE-pass shape: one aggregation computes every metric (the
+    multi-distinct is Catalyst's expand — one scan, no per-column
+    re-read), then the wide row is exploded into the long
+    (column, metrics) format. Returns (col_name, n_rows, n_null,
+    n_distinct, min_num, max_num, min_str, max_str).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"max_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(F.col(c)).alias(f"min_{c}"),
+                F.max(F.col(c)).alias(f"max_{c}"),
+            ]
+    wide = ev.agg(*aggs)
+    structs = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"min_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"max_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"min_{c}" if kind == "str" else "CAST(NULL AS STRING)"
+        mx_str = f"max_{c}" if kind == "str" else "CAST(NULL AS STRING)"
+        structs.append(
+            f"struct('{c}' AS col_name, n_rows, null_{c} AS n_null,"
+            f" nd_{c} AS n_distinct, {mn_num} AS min_num, {mx_num} AS max_num,"
+            f" {mn_str} AS min_str, {mx_str} AS max_str)"
+        )
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("p")
+    ).select("p.*")
+
+
+def _profile_sql() -> str:
+    aggs = ["count(*) AS n_rows"]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}"
+        )
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS min_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS max_{c}")
+        else:
+            aggs.append(f"min({c}) AS min_{c}")
+            aggs.append(f"max({c}) AS max_{c}")
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"min_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"max_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"min_{c}" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        mx_str = f"max_{c}" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, null_{c} AS n_null,"
+            f" nd_{c} AS n_distinct, {mn_num} AS min_num, {mx_num} AS max_num,"
+            f" {mn_str} AS min_str, {mx_str} AS max_str FROM wide"
+        )
+    return (
+        "WITH wide AS (SELECT " + ", ".join(aggs) + " FROM events)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+TABLE_PROFILE_EVENTS_SQL = _profile_sql()

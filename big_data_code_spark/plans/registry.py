@@ -88,6 +88,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
     ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
+    ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
+    ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

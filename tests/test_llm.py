@@ -1440,3 +1440,92 @@ def test_streaming_cms_equals_batch_cms(spark):
         tuple(r) for r in streaming_heavy_hitters_cms(spark, SF_SMOKE).collect()
     )
     assert batch == stream
+
+
+# ---------------------------------------------------- r4 wave 5
+
+
+def test_build_term_index_postings_exact(spark):
+    """df and the sorted posting list recompute exactly from the
+    raw text for every term."""
+    import re as _re
+
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    want = {}
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        for t in set(_re.split(r"[^a-z0-9]+", r["text"].lower())) - {""}:
+            want.setdefault(t, []).append(r["doc_id"])
+    rows = QUERIES["build_term_index"](spark, SF_SMOKE).collect()
+    assert {r["term"] for r in rows} == set(want)
+    for r in rows:
+        docs = sorted(want[r["term"]])
+        assert r["df"] == len(docs)
+        assert r["postings"] == ",".join(str(d) for d in docs)
+
+
+def test_merge_upsert_orders_semantics(spark):
+    """Every op verdict recomputes from the key mods; updated rows
+    carry exactly 1.1x the original price; deleted keys are gone;
+    inserted keys are re-keyed copies."""
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    orig = {
+        r["o_orderkey"]: r
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    rows = QUERIES["merge_upsert_orders"](spark, SF_SMOKE).collect()
+    seen = set()
+    n_ops = {"kept": 0, "updated": 0, "inserted": 0}
+    for r in rows:
+        k = (r["o_orderkey"], r["op"])
+        assert k not in seen
+        seen.add(k)
+        n_ops[r["op"]] += 1
+        if r["op"] == "inserted":
+            o = orig[r["o_orderkey"] - 10_000_000]
+            assert o["o_orderkey"] % llm.MERGE_INSERT_MOD == 0
+            assert r["o_totalprice"] == o["o_totalprice"]
+        elif r["op"] == "updated":
+            o = orig[r["o_orderkey"]]
+            assert o["o_orderkey"] % llm.MERGE_UPDATE_MOD == 0
+            assert r["o_totalprice"] == o["o_totalprice"] * 1.1
+        else:
+            o = orig[r["o_orderkey"]]
+            assert o["o_orderkey"] % llm.MERGE_UPDATE_MOD != 0
+            assert not (o["o_orderkey"] % llm.MERGE_DELETE_MOD == 0)
+            assert r["o_totalprice"] == o["o_totalprice"]
+    for k, o in orig.items():
+        if k % llm.MERGE_DELETE_MOD == 0 and k % llm.MERGE_UPDATE_MOD != 0:
+            assert (k, "kept") not in seen and (k, "updated") not in seen
+    assert all(v > 0 for v in n_ops.values()), n_ops
+
+
+def test_table_profile_events_recomputes(spark):
+    """Every profiled metric matches a python recompute over the
+    collected table."""
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    rows = {r["col_name"]: r for r in QUERIES["table_profile_events"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {c for c, _ in llm._PROFILE_COLS}
+    for c, kind in llm._PROFILE_COLS:
+        vals = [r[c] for r in ev]
+        nn = [v for v in vals if v is not None]
+        r = rows[c]
+        assert r["n_rows"] == len(vals)
+        assert r["n_null"] == len(vals) - len(nn)
+        assert r["n_distinct"] == len(set(nn))
+        if kind == "num":
+            assert r["min_num"] == float(min(nn)) and r["max_num"] == float(max(nn))
+            assert r["min_str"] is None and r["max_str"] is None
+        else:
+            assert r["min_str"] == min(nn) and r["max_str"] == max(nn)
+            assert r["min_num"] is None and r["max_num"] is None

@@ -163,6 +163,9 @@ BENCH_QUERIES = (
     "build_term_index",
     "merge_upsert_orders",
     "table_profile_events",
+    "multimodal_phash_dedup",
+    "streaming_scd2_customers",
+    "skew_salted_quantity",
 )
 
 

@@ -5378,3 +5378,176 @@ def _profile_sql() -> str:
 
 
 TABLE_PROFILE_EVENTS_SQL = _profile_sql()
+
+
+# ---------------------------------------------------- r4 wave 6:
+# perceptual image dedup through the real codec
+
+
+PHASH_DOC_CAP = 500
+PHASH_MAX_HAMMING = 3
+PHASH_BANDS = 4
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup, end to end through the real
+    codec: formulaic pixels → BMP encode → binary column → BMP
+    decode (`decode_image`, the pure-numpy 24-bit reader) → dHash
+    (8×9 floor-stride luma grid, 64 horizontal-gradient bits) →
+    banded candidate pairs → Hamming ≤ PHASH_MAX_HAMMING verdicts.
+    The Spark side runs the actual decode in an Arrow
+    `mapInPandas`; the oracle restates the PIXEL FORMULA (never
+    touching BMP bytes), so any decoder row-order/channel/padding
+    bug flips the hash — the `multimodal_decode` pattern applied to
+    near-dup retrieval.
+
+    Scale shape: signatures are one Arrow pass (64-bit string per
+    asset); candidates come from a 4×16-bit band equi-join — EXACT recall
+    at the ≤ 3 threshold by pigeonhole (4 bands, ≤ 3 flipped bits
+    ⇒ at least one band identical), so unlike the text-LSH ops the
+    oracle here is a genuine recall guarantee, not just plan
+    equivalence. The harness caps assets at
+    PHASH_DOC_CAP so pair volume is SF-independent; production
+    shards the band join.
+
+    Returns (asset_id_a, asset_id_b, hamming).
+    """
+    import pandas as pd  # noqa: F401
+
+    from ..functions.multimodal import decode_image, synthetic_bmp_assets
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PHASH_DOC_CAP
+    )
+    assets = synthetic_bmp_assets(docs).drop("width", "height")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                img = decode_image(bytes(content))
+                h, w, _ = img.shape
+                lum = img.astype(int).sum(axis=2)
+                grid = [
+                    [int(lum[(ty * h) // 8][(tx * w) // 9]) for tx in range(9)]
+                    for ty in range(8)
+                ]
+                hashes.append(
+                    "".join(
+                        "1" if grid[ty][tx + 1] > grid[ty][tx] else "0"
+                        for ty in range(8)
+                        for tx in range(8)
+                    )
+                )
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "phash": hashes})
+
+    sigs = assets.mapInPandas(run, "asset_id long, phash string")
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    sigs = track_persisted(sigs.persist(StorageLevel.MEMORY_AND_DISK))
+    bands = sigs.select(
+        "asset_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}),"
+                f" b -> concat(b, ':', substring(phash, b * 16 + 1, 16)))"
+            )
+        ).alias("bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_id_a"),
+            F.col("b.asset_id").alias("asset_id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("asset_id").alias("asset_id_a"), F.col("phash").alias("pa"))
+    sb = sigs.select(F.col("asset_id").alias("asset_id_b"), F.col("phash").alias("pb"))
+    ham = F.expr(
+        "size(filter(zip_with(split(pa, ''), split(pb, ''),"
+        " (x, y) -> x <> y), v -> v))"
+    ).cast("long")
+    return (
+        cand.join(sa, "asset_id_a")
+        .join(sb, "asset_id_b")
+        .select("asset_id_a", "asset_id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+MULTIMODAL_PHASH_DEDUP_SQL = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h
+  FROM documents WHERE doc_id < {PHASH_DOC_CAP}),
+g AS (
+  SELECT asset_id, ty, tx,
+         ((asset_id + 7 * sy + 13 * sx) % 256)
+         + ((3 * asset_id + 5 * sy + sx) % 256)
+         + ((11 * sy + 17 * sx + asset_id // 3) % 256) AS lum
+  FROM (
+    SELECT asset_id, ty, tx, (ty * h) // 8 AS sy, (tx * w) // 9 AS sx
+    FROM a CROSS JOIN range(0, 8) t1(ty) CROSS JOIN range(0, 9) t2(tx))),
+bits AS (
+  SELECT asset_id, ty, tx,
+         CASE WHEN lead(lum) OVER (PARTITION BY asset_id, ty ORDER BY tx)
+                   > lum THEN '1' ELSE '0' END AS bit
+  FROM g),
+sigs AS (
+  SELECT asset_id,
+         string_agg(bit, '' ORDER BY ty, tx) AS phash
+  FROM bits WHERE tx < 8 GROUP BY asset_id),
+bands AS (
+  SELECT asset_id,
+         unnest(list_transform(range(0, {PHASH_BANDS}),
+           b -> b::VARCHAR || ':' || substr(phash, b * 16 + 1, 16))) AS bk
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT x.asset_id AS asset_id_a, y.asset_id AS asset_id_b
+  FROM bands x JOIN bands y ON x.bk = y.bk AND x.asset_id < y.asset_id),
+scored AS (
+  SELECT c.asset_id_a, c.asset_id_b,
+         CAST(len(list_filter(range(1, 65),
+           i -> substr(sa.phash, i, 1) <> substr(sb.phash, i, 1))) AS BIGINT)
+           AS hamming
+  FROM cand c
+  JOIN sigs sa ON c.asset_id_a = sa.asset_id
+  JOIN sigs sb ON c.asset_id_b = sb.asset_id)
+SELECT asset_id_a, asset_id_b, hamming
+FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
+"""
+
+
+def skew_salted_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting aggregation through the registry
+    (`operators/skew.salted_sum_count`): per-returnflag quantity
+    sum+count via the two-phase (key, salt) pre-aggregate — the
+    standard hot-key spreader. Result is IDENTICAL to the direct
+    groupBy (the oracle), and hash-exact despite double sums
+    because l_quantity is integer-valued (every partial sum is an
+    exact integer ≪ 2^53, so accumulation order cannot move it).
+
+    Returns (l_returnflag, sum_l_quantity, cnt).
+    """
+    from ..operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(li, ["l_returnflag"], "l_quantity")
+
+
+SKEW_SALTED_QUANTITY_SQL = """
+SELECT l_returnflag,
+       sum(l_quantity) AS sum_l_quantity,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -91,6 +91,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
     ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
     ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
+    ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
+    ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
+    ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

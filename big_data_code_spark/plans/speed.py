@@ -821,3 +821,148 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return _cms_topk(_cms_explode(tf_all), cells)
+
+
+SCD2_STREAM_TS0 = 1_000_000
+SCD2_STREAM_ROUNDS = 3
+
+
+def _chunked_scd2_updates_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage SCD2_STREAM_ROUNDS CDC update batches (every 5th
+    customer, balance +100 per round, absolute new values) as
+    mtime-ordered parquet files for micro-batch ingestion;
+    fingerprint-cached like the other staging helpers."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"swa_scd2_stream_{os.path.basename(sf_dir)}_{SCD2_STREAM_ROUNDS}",
+    )
+    src_stat = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    marker = os.path.join(out_dir, "_STAGED")
+    fingerprint = f"{src_stat.st_mtime}:{src_stat.st_size}:{SCD2_STREAM_ROUNDS}"
+    if os.path.isfile(marker) and open(marker).read() == fingerprint:
+        return out_dir
+
+    from ..sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for i in range(1, SCD2_STREAM_ROUNDS + 1):
+        batch = cust.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0 * i, 2).alias("acctbal"),
+            F.lit(SCD2_STREAM_TS0 + i).cast("long").alias("batch_ts"),
+        )
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"{i:02d}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(
+            os.path.join(out_dir, f"{i:02d}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return out_dir
+
+
+def streaming_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 dimension maintenance (r4): CDC update
+    batches arrive as micro-batches and `foreachBatch` folds each
+    into the versioned dimension store with the batch operator
+    (`operators/cdc.scd2_apply`) — read the live version, apply,
+    write `v_<batch>`, atomically flip `_CURRENT` (the
+    `upsert_to_keyvalue_sink` crash-safety pattern, so a crash
+    mid-batch leaves the previous dimension version live).
+
+    The batch timestamp derives from the (deterministic, mtime-
+    ordered) batch id — no driver-side read of the batch. Because
+    each round updates every tracked key with a new absolute value,
+    sequential folding equals the closed-form expected dimension,
+    which the oracle states directly — per key: the base version
+    closed at ts1, one closed version per intermediate round, and
+    the final open version.
+
+    Returns the full dimension: (c_custkey, acctbal, valid_from,
+    valid_to, is_current).
+    """
+    import uuid as _uuid
+
+    from ..operators.cdc import scd2_apply
+    from ..sources.tables import load_table
+    from ..streaming.speed_layer import _resolve_store_version, read_store
+
+    src = _chunked_scd2_updates_dir(spark, sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(), f"scd2_store_{_uuid.uuid4().hex[:10]}"
+    )
+    os.makedirs(store)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base.write.mode("overwrite").parquet(os.path.join(store, "v_init"))
+    with open(os.path.join(store, "_CURRENT"), "w") as f:
+        f.write("v_init")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        current = read_store(sp, store)
+        new_dim = scd2_apply(
+            current,
+            batch_df.select("c_custkey", "acctbal"),
+            "c_custkey",
+            ["acctbal"],
+            SCD2_STREAM_TS0 + batch_id + 1,
+        )
+        vname = f"v_{batch_id:08d}"
+        new_dim.write.mode("overwrite").parquet(os.path.join(store, vname))
+        ptr_tmp = os.path.join(store, "._CURRENT.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, os.path.join(store, "_CURRENT"))
+
+    stream = (
+        spark.readStream.schema("c_custkey long, acctbal double, batch_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    result = read_store(spark, store).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return result
+
+
+def _scd2_stream_sql() -> str:
+    ts = [SCD2_STREAM_TS0 + i for i in range(0, SCD2_STREAM_ROUNDS + 1)]
+    parts = [
+        # untouched keys: single open base version
+        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+       CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+       TRUE AS is_current
+FROM customer WHERE c_custkey % 5 <> 0""",
+        # updated keys: base version closed by round 1
+        f"""SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+       CAST(0 AS BIGINT) AS valid_from, CAST({ts[1]} AS BIGINT) AS valid_to,
+       FALSE AS is_current
+FROM customer WHERE c_custkey % 5 = 0""",
+    ]
+    for i in range(1, SCD2_STREAM_ROUNDS + 1):
+        open_row = i == SCD2_STREAM_ROUNDS
+        vt = "CAST(NULL AS BIGINT)" if open_row else f"CAST({ts[i + 1]} AS BIGINT)"
+        cur = "TRUE" if open_row else "FALSE"
+        parts.append(
+            f"""SELECT c_custkey, round(c_acctbal + 100.0 * {i}, 2) AS acctbal,
+       CAST({ts[i]} AS BIGINT) AS valid_from, {vt} AS valid_to,
+       {cur} AS is_current
+FROM customer WHERE c_custkey % 5 = 0"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+STREAMING_SCD2_CUSTOMERS_SQL = _scd2_stream_sql()

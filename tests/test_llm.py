@@ -1529,3 +1529,58 @@ def test_table_profile_events_recomputes(spark):
         else:
             assert r["min_str"] == min(nn) and r["max_str"] == max(nn)
             assert r["min_num"] is None and r["max_num"] is None
+
+
+# ---------------------------------------------------- r4 wave 6
+
+
+def test_multimodal_phash_dedup_codec_and_pairs(spark):
+    """The dHash computed through the real BMP encode→decode round
+    trip equals a direct recompute from the pixel formulas; shifted
+    copies of the same (w, h) class collide on bands, and every
+    emitted pair is within the Hamming threshold."""
+    from big_data_code_spark.functions.multimodal import _formula_pixels
+    from big_data_code_spark.plans import llm
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where(f"doc_id < {llm.PHASH_DOC_CAP}")
+        .collect()
+    ]
+
+    def dhash(aid):
+        px = _formula_pixels(aid).astype(int)
+        h, w, _ = px.shape
+        lum = px.sum(axis=2)
+        grid = [
+            [int(lum[(ty * h) // 8][(tx * w) // 9]) for tx in range(9)]
+            for ty in range(8)
+        ]
+        return "".join(
+            "1" if grid[ty][tx + 1] > grid[ty][tx] else "0"
+            for ty in range(8)
+            for tx in range(8)
+        )
+
+    sig = {a: dhash(a) for a in doc_ids}
+    rows = QUERIES["multimodal_phash_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        a, b = r["asset_id_a"], r["asset_id_b"]
+        ham = sum(x != y for x, y in zip(sig[a], sig[b]))
+        assert r["hamming"] == ham
+        assert ham <= llm.PHASH_MAX_HAMMING
+        assert a < b
+    # identical-hash pairs must all be present (they share every band)
+    by_hash = {}
+    for a, s in sig.items():
+        by_hash.setdefault(s, []).append(a)
+    got = {(r["asset_id_a"], r["asset_id_b"]) for r in rows}
+    for ids in by_hash.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got

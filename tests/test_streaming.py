@@ -513,3 +513,46 @@ def test_streaming_funnel_hourly_matches_batch(spark):
     from tests.conftest import SF_SMOKE, assert_matches_oracle
 
     assert_matches_oracle(spark, "streaming_funnel_hourly", SF_SMOKE)
+
+
+def test_streaming_scd2_folds_sequentially(spark):
+    """Each updated key ends with ROUNDS+1 versions whose validity
+    intervals chain gaplessly from 0 to the open version; untouched
+    keys keep a single open row; the final open balance is base +
+    100*ROUNDS."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_code_spark.plans.speed import (
+        SCD2_STREAM_ROUNDS,
+        SCD2_STREAM_TS0,
+        streaming_scd2_customers,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    base = {
+        r["c_custkey"]: round(r["c_acctbal"], 2)
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    by_key = {}
+    for r in streaming_scd2_customers(spark, SF_SMOKE).collect():
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    assert set(by_key) == set(base)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        if k % 5 != 0:
+            assert len(rows) == 1
+            assert rows[0]["is_current"] and rows[0]["valid_to"] is None
+            continue
+        assert len(rows) == SCD2_STREAM_ROUNDS + 1
+        for i, r in enumerate(rows):
+            is_last = i == SCD2_STREAM_ROUNDS
+            assert r["is_current"] == is_last
+            want_from = 0 if i == 0 else SCD2_STREAM_TS0 + i
+            assert r["valid_from"] == want_from
+            if is_last:
+                assert r["valid_to"] is None
+            else:
+                assert r["valid_to"] == SCD2_STREAM_TS0 + i + 1
+        assert rows[-1]["acctbal"] == round(
+            base[k] + 100.0 * SCD2_STREAM_ROUNDS, 2
+        )

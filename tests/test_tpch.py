@@ -144,6 +144,18 @@ BNLJ_ALLOWED = {
     "temperature_mix",           # single-row normalizer Z broadcast
     "ccnet_buckets",             # inherits unigram_logprob's (N, V)
                                  # scalar broadcast
+    "ann_recall_eval",           # r4 w2: audits ann_cosine_topk, so
+                                 # inherits the brute baseline's BNLJ
+    "tfidf_cosine_pairs",        # r4 w3: single-row doc-count scalar
+                                 # broadcast for idf
+    "bm25_search",               # r4 w3: single-row (n_docs, avgdl)
+                                 # corpus-stats broadcast
+    "pca_power_iteration",       # r4 w3: one-row iterate vector v
+                                 # broadcast per round (Xᵀ(Xv))
+    "pagerank_knn_graph",        # r4 w3: single-row node-count
+                                 # scalar broadcast per round
+    "bpe_train_merges",          # r4 w4: one-row argmax-pair
+                                 # broadcast per training round
 }
 
 

@@ -3772,13 +3772,24 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id_a, doc_id_b, n_shared_windows, overlap_a,
     overlap_b).
     """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     corpus = _corpus(spark, sf_dir)
-    win = corpus.select(
-        "doc_id",
-        F.explode(
-            word_shingles(tokenize(F.col("text")), n=SUBSTR_WIN_K)
-        ).alias("w"),
-    ).select("doc_id", F.md5("w").alias("h"))
+    # three consumers (sizes + both join sides) would each re-run
+    # the explode + md5 window build — persist it once, like the
+    # LSH signature table (released by bench/driver loops).
+    win = track_persisted(
+        corpus.select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokenize(F.col("text")), n=SUBSTR_WIN_K)
+            ).alias("w"),
+        )
+        .select("doc_id", F.md5("w").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_win"))
     a = win.select(F.col("doc_id").alias("doc_id_a"), "h")
     b = win.select(F.col("doc_id").alias("doc_id_b"), "h")

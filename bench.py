@@ -166,6 +166,8 @@ BENCH_QUERIES = (
     "multimodal_phash_dedup",
     "streaming_scd2_customers",
     "skew_salted_quantity",
+    "lang_id_confusion",
+    "dedup_eval_pr",
 )
 
 

@@ -5562,3 +5562,111 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------- r4 wave 7:
+# pipeline evaluation / monitoring
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language
+    identifier: predicted (`lang_id`) vs labeled (`documents.lang`)
+    with per-cell counts and the cell's share of its true-label row
+    — the monitoring view a production lang-ID pass ships next to
+    its output. One tiny (lang × lang) agg on top of the per-row
+    classifier. On this synthetic corpus the matrix (correctly)
+    exposes that the `lang` labels are metadata the text doesn't
+    reflect — most rows predict 'en' — which is precisely the
+    drift/mislabeling signal the view exists to surface.
+    Returns (lang_true, lang_pred, n_docs, row_frac).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    cells = (
+        docs.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("lang_true"), F.col("predicted_lang").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("row_frac"),
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH pred AS (SELECT doc_id, predicted_lang FROM ({LANG_ID_SQL})),
+cells AS (
+  SELECT d.lang AS lang_true, p.predicted_lang AS lang_pred,
+         count(*) AS n_docs
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2)
+SELECT lang_true, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+       n_docs / sum(n_docs) OVER (PARTITION BY lang_true) AS row_frac
+FROM cells
+"""
+
+
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall evaluation of the end-to-end dedup pass
+    against the SEEDED ground truth: the dup corpus is constructed
+    (exact copies at +1M, near copies at +2M), so every planted
+    copy should be flagged non-canonical and every original kept.
+    Predicted positive = `dedup_corpus_final` says is_kept = false;
+    truth positive = doc_id ≥ 1M. One-row summary with TP/FP/FN
+    and the derived precision/recall — the eval loop any dedup
+    deployment runs when retuning thresholds (cf. `ann_recall_eval`
+    for the ANN side).
+
+    Counts are exact integers; precision/recall are single
+    quotients — engine-exact. Returns (tp, fp, fn, n_truth_dups,
+    precision, recall).
+    """
+    verdicts = dedup_corpus_final(spark, sf_dir).select(
+        "doc_id", (~F.col("is_kept")).alias("pred_dup")
+    )
+    labeled = verdicts.select(
+        "pred_dup", (F.col("doc_id") >= 1_000_000).alias("true_dup")
+    )
+    return labeled.agg(
+        F.sum(F.when(F.col("pred_dup") & F.col("true_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred_dup") & ~F.col("true_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred_dup") & F.col("true_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(F.col("true_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth_dups"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        "n_truth_dups",
+        F.expr("tp / (tp + fp)").alias("precision"),
+        F.expr("tp / (tp + fn)").alias("recall"),
+    )
+
+
+DEDUP_EVAL_PR_SQL = f"""
+WITH verdicts AS (SELECT doc_id, is_kept FROM ({DEDUP_CORPUS_FINAL_SQL})),
+labeled AS (
+  SELECT NOT is_kept AS pred_dup, doc_id >= 1000000 AS true_dup
+  FROM verdicts),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN pred_dup AND true_dup THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN pred_dup AND NOT true_dup THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT pred_dup AND true_dup THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN true_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_dups
+  FROM labeled)
+SELECT tp, fp, fn, n_truth_dups,
+       tp / (tp + fp) AS precision,
+       tp / (tp + fn) AS recall
+FROM agg
+"""

@@ -94,6 +94,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
     ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
     ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
+    ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
+    ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

@@ -168,6 +168,7 @@ BENCH_QUERIES = (
     "skew_salted_quantity",
     "lang_id_confusion",
     "dedup_eval_pr",
+    "lambda_merged_uniques_hll",
 )
 
 

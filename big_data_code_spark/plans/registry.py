@@ -96,6 +96,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
+    ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     # -- backfill to slot 50: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

@@ -966,3 +966,87 @@ FROM customer WHERE c_custkey % 5 = 0"""
 
 
 STREAMING_SCD2_CUSTOMERS_SQL = _scd2_stream_sql()
+
+
+def lambda_merged_uniques_hll(
+    spark: SparkSession, sf_dir: str, cutoff_us: int | None = None
+) -> DataFrame:
+    """The Lambda merge for the UNIQUES view — the query that shows
+    why the reference stores HLL sketches in BOTH layers: distinct
+    counts are NOT summable across the batch/realtime boundary (a
+    user active on both sides would be double-counted), so the
+    serving merge UNIONS the two layers' sketches per (key, hour)
+    and estimates once. Batch side: hourly `hll_sketch_agg` over
+    events at/before the cutoff; speed side: the streamed raw
+    sketches (`sl.uniques_sketches_stream`) over events after it;
+    merge: `hll_union_agg` → estimate.
+
+    Oracle-checkable via the HLL tolerance contract: the estimate
+    joins the exact hourly distinct over ALL events and the query
+    emits (event_type, hour_bucket, exact_uniques, within_5pct)
+    with the flag computed in-plan. ``cutoff_us`` is a production
+    input (batch-run ledger); the None default derives the 80%
+    stand-in like `lambda_merged_pageviews` (harness-only scan,
+    documented there).
+    """
+    events = load_table(spark, sf_dir, "events")
+    if cutoff_us is None:
+        lo, hi = events.select(
+            F.min(epoch_us("ts")), F.max(epoch_us("ts"))
+        ).first()
+        cutoff_us = lo + int((hi - lo) * MERGE_CUTOFF_FRACTION)
+    cutoff = us_to_ts(F.lit(cutoff_us))
+
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket")
+    batch_sketches = (
+        events.where(F.col("ts") <= cutoff)
+        .groupBy("event_type", hour)
+        .agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias(
+                "sketch"
+            )
+        )
+    )
+    recent = events.where(F.col("ts") > cutoff)
+    speed_src = os.path.join(
+        tempfile.gettempdir(), f"swa_speed_uniq_{os.path.basename(sf_dir)}"
+    )
+    (
+        recent.select("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(speed_src)
+    )
+    stream = sl.events_file_stream(spark, speed_src)
+    speed_sketches = sl.run_stream_to_table(
+        sl.uniques_sketches_stream(stream), "complete"
+    )
+    merged = (
+        batch_sketches.unionByName(speed_sketches)
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est")
+        )
+    )
+    exact = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).agg(F.count_distinct("user_id").alias("exact_uniques"))
+    return merged.join(exact, ["event_type", "hour_bucket"]).select(
+        "event_type",
+        "hour_bucket",
+        F.col("exact_uniques").cast("long").alias("exact_uniques"),
+        (
+            F.abs(F.col("est") - F.col("exact_uniques"))
+            <= 0.05 * F.col("exact_uniques")
+        ).alias("within_5pct"),
+    )
+
+
+LAMBDA_MERGED_UNIQUES_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+       true AS within_5pct
+FROM events
+GROUP BY 1, 2
+"""

@@ -167,6 +167,27 @@ def uniques_over_time_stream(events: DataFrame, watermark: str = "1 hour") -> Da
     )
 
 
+def uniques_sketches_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming uniques per url × hour emitting the RAW mergeable
+    HLL sketch (not the estimate) — the value the speed layer hands
+    the serving merge, where it is hll_union'd with the batch
+    layer's sketches before estimating (distinct counts are NOT
+    summable across layers; sketches are — the reference's whole
+    reason for storing HLL in both ElephantDB and Cassandra)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sketch")
+        )
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_bucket"),
+            "sketch",
+        )
+    )
+
+
 VISIT_OUTPUT_SCHEMA = StructType(
     [
         StructField("domain", StringType()),

@@ -556,3 +556,18 @@ def test_streaming_scd2_folds_sequentially(spark):
         assert rows[-1]["acctbal"] == round(
             base[k] + 100.0 * SCD2_STREAM_ROUNDS, 2
         )
+
+
+def test_lambda_merged_uniques_sketch_union_not_sum(spark):
+    """The layer-union estimate stays within tolerance even for
+    hours whose users span BOTH sides of the cutoff (where summing
+    per-layer distinct counts would double-count); every emitted
+    flag is true."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_code_spark.plans.speed import lambda_merged_uniques_hll
+
+    rows = lambda_merged_uniques_hll(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["within_5pct"] for r in rows)
+    assert all(r["exact_uniques"] >= 1 for r in rows)

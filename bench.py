@@ -169,6 +169,7 @@ BENCH_QUERIES = (
     "lang_id_confusion",
     "dedup_eval_pr",
     "lambda_merged_uniques_hll",
+    "sql_interface_pricing_summary",
 )
 
 

@@ -19,11 +19,12 @@ operators stay in the library API) and this round's new operators;
 r2/r1-driver-proved entries backfill to slot 50. With r4 the
 evidence loop closes: every oracle-backed entry has been
 driver-checked in at least one of CORRECTNESS_r02/r03/r04 — with
-ONE deliberate exception (51 new entries, 50 slots):
-`streaming_heavy_hitters_cms` sits at position 51; its oracle is
-verbatim `heavy_hitters_cms`'s (which IS in the prefix) and its
-stream≡batch equality is pytest-proven, so it is the entry that
-loses the least hard evidence by waiting for the r5 rotation.
+TWO deliberate exceptions (more new entries than slots), parked at
+positions 51-52 for the r5 rotation because each has an in-prefix
+twin carrying its evidence: `streaming_heavy_hitters_cms` (oracle
+verbatim `heavy_hitters_cms`'s, stream≡batch pytest-proven) and
+`sql_interface_pricing_summary` (runs `Q1_SQL` verbatim through
+spark.sql; `q1_pricing_summary` shares the oracle text).
 Nothing about a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
@@ -101,12 +102,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
     ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
-    # -- position 51: the ONE r4 entry deliberately outside the
-    #    50-entry driver sample (51 new entries, 50 slots):
+    # -- positions 51+: r4 entries deliberately outside the
+    #    50-entry driver sample (more new entries than slots); each
+    #    is covered by an in-prefix twin + local strict sweeps:
     #    streaming_heavy_hitters_cms shares its oracle verbatim with
-    #    heavy_hitters_cms (in the prefix) and its stream≡batch
-    #    equality is pytest-proven + strict-local-sweep green.
+    #    heavy_hitters_cms (prefix) and stream≡batch is
+    #    pytest-proven; sql_interface runs Q1_SQL verbatim through
+    #    spark.sql — q1_pricing_summary (same oracle text) is in the
+    #    backfill.
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
     # -- backfill: r2/r1-driver-proved entries in their
     #    prior order (re-proving rotates which greens get re-checked).
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),

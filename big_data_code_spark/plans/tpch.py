@@ -421,3 +421,17 @@ SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
 """
+
+
+def sql_interface_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text interface: the ONE query text `Q1_SQL` runs
+    verbatim on BOTH engines — here through `spark.sql` over a
+    registered view (Catalyst parses/optimizes it into the same
+    plan shape as the DataFrame `q1_pricing_summary`), and in the
+    oracle through DuckDB. Proves a SQL-speaking reference user can
+    hand this engine their query text unchanged — the dialect
+    subset the repo's oracles are written in is runnable on Spark
+    directly.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q1_SQL)

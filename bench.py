@@ -170,6 +170,7 @@ BENCH_QUERIES = (
     "dedup_eval_pr",
     "lambda_merged_uniques_hll",
     "sql_interface_pricing_summary",
+    "zorder_layout_keys",
 )
 
 

@@ -1156,3 +1156,83 @@ SELECT t.tier,
 FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
 GROUP BY 1
 """
+
+
+ZORDER_BITS = 8
+
+
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout key derivation through the registry
+    (`sources/layout.py`: `to_bucket` + `morton_interleave` — the
+    exact expressions `write_zordered` lays files out with): events
+    range-bucketed on (user_id, hour) to 2^8 each, bits
+    interleaved into the morton key. Pure per-row integer/bit
+    expressions; the bucketing bounds are table stats (one-row
+    broadcast here; production reads them from the stats store).
+    File-level pruning effects are asserted in tests
+    (`sources/layout.py` suite) — this query driver-proves the key
+    math itself. Returns (event_id, u_bucket, h_bucket, zkey).
+    """
+    from ..sources.layout import morton_interleave, to_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("hour_bucket").alias("h_lo"),
+        F.max("hour_bucket").alias("h_hi"),
+    )
+    w = ev.crossJoin(F.broadcast(bounds))
+    u_b = to_bucket(F.col("user_id"), F.col("u_lo"), F.col("u_hi"), bits=ZORDER_BITS)
+    h_b = to_bucket(
+        F.col("hour_bucket"), F.col("h_lo"), F.col("h_hi"), bits=ZORDER_BITS
+    )
+    keyed = w.select(
+        "event_id", u_b.alias("u_bucket"), h_b.alias("h_bucket")
+    )
+    return keyed.select(
+        "event_id",
+        "u_bucket",
+        "h_bucket",
+        morton_interleave(
+            F.col("u_bucket"), F.col("h_bucket"), bits=ZORDER_BITS
+        ).alias("zkey"),
+    )
+
+
+def _zorder_sql() -> str:
+    n = (1 << ZORDER_BITS) - 1
+    interleave = " | ".join(
+        f"(((u_bucket >> {i}) & 1) << {2 * i})"
+        f" | (((h_bucket >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    bucket = (
+        "least(CAST(floor(CASE WHEN ({hi} - {lo}) > 0"
+        " THEN ({col} - {lo}) / CAST({hi} - {lo} AS DOUBLE)"
+        f" ELSE 0.0 END * {n}) AS BIGINT), {n})"
+    )
+    ub = bucket.format(col="user_id", lo="u_lo", hi="u_hi")
+    hb = bucket.format(col="hour_bucket", lo="h_lo", hi="h_hi")
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket
+  FROM events),
+bounds AS (
+  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         min(hour_bucket) AS h_lo, max(hour_bucket) AS h_hi
+  FROM ev),
+keyed AS (
+  SELECT event_id, {ub} AS u_bucket, {hb} AS h_bucket
+  FROM ev CROSS JOIN bounds)
+SELECT event_id, u_bucket, h_bucket, {interleave} AS zkey
+FROM keyed
+"""
+
+
+ZORDER_LAYOUT_KEYS_SQL = _zorder_sql()

@@ -19,11 +19,13 @@ operators stay in the library API) and this round's new operators;
 r2/r1-driver-proved entries backfill to slot 50. With r4 the
 evidence loop closes: every oracle-backed entry has been
 driver-checked in at least one of CORRECTNESS_r02/r03/r04 — with
-TWO deliberate exceptions (more new entries than slots), parked at
-positions 51-52 for the r5 rotation because each has an in-prefix
-twin carrying its evidence: `streaming_heavy_hitters_cms` (oracle
-verbatim `heavy_hitters_cms`'s, stream≡batch pytest-proven) and
-`sql_interface_pricing_summary` (runs `Q1_SQL` verbatim through
+THREE deliberate exceptions (more new entries than slots), parked
+at positions 51-53 for the r5 rotation because each has a proven
+twin carrying its evidence: `lambda_merged_uniques_hll` (same
+tolerance contract + hourly-exact oracle shape as the driver-r3
+green `streaming_uniques_hourly_hll`), `streaming_heavy_hitters_cms`
+(oracle verbatim `heavy_hitters_cms`'s, stream≡batch pytest-proven)
+and `sql_interface_pricing_summary` (runs `Q1_SQL` verbatim through
 spark.sql; `q1_pricing_summary` shares the oracle text).
 Nothing about a query's semantics depends on its position.
 
@@ -101,15 +103,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
-    ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
+    ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
     # -- positions 51+: r4 entries deliberately outside the
     #    50-entry driver sample (more new entries than slots); each
-    #    is covered by an in-prefix twin + local strict sweeps:
+    #    is covered by a proven twin + local strict sweeps:
     #    streaming_heavy_hitters_cms shares its oracle verbatim with
     #    heavy_hitters_cms (prefix) and stream≡batch is
-    #    pytest-proven; sql_interface runs Q1_SQL verbatim through
-    #    spark.sql — q1_pricing_summary (same oracle text) is in the
-    #    backfill.
+    #    pytest-proven; lambda_merged_uniques_hll uses the same
+    #    tolerance contract + hourly-exact oracle shape as
+    #    streaming_uniques_hourly_hll (driver-r3 green); the SQL
+    #    interface runs Q1_SQL verbatim through spark.sql —
+    #    q1_pricing_summary (same oracle text) is in the backfill.
+    ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
     # -- backfill: r2/r1-driver-proved entries in their

@@ -156,6 +156,8 @@ BNLJ_ALLOWED = {
                                  # scalar broadcast per round
     "bpe_train_merges",          # r4 w4: one-row argmax-pair
                                  # broadcast per training round
+    "zorder_layout_keys",        # r4 w7: one-row bucketing-bounds
+                                 # (table stats) broadcast
 }
 
 

@@ -3755,6 +3755,16 @@ WHERE i.n_inter / sa.n_sh >= {MINHASH_CONTAINMENT_TAU}
 SUBSTR_WIN_K = 8
 
 
+#: Stop-window ceiling for `exact_substring_dedup`: windows shared
+#: by more than this many docs are boilerplate (site preambles,
+#: license headers, navigation chrome) and are DROPPED before the
+#: pair join — a hot window's pair expansion is df², so one
+#: 100k-doc boilerplate window would otherwise emit 5·10⁹ pairs on
+#: a single join key (the skew AQE cannot split: one key, one
+#: partition). Mirrored exactly in the DuckDB oracle.
+SUBSTR_STOP_DF = 64
+
+
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-overlap detection (r4) — the exact-substring dedup
     family: two docs are flagged when they share any exact
@@ -3762,15 +3772,23 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed (md5) and pairs come from the window-HASH equi-join —
     16-byte keys shuffle, never window text, and never doc×doc.
     Reports the shared-window count and each side's overlap
-    fraction, the evidence a span-level dedup pass acts on.
+    fraction, the evidence a span-level dedup pass acts on
+    (`substring_dedup_apply` is the pass itself).
 
-    Boilerplate-heavy corpora make some windows hot; the join is
-    the same shape `operators/skew.salted_self_pairs` handles (hook
-    documented on `minhash_lsh_pairs`), and production would drop
-    top-frequency windows (stop-window list) before the join.
+    Skew hardening (r5 — the r4 verdict's documented-but-unwired
+    mitigation, now in the registered plan): per-window document
+    frequency is computed by a count window function ON the same
+    h-keyed shuffle the join needs anyway, and the join sides keep
+    only windows with 2 ≤ df ≤ SUBSTR_STOP_DF. The upper bound is
+    the stop-window drop (boilerplate windows are power-law hot on
+    real corpora and their df² pair blow-up lands on single join
+    keys); the lower bound is free exactness (df=1 windows cannot
+    produce a pair but dominate the corpus). Overlap fractions stay
+    relative to each doc's FULL window count, so a kept pair's
+    numbers are unchanged by the filter.
 
     Returns (doc_id_a, doc_id_b, n_shared_windows, overlap_a,
-    overlap_b).
+    overlap_b) for pairs sharing ≥1 non-boilerplate window.
     """
     from pyspark import StorageLevel
 
@@ -3791,8 +3809,13 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_win"))
-    a = win.select(F.col("doc_id").alias("doc_id_a"), "h")
-    b = win.select(F.col("doc_id").alias("doc_id_b"), "h")
+    eligible = (
+        win.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where((F.col("df") >= 2) & (F.col("df") <= SUBSTR_STOP_DF))
+        .select("doc_id", "h")
+    )
+    a = eligible.select(F.col("doc_id").alias("doc_id_a"), "h")
+    b = eligible.select(F.col("doc_id").alias("doc_id_b"), "h")
     shared = (
         a.join(b, "h")
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -3844,10 +3867,15 @@ win AS (
 ),
 ex AS (SELECT doc_id, unnest(ws) AS h FROM win),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win FROM ex GROUP BY 1),
+elig AS (
+  SELECT doc_id, h
+  FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ex)
+  WHERE df >= 2 AND df <= {SUBSTR_STOP_DF}
+),
 shared AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          CAST(count(*) AS BIGINT) AS n_shared_windows
-  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM elig a JOIN elig b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT s.doc_id_a, s.doc_id_b, s.n_shared_windows,
@@ -3856,6 +3884,143 @@ SELECT s.doc_id_a, s.doc_id_b, s.n_shared_windows,
 FROM shared s
 JOIN sizes sa ON s.doc_id_a = sa.doc_id
 JOIN sizes sb ON s.doc_id_b = sb.doc_id
+"""
+
+
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-SPAN removal (r5) — the deduplicate-
+    then-train step of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at the window grain:
+    `exact_substring_dedup` finds the overlapping pairs; this pass
+    emits the CLEANED corpus. Every SUBSTR_WIN_K-token window
+    occurrence after the global first — ordered by (doc_id,
+    position) — marks its tokens as duplicated; a doc's kept text
+    is its remaining tokens in order. The reference analog is the
+    book's recompute-from-master story applied to corpus hygiene:
+    verdicts are derived, the master text is never mutated.
+
+    Plan shape (the `chunk_dedup` pattern generalized to
+    OVERLAPPING stride-1 windows): positional windows → md5 → the
+    first occurrence per hash via one map-side-combinable
+    min(struct(doc_id, pos)) aggregate — NOT a row_number window,
+    so a boilerplate window shared by millions of docs partial-
+    aggregates instead of sorting in one task; occurrence×first is
+    a one-to-one h equi-join (linear in occurrences — span removal
+    has no df² pair expansion, unlike the pair query, so no
+    stop-window ceiling is needed); dup windows fan out to their
+    K covered token positions, and the kept tokens reassemble per
+    doc. Shuffles: h (agg + join), then (doc_id, pos), then doc_id
+    — all fixed-width keys.
+
+    Contract: spans shorter than SUBSTR_WIN_K tokens are below the
+    window grain and survive (exact-copy docs with < K tokens are
+    NOT removed); an exact copy of an earlier doc with ≥ K tokens
+    is removed in full; docs sharing no K-window are untouched —
+    both property-tested.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text); kept_text is
+    NULL when every token was removed.
+    """
+    k = SUBSTR_WIN_K
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    win = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                word_shingles(F.col("toks"), n=k, distinct=False)
+            ).alias("i", "w"),
+        )
+        .select("doc_id", F.col("i").cast("long").alias("i"), F.md5("w").alias("h"))
+    )
+    firsts = win.groupBy("h").agg(F.min(F.struct("doc_id", "i")).alias("f"))
+    dup = (
+        win.join(firsts, "h")
+        .where(
+            (F.col("doc_id") != F.col("f.doc_id")) | (F.col("i") != F.col("f.i"))
+        )
+        .select("doc_id", "i")
+    )
+    removed = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("j"),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id", F.posexplode("toks").alias("j", "tok")
+    ).select("doc_id", F.col("j").cast("long").alias("j"), "tok")
+    kept = tokens.join(removed, ["doc_id", "j"], "left_anti")
+    kagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("_txt"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(kagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.col("_txt").alias("kept_text"),
+        )
+    )
+
+
+def _substr_pos_window_expr() -> str:
+    terms = " || ' ' || ".join(
+        f"tokens[i+{d}]" if d else "tokens[i]" for d in range(SUBSTR_WIN_K)
+    )
+    return f"md5({terms})"
+
+
+SUBSTRING_DEDUP_APPLY_SQL = f"""
+WITH {_CORPUS_CTE},
+tokw AS (SELECT doc_id, {_TOKENS} AS tokens FROM corpus),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS i, {_substr_pos_window_expr()} AS h
+  FROM (SELECT doc_id, tokens,
+               unnest(range(1, len(tokens) - {SUBSTR_WIN_K - 2})) AS i
+        FROM tokw WHERE len(tokens) >= {SUBSTR_WIN_K})
+),
+dup AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, i,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM win)
+  WHERE rn > 1
+),
+removed AS (
+  SELECT DISTINCT doc_id, i + d AS j
+  FROM dup CROSS JOIN range(0, {SUBSTR_WIN_K}) t(d)
+),
+toklong AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS j, tokens[i] AS tok
+  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS i
+        FROM tokw)
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.tok
+  FROM toklong t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.j = r.j
+  WHERE r.doc_id IS NULL
+),
+kagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT tw.doc_id,
+       CAST(len(tw.tokens) AS BIGINT) AS n_tokens,
+       CAST(len(tw.tokens) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       k.txt AS kept_text
+FROM tokw tw LEFT JOIN kagg k ON tw.doc_id = k.doc_id
 """
 
 
@@ -4317,6 +4482,219 @@ scored AS (SELECT *, {QUALITY_LOGIT_EXPR} AS logit FROM feats)
 SELECT doc_id, n_tokens, round(logit, 6) AS logit, logit > 0 AS keep
 FROM scored
 """
+
+
+#: In-plan logistic-regression training (r5): fixed batch-gradient
+#: rounds / learning rate, weights start at 0. The gradient is
+#: summed on the 1e-6 fixed-point BIGINT grid (the
+#: `pca_power_iteration` contract): per-row contributions
+#: round((y − σ(w·x))·x_j·1e6) are integers, so the cross-row sum
+#: is order-free and the learned weights are partition-independent
+#: and hash-exact cross-engine.
+#: 12 rounds at η=0.25: the largest rate that descends monotonically
+#: here — the un-normalized mtl feature (magnitude ~5-8) makes
+#: η ≥ 0.5 oscillate (sign-flipping weights, AUC < 0.5; measured at
+#: sf0.01). AUC vs the frozen weights at η=0.25/R=12:
+#: 0.62 vs 0.35 (sf0.001), 0.72 vs 0.37 (sf0.01), 0.69 vs 0.41
+#: (sf0.1) — asserted in tests.
+QL_TRAIN_ROUNDS = 12
+QL_TRAIN_LR = "25e-2"
+_QLT_MARGIN = (
+    "wb + ws * stop_ratio + wp * punct_ratio + wm * mtl + wt * sat"
+)
+_QLT_FEATS = (("b", "1e0"), ("s", "stop_ratio"), ("p", "punct_ratio"),
+              ("m", "mtl"), ("t", "sat"))
+
+
+def _qlt_contrib(x: str) -> str:
+    return f"CAST(round((y - p) * {x} * 1e6) AS BIGINT)"
+
+
+def _qlt_update(w: str, g: str) -> str:
+    return f"{w} + {QL_TRAIN_LR} * (CAST({g} AS BIGINT) / 1e6 / n)"
+
+
+def quality_logit_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier in-plan (r5 — `quality_logit`
+    serves frozen weights; this is where they come from): distill
+    `doc_quality_filter`'s rule verdict into a logistic model over
+    the four cheap serving features, via QL_TRAIN_ROUNDS fixed
+    batch-gradient rounds (w ← w + η·mean((y − σ(w·x))·x), w₀ = 0)
+    — the `pca_power_iteration` pattern applied to supervised
+    training. Labels and features come from ONE corpus scan; each
+    round is (a) a shuffle-free map scoring every doc against the
+    broadcast 1-row weight vector and (b) one 5-column
+    map-side-combinable fixed-point aggregation — the covariance-
+    free full-batch GD shape that holds at any corpus size, with
+    no driver-side collect between rounds.
+
+    Float contract: features and labels are exact integer ratios;
+    gradient contributions are quantized to the 1e-6 BIGINT grid
+    before the (order-free) sum, and every weight update is an
+    identical /1e6, /n, ·η op chain cross-engine. σ's exp() is the
+    same single transcendental the `unigram_logprob` family's
+    ln-quantization contract covers.
+
+    The trained weights beat the frozen `QUALITY_LOGIT_EXPR` on
+    AUC against the same labels (asserted in tests — the retuning
+    loop `dedup_eval_pr`/`ann_recall_eval` give dedup and ANN).
+
+    Iteration plumbing: the per-round weight row is
+    `localCheckpoint`ed (1 row, executor-side — still no driver
+    collect), because round k's logical plan references round k−1
+    TWICE (once in the gradient scan, once in the update) — without
+    truncation the lineage doubles per round (2^R subtree copies)
+    and Catalyst analysis alone dominates. Same reason the oracle's
+    per-round CTEs are MATERIALIZED: DuckDB inlines referenced-twice
+    CTEs, which re-evaluates the whole prefix chain exponentially.
+    After truncation both engines run exactly R corpus
+    aggregations; the feature/label frame is computed once and
+    persisted.
+
+    Returns (round, w_bias, w_stop, w_punct, w_mtl, w_sat) — the
+    weight vector after each round.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    feats = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0, stopword_hits(F.col("toks"), "en") / F.size("toks")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
+        F.when(
+            F.length("text") > 0, punct_count(F.col("text")) / F.length("text")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(
+            F.size("toks") > 0,
+            F.aggregate(
+                F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mtl"),
+        (F.size("toks") / (F.size("toks") + F.lit(100.0))).alias("sat"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
+    )
+    labeled = feats.select(
+        "*",
+        F.when(
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("ttr") >= QF_MIN_TTR)
+            & (F.col("stop_ratio") <= QF_MAX_STOPWORD_RATIO)
+            & F.col("mtl").between(QF_MIN_MEAN_TOKLEN, QF_MAX_MEAN_TOKLEN),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+    wrow = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{tag}") for tag, _ in _QLT_FEATS]
+    )
+    out_rounds = []
+    for rnd in range(1, QL_TRAIN_ROUNDS + 1):
+        scored = labeled.crossJoin(F.broadcast(wrow)).withColumn(
+            "p", F.expr(f"1e0 / (1e0 + exp(-({_QLT_MARGIN})))")
+        )
+        gsum = scored.agg(
+            *[
+                F.sum(F.expr(_qlt_contrib(x))).alias(f"g{tag}")
+                for tag, x in _QLT_FEATS
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        wrow = gsum.crossJoin(F.broadcast(wrow)).select(
+            *[
+                F.expr(_qlt_update(f"w{tag}", f"g{tag}")).alias(f"w{tag}")
+                for tag, _ in _QLT_FEATS
+            ]
+        )
+        # 1-row, executor-side; truncates the doubled-per-round lineage
+        # (round k references round k-1 twice) to keep analysis linear.
+        wrow = wrow.localCheckpoint(eager=True)
+        out_rounds.append(
+            wrow.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("wb").alias("w_bias"),
+                F.col("ws").alias("w_stop"),
+                F.col("wp").alias("w_punct"),
+                F.col("wm").alias("w_mtl"),
+                F.col("wt").alias("w_sat"),
+            )
+        )
+    out = out_rounds[0]
+    for s in out_rounds[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _quality_logit_train_sql() -> str:
+    label = (
+        f"CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}"
+        f" AND stop_ratio <= {QF_MAX_STOPWORD_RATIO}"
+        f" AND mtl BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN}"
+        f" THEN 1e0 ELSE 0e0 END"
+    )
+    body = f"""WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_filter(tokens,
+                     t -> list_contains({_STOP_SQL_BY_LANG["en"]}, t)))
+                   / len(tokens)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              ELSE 0.0 END AS mtl,
+         len(tokens) / (len(tokens) + 100.0) AS sat,
+         len(list_distinct(tokens)) / len(tokens) AS ttr
+  FROM tok),
+lab AS MATERIALIZED (SELECT *, {label} AS y FROM feats),
+w0 AS (SELECT {", ".join(f"0e0 AS w{tag}" for tag, _ in _QLT_FEATS)}),"""
+    prev = "w0"
+    selects = []
+    for rnd in range(1, QL_TRAIN_ROUNDS + 1):
+        contribs = ",\n         ".join(
+            f"CAST(sum({_qlt_contrib(x)}) AS BIGINT) AS g{tag}"
+            for tag, x in _QLT_FEATS
+        )
+        updates = ",\n         ".join(
+            f"{_qlt_update(f'{prev}.w{tag}', f'g.g{tag}')} AS w{tag}"
+            for tag, _ in _QLT_FEATS
+        )
+        body += f"""
+g{rnd} AS MATERIALIZED (
+  SELECT {contribs},
+         count(*) AS n
+  FROM (SELECT lab.*, 1e0 / (1e0 + exp(-({_QLT_MARGIN}))) AS p
+        FROM lab CROSS JOIN {prev}) t),
+w{rnd} AS MATERIALIZED (
+  SELECT {updates}
+  FROM g{rnd} g CROSS JOIN {prev}),"""
+        selects.append(
+            f"SELECT {rnd}::BIGINT AS round, wb AS w_bias, ws AS w_stop,"
+            f" wp AS w_punct, wm AS w_mtl, wt AS w_sat FROM w{rnd}"
+        )
+        prev = f"w{rnd}"
+    body = body.rstrip(",")
+    return body + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUALITY_LOGIT_TRAIN_SQL = _quality_logit_train_sql()
 
 
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4935,17 +5313,36 @@ PAGERANK_KNN_GRAPH_SQL = _pagerank_sql()
 #: Source-governance blocklist: exact domains + prefix rules — the
 #: C4-style "block bad sources before anything else" gate.
 BLOCK_EXACT_SOURCES = ("src3", "src7")
-BLOCK_PREFIX_RULES = (("src1", 4),)  # (prefix, length)
+#: Prefix rules, possibly of DIFFERENT lengths (the r4 version
+#: hardcoded length 4 and ignored the length field — an ADVICE r4
+#: fix): "src12" exercises the multi-length path and longest-match
+#: precedence (src12 matches both rules; the 5-char rule wins).
+BLOCK_PREFIX_RULES = (("src1", 4), ("src12", 5))  # (prefix, length)
+
+
+def _prefix_rules_by_len() -> dict[int, list[str]]:
+    by_len: dict[int, list[str]] = {}
+    for p, ln in BLOCK_PREFIX_RULES:
+        if len(p) != ln:
+            raise ValueError(f"prefix rule {p!r} declares length {ln}")
+        by_len.setdefault(ln, []).append(p)
+    for ln, ps in by_len.items():
+        if len(ps) != len(set(ps)):
+            raise ValueError(f"duplicate prefix rules at length {ln}")
+    return by_len
 
 
 def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist gate over the `source` column: exact-match rules
-    and prefix rules, exact taking precedence. At 100 TB both rule
-    joins are broadcasts of a tiny dim table; the prefix rule is an
-    EQUI-join on substr(source, 1, len) — never a LIKE
-    broadcast-nested-loop — so it stays a hash join at any fact
-    size (per-length keys; rule lengths are the tiny driver-side
-    constant).
+    and prefix rules, precedence exact → longest prefix → shorter
+    prefix. At 100 TB every rule join is a broadcast of a tiny dim
+    table; prefix rules are EQUI-joins on substr(source, 1, len) —
+    never a LIKE broadcast-nested-loop — ONE join per distinct rule
+    length (lengths are the tiny driver-side constant), so the plan
+    stays hash joins at any fact size and a rule of any length
+    participates (the r4 version silently ignored non-4-char rules).
+    Prefixes are unique within a length, so the per-length left
+    joins can never duplicate a document row.
 
     Returns (doc_id, source, blocked, rule) for every document,
     rule ∈ exact:<src> | prefix:<p> | none.
@@ -4955,19 +5352,21 @@ def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, f"exact:{s}") for s in BLOCK_EXACT_SOURCES],
         "source string, rule_exact string",
     )
-    prefix = spark.createDataFrame(
-        [(p, ln, f"prefix:{p}") for p, ln in BLOCK_PREFIX_RULES],
-        "p string, ln int, rule_prefix string",
-    )
     joined = docs.join(F.broadcast(exact), "source", "left")
-    pref_keys = joined.withColumn("_k4", F.substring("source", 1, 4))
-    joined2 = pref_keys.join(
-        F.broadcast(prefix.select(F.col("p").alias("_k4"), "rule_prefix")),
-        "_k4",
-        "left",
+    by_len = _prefix_rules_by_len()
+    lens = sorted(by_len, reverse=True)  # longest-match precedence
+    for ln in lens:
+        pref = spark.createDataFrame(
+            [(p, f"prefix:{p}") for p in by_len[ln]],
+            f"_k{ln} string, rule_prefix_{ln} string",
+        )
+        joined = joined.withColumn(
+            f"_k{ln}", F.substring("source", 1, ln)
+        ).join(F.broadcast(pref), f"_k{ln}", "left")
+    rule = F.coalesce(
+        "rule_exact", *[f"rule_prefix_{ln}" for ln in lens], F.lit("none")
     )
-    rule = F.coalesce("rule_exact", "rule_prefix", F.lit("none"))
-    return joined2.select(
+    return joined.select(
         "doc_id",
         "source",
         (rule != "none").alias("blocked"),
@@ -4977,20 +5376,26 @@ def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _blocklist_sql() -> str:
     exact_vals = ", ".join(f"('{s}', 'exact:{s}')" for s in BLOCK_EXACT_SOURCES)
-    prefix_vals = ", ".join(
-        f"('{p}', {ln}, 'prefix:{p}')" for p, ln in BLOCK_PREFIX_RULES
-    )
+    by_len = _prefix_rules_by_len()
+    lens = sorted(by_len, reverse=True)
+    ctes = [f"exact(source, rule_exact) AS (VALUES {exact_vals})"]
+    joins = ["LEFT JOIN exact e ON d.source = e.source"]
+    rule_cols = ["e.rule_exact"]
+    for ln in lens:
+        vals = ", ".join(f"('{p}', 'prefix:{p}')" for p in by_len[ln])
+        ctes.append(f"pref{ln}(p, rule_prefix) AS (VALUES {vals})")
+        joins.append(
+            f"LEFT JOIN pref{ln} pr{ln} ON substr(d.source, 1, {ln}) = pr{ln}.p"
+        )
+        rule_cols.append(f"pr{ln}.rule_prefix")
+    coalesce = ", ".join(rule_cols)
     return f"""
-WITH exact(source, rule_exact) AS (VALUES {exact_vals}),
-pref(p, ln, rule_prefix) AS (VALUES {prefix_vals}),
+WITH {", ".join(ctes)},
 j AS (
-  SELECT d.doc_id, d.source, e.rule_exact, pr.rule_prefix
+  SELECT d.doc_id, d.source, coalesce({coalesce}, 'none') AS rule
   FROM documents d
-  LEFT JOIN exact e ON d.source = e.source
-  LEFT JOIN pref pr ON substr(d.source, 1, 4) = pr.p)
-SELECT doc_id, source,
-       coalesce(rule_exact, rule_prefix, 'none') <> 'none' AS blocked,
-       coalesce(rule_exact, rule_prefix, 'none') AS rule
+  {" ".join(joins)})
+SELECT doc_id, source, rule <> 'none' AS blocked, rule
 FROM j
 """
 
@@ -5015,12 +5420,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is a 1-row broadcast scalar per round — the allowlisted
     scalar pattern — never a driver collect).
 
-    The merge step is the classic space-join trick: a word's symbol
-    sequence is ``' s1 s2 … '`` and merging pair (a,b) is the
-    literal, left-to-right, non-overlapping
-    ``replace(s, ' a b ', ' ab ')`` — identical semantics in both
-    engines, and exactly BPE's greedy left-to-right pair merge
-    (``' a a a '`` → ``' aa a '``).
+    The merge step is the space-join trick with DOUBLED separators
+    (r5 fix — ADVICE r4): a word's symbol sequence is
+    ``' s1 s2 … '``; the plain ``replace(s, ' a b ', ' ab ')``
+    under-merges overlapping occurrences because consecutive matches
+    share their boundary space (``' a b a b '`` → [ab, a, b];
+    ``' a a a a '`` → [aa, a, a] — replace resumes AFTER the consumed
+    trailing space). Doubling every space first gives each occurrence
+    its own boundary chars, so one replace is exactly BPE's greedy
+    left-to-right non-overlapping merge:
+    ``replace(replace(replace(s, ' ', '  '), ' a  b ', ' ab '),
+    '  ', ' ')`` (each match consumes one space of each doubled pair;
+    every separator is exactly doubled again afterwards, so the final
+    collapse is lossless). ``' a b a b '`` → [ab, ab] and
+    ``' a a a a '`` → [aa, aa], matching the reference trainer —
+    identical semantics in both engines.
 
     At 100 TB the word-frequency table is the standard shuffle-once
     reduction (vocab ≪ corpus); each round then touches only the
@@ -5067,7 +5481,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "wf",
             F.expr(
-                "replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+                "replace(replace(replace(s, ' ', '  '),"
+                " ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '),"
+                " '  ', ' ')"
             ).alias("s"),
             F.col("a").alias("_ma"),
             F.col("b").alias("_mb"),
@@ -5114,8 +5530,10 @@ p{rnd} AS (
 b{rnd} AS (SELECT a, b, cnt FROM p{rnd} ORDER BY cnt DESC, a, b LIMIT 1),
 w{rnd} AS (
   SELECT word, wf,
-         replace(s, ' ' || b{rnd}.a || ' ' || b{rnd}.b || ' ',
-                 ' ' || b{rnd}.a || b{rnd}.b || ' ') AS s
+         replace(replace(replace(s, ' ', '  '),
+                         ' ' || b{rnd}.a || '  ' || b{rnd}.b || ' ',
+                         ' ' || b{rnd}.a || b{rnd}.b || ' '),
+                 '  ', ' ') AS s
   FROM {prev} CROSS JOIN b{rnd}),"""
         selects.append(
             f"""SELECT {rnd}::BIGINT AS round, b{rnd}.a AS lhs, b{rnd}.b AS rhs,
@@ -5247,8 +5665,14 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     small one.
 
     Update precedence over delete matches SQL MERGE's WHEN MATCHED
-    ordering (update listed first). Returns (o_orderkey,
-    o_orderstatus, o_totalprice, op) — op ∈ kept|updated|inserted.
+    ordering (update listed first). Inserted rows are re-keyed at
+    max(o_orderkey) + 1 + key so the new key space is disjoint from
+    the native one at EVERY scale factor (a fixed +10M constant
+    collides once TPC-H keys pass it, around SF 2; the +1 covers
+    key 0, present in the generator's key space); the max is the
+    standard 1-row broadcast scalar, not a driver collect. Returns
+    (o_orderkey, o_orderstatus, o_totalprice, op) —
+    op ∈ kept|updated|inserted.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -5260,11 +5684,16 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.where(F.col("o_orderkey") % MERGE_UPDATE_MOD == 0).select(
         "o_orderkey", F.expr("o_totalprice * 1.1e0").alias("new_price")
     )
-    inserts = orders.where(F.col("o_orderkey") % MERGE_INSERT_MOD == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit("inserted").alias("op"),
+    maxk = orders.agg(F.max("o_orderkey").alias("_maxk"))
+    inserts = (
+        orders.where(F.col("o_orderkey") % MERGE_INSERT_MOD == 0)
+        .crossJoin(F.broadcast(maxk))
+        .select(
+            (F.col("o_orderkey") + F.col("_maxk") + F.lit(1)).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("inserted").alias("op"),
+        )
     )
     base = (
         orders.join(deletes, "o_orderkey", "left_anti")
@@ -5295,7 +5724,8 @@ base AS (
              AND o.o_orderkey % {MERGE_UPDATE_MOD} <> 0))
 SELECT * FROM base
 UNION ALL
-SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice,
+SELECT o_orderkey + (SELECT max(o_orderkey) FROM o) + 1 AS o_orderkey,
+       o_orderstatus, o_totalprice,
        'inserted' AS op
 FROM o WHERE o_orderkey % {MERGE_INSERT_MOD} = 0
 """

@@ -8,25 +8,26 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
-rotated each round to maximize hard evidence. Round-4 rotation: the
-prefix leads with every oracle-backed query never driver-checked
-before (the 12 operators that landed at positions 51+ in r3) plus
-the four re-contracted r3 driver breaks (sequence_packing's oracle
-now CASTs its HUGEINT window sum to BIGINT; multimodal_features /
-embedding_quantize / embedding_pq register driver-hashable
-flat/CSV projections of their array outputs — the typed-array
-operators stay in the library API) and this round's new operators;
-r2/r1-driver-proved entries backfill to slot 50. With r4 the
-evidence loop closes: every oracle-backed entry has been
-driver-checked in at least one of CORRECTNESS_r02/r03/r04 — with
-THREE deliberate exceptions (more new entries than slots), parked
-at positions 51-53 for the r5 rotation because each has a proven
-twin carrying its evidence: `lambda_merged_uniques_hll` (same
-tolerance contract + hourly-exact oracle shape as the driver-r3
-green `streaming_uniques_hourly_hll`), `streaming_heavy_hitters_cms`
-(oracle verbatim `heavy_hitters_cms`'s, stream≡batch pytest-proven)
-and `sql_interface_pricing_summary` (runs `Q1_SQL` verbatim through
-spark.sql; `q1_pricing_summary` shares the oracle text).
+rotated each round to maximize hard evidence. Round-5 rotation
+(closing the evidence loop — the r4 verdict's #1):
+
+* positions 1-3: the three entries deliberately parked outside the
+  r4 sample (`lambda_merged_uniques_hll`, `streaming_heavy_hitters_cms`,
+  `sql_interface_pricing_summary`) — with these green, EVERY
+  registry query has a driver row in at least one round;
+* positions 4-5: the two NEW r5 operators (`substring_dedup_apply`,
+  `quality_logit_train`);
+* positions 6-9: queries whose plan or oracle changed this round
+  and therefore need re-proving (`exact_substring_dedup` — the
+  stop-window skew mitigation is now IN the registered plan;
+  `source_blocklist_filter` — per-length prefix joins;
+  `bpe_train_merges` — true greedy non-overlapping merge;
+  `merge_upsert_orders` — max-key-derived insert offset);
+* positions 10-50: backfill with the OLDEST-evidence greens — the
+  10 entries last proved in r1, then the 31 oldest r2 entries.
+
+Positions 51+ hold the remaining r2 tail, the r3 block, and the r4
+block (driver-proved in CORRECTNESS_r04 — the freshest evidence).
 Nothing about a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
@@ -47,78 +48,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- 1-15: the r4 rotation core — every oracle-backed query that
-    #    has NEVER been driver-checked (12 new-in-r3 operators) plus
-    #    the four re-contracted r3 driver breaks (sequence_packing
-    #    oracle dtype; flat/csv projections of the three
-    #    array-output queries; dedup_semantic_final now
-    #    plan-equivalence on production banding).
-    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
-    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
-    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
-    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
-    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
-    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
-    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
-    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
-    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
-    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
-    ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
-    ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
-    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
-    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
-    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
-    # -- new r4 operators (never driver-checked).
-    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
-    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
-    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
-    ("ccnet_buckets", llm.ccnet_buckets, llm.CCNET_BUCKETS_SQL),
-    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
-    ("data_card_stats", llm.data_card_stats, llm.DATA_CARD_STATS_SQL),
-    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
-    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
-    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
-    ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
-    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
-    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
-    ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
-    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
-    ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
-    ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
-    ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
-    ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
-    ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
-    ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
-    ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
-    ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
-    ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
-    ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
-    ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
-    ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
-    ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
-    ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
-    ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
-    ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
-    ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
-    ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
-    ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
-    ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
-    ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
-    # -- positions 51+: r4 entries deliberately outside the
-    #    50-entry driver sample (more new entries than slots); each
-    #    is covered by a proven twin + local strict sweeps:
-    #    streaming_heavy_hitters_cms shares its oracle verbatim with
-    #    heavy_hitters_cms (prefix) and stream≡batch is
-    #    pytest-proven; lambda_merged_uniques_hll uses the same
-    #    tolerance contract + hourly-exact oracle shape as
-    #    streaming_uniques_hourly_hll (driver-r3 green); the SQL
-    #    interface runs Q1_SQL verbatim through spark.sql —
-    #    q1_pricing_summary (same oracle text) is in the backfill.
+    # -- 1-3: the r4 parked trio — the only entries never driver-
+    #    checked before this round.
     ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
-    # -- backfill: r2/r1-driver-proved entries in their
-    #    prior order (re-proving rotates which greens get re-checked).
+    # -- 4-5: new r5 operators.
+    ("substring_dedup_apply", llm.substring_dedup_apply, llm.SUBSTRING_DEDUP_APPLY_SQL),
+    ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
+    # -- 6-9: r5 plan/oracle re-contracts (driver-green in r4 under
+    #    the OLD contract; the changed plan needs fresh evidence).
+    ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
+    ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
+    ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
+    ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
+    # -- 10-19: oldest evidence — last driver-proved in r1.
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
     ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
@@ -129,6 +73,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
     ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
     ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
+    # -- 20-50: oldest r2 greens (in their r2 order).
     ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
     ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),
     ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
@@ -140,8 +85,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("person_purge", swa.person_purge, swa.PERSON_PURGE_SQL),
     ("incremental_pageviews_update", swa.incremental_pageviews_update, swa.INCREMENTAL_PAGEVIEWS_SQL),
     ("rolling_7d_uniques", swa.rolling_7d_uniques, swa.ROLLING_7D_UNIQUES_SQL),
-    # -- 51+: remaining entries (r2-proved tail, then the r3 prefix
-    #    — all driver-proved in CORRECTNESS_r02/r03).
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("running_daily_revenue", tpch.running_daily_revenue, tpch.RUNNING_DAILY_SQL),
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
@@ -162,6 +105,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
     ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
+    # -- 51+: remaining r2 tail.
     ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
     ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
     ("rolling_7d_revenue", advanced.rolling_7d_revenue, advanced.ROLLING_7D_REVENUE_SQL),
@@ -181,6 +125,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
     ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
+    # -- r3 block (driver-proved in CORRECTNESS_r03).
     ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
     ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
     ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
@@ -228,6 +173,53 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
+    # -- r4 block (driver-proved in CORRECTNESS_r04).
+    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
+    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
+    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
+    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
+    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
+    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
+    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
+    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
+    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
+    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
+    ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
+    ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
+    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
+    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
+    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
+    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
+    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
+    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
+    ("ccnet_buckets", llm.ccnet_buckets, llm.CCNET_BUCKETS_SQL),
+    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
+    ("data_card_stats", llm.data_card_stats, llm.DATA_CARD_STATS_SQL),
+    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
+    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
+    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
+    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
+    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
+    ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
+    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
+    ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
+    ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
+    ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
+    ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
+    ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
+    ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
+    ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
+    ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
+    ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
+    ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
+    ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
+    ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
+    ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
+    ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
+    ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
+    ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
+    ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -891,7 +891,7 @@ def streaming_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.cdc import scd2_apply
     from ..sources.tables import load_table
-    from ..streaming.speed_layer import _resolve_store_version, read_store
+    from ..streaming.speed_layer import read_store
 
     src = _chunked_scd2_updates_dir(spark, sf_dir)
     store = os.path.join(

@@ -120,3 +120,50 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert all(n_cover(s_user, p) == total_s for p in probes_user)
     # zorder still prunes on the hour dimension too
     assert all(n_cover(z_hour, p) < total_z for p in probes_hour)
+
+
+def test_zorder_key_math_matches_naive_python_bits(spark):
+    """Construction-independent check (VERDICT r4 #7): recompute
+    every (bucket, morton key) with a naive binary-string
+    reimplementation IN THE TEST (not the shared layout helper) —
+    catches a shared-helper bit-order/off-by-one bug the
+    plan-equivalence oracle cannot."""
+    from big_data_code_spark.plans.advanced import ZORDER_BITS
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    import math
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).collect()
+    u_lo, u_hi = min(r["user_id"] for r in ev), max(r["user_id"] for r in ev)
+    h_lo, h_hi = min(r["hour_bucket"] for r in ev), max(r["hour_bucket"] for r in ev)
+    n = (1 << ZORDER_BITS) - 1
+
+    def bucket(v, lo, hi):
+        span = float(hi - lo)
+        frac = (v - lo) / span if span > 0 else 0.0
+        return min(int(math.floor(frac * n)), n)
+
+    def morton_naive(a, b):
+        # interleave via binary strings: result bit 2i = a's bit i,
+        # bit 2i+1 = b's bit i
+        abits = format(a, f"0{ZORDER_BITS}b")[::-1]
+        bbits = format(b, f"0{ZORDER_BITS}b")[::-1]
+        out = "".join(abits[i] + bbits[i] for i in range(ZORDER_BITS))
+        return int(out[::-1], 2)
+
+    want = {}
+    for r in ev:
+        ub = bucket(r["user_id"], u_lo, u_hi)
+        hb = bucket(r["hour_bucket"], h_lo, h_hi)
+        want[r["event_id"]] = (ub, hb, morton_naive(ub, hb))
+    got = {
+        r["event_id"]: (r["u_bucket"], r["h_bucket"], r["zkey"])
+        for r in QUERIES["zorder_layout_keys"](spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -618,6 +618,22 @@ def test_registry_prefix_and_oracle_invariants():
     assert all(ORACLES[n] for n in names[:50])
 
 
+def test_bench_covers_every_registry_query():
+    """Every registry query has a bench row or a written exclusion
+    reason (VERDICT r4 #5) — silent bench gaps read as coverage."""
+    import bench
+
+    from big_data_code_spark.plans.registry import QUERIES
+
+    benched = set(bench.BENCH_QUERIES)
+    assert len(bench.BENCH_QUERIES) == len(benched), "duplicate bench rows"
+    unknown = benched - set(QUERIES)
+    assert not unknown, f"benched but not registered: {unknown}"
+    gaps = set(QUERIES) - benched - set(bench.BENCH_EXCLUDED)
+    assert not gaps, f"registry queries with no bench row or exclusion: {gaps}"
+    assert all(reason for reason in bench.BENCH_EXCLUDED.values())
+
+
 #: DuckDB result type → the Spark simpleString(s) that land on the
 #: SAME pandas dtype under the driver's canonicalizer. Widths are
 #: exact on purpose (int32 vs int64 flips the dtype-sensitive hash);

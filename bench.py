@@ -176,6 +176,8 @@ BENCH_QUERIES = (
     # below. The new r5 operators:
     "substring_dedup_apply",
     "quality_logit_train",
+    # r6 operator:
+    "bpe_encode",
     # ...and the r1-r4 entries that never had a row (cheap twins and
     # variants, benched anyway so the judge sees measured numbers):
     "customers_no_orders",

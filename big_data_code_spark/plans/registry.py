@@ -8,27 +8,16 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
-rotated each round to maximize hard evidence. Round-5 rotation
-(closing the evidence loop — the r4 verdict's #1):
-
-* positions 1-3: the three entries deliberately parked outside the
-  r4 sample (`lambda_merged_uniques_hll`, `streaming_heavy_hitters_cms`,
-  `sql_interface_pricing_summary`) — with these green, EVERY
-  registry query has a driver row in at least one round;
-* positions 4-5: the two NEW r5 operators (`substring_dedup_apply`,
-  `quality_logit_train`);
-* positions 6-9: queries whose plan or oracle changed this round
-  and therefore need re-proving (`exact_substring_dedup` — the
-  stop-window skew mitigation is now IN the registered plan;
-  `source_blocklist_filter` — per-length prefix joins;
-  `bpe_train_merges` — true greedy non-overlapping merge;
-  `merge_upsert_orders` — max-key-derived insert offset);
-* positions 10-50: backfill with the OLDEST-evidence greens — the
-  10 entries last proved in r1, then the 31 oldest r2 entries.
-
-Positions 51+ hold the remaining r2 tail, the r3 block, and the r4
-block (driver-proved in CORRECTNESS_r04 — the freshest evidence).
-Nothing about a query's semantics depends on its position.
+rotated each round to maximize hard evidence. After round 5 the
+union r1-r5 is 162/162 — every entry has at least one driver green —
+so rotation switched to second-pass policy (VERDICT r5 #6): round-6
+prefix = the queries CHANGED or ADDED this round (positions 1-3:
+`bpe_encode`, NEW; `quality_logit`, reweighted from the training op;
+`quality_logit_train`, quantized-sigmoid contract) followed by the
+47 entries with the OLDEST most-recent green (the r2 tail, then the
+early r3 block), keeping every entry's latest green ≤ 3 rounds old.
+Positions 51+ hold the rest in their prior order. Nothing about a
+query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -48,21 +37,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- 1-3: the r4 parked trio — the only entries never driver-
-    #    checked before this round.
+    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-3 are the
+    #    queries CHANGED or ADDED in r6 (new bpe_encode; quality_logit
+    #    reweighted from the training op; quality_logit_train's
+    #    quantized-sigmoid contract) — they need fresh evidence.
+    # -- 4-50: the entries with the OLDEST most-recent driver green
+    #    (r2 tail, then the early r3 block), so every entry's latest
+    #    green stays <= 3 rounds old.
+    ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
+    ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
+    ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
+    ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
+    ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
+    ("rolling_7d_revenue", advanced.rolling_7d_revenue, advanced.ROLLING_7D_REVENUE_SQL),
+    ("cohort_retention", advanced.cohort_retention, advanced.COHORT_RETENTION_SQL),
+    ("hourly_anomalies", advanced.hourly_anomalies, advanced.HOURLY_ANOMALIES_SQL),
+    ("monthly_daily_corr", advanced.monthly_daily_corr, advanced.MONTHLY_DAILY_CORR_SQL),
+    ("sales_cube", advanced.sales_cube, advanced.SALES_CUBE_SQL),
+    ("doc_quality_filter", llm.doc_quality_filter, llm.DOC_QUALITY_FILTER_SQL),
+    ("pii_redact", llm.pii_redact, llm.PII_REDACT_SQL),
+    ("text_stats", llm.text_stats, llm.TEXT_STATS_SQL),
+    ("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_SQL),
+    ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
+    ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
+    ("top_terms_global", llm.top_terms_global, llm.TOP_TERMS_GLOBAL_SQL),
+    ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
+    ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
+    ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
+    ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
+    ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
+    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
+    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
+    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
+    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
+    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
+    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
+    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
+    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
+    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
+    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
+    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
+    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
+    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
+    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
+    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
+    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
+    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
+    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
+    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
+    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
+    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
+    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
+    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    # -- 51+: remaining entries, original registry order (all with
+    #    r3+ evidence; union r1-r5 = 162/162 green).
     ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
-    # -- 4-5: new r5 operators.
     ("substring_dedup_apply", llm.substring_dedup_apply, llm.SUBSTRING_DEDUP_APPLY_SQL),
-    ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
-    # -- 6-9: r5 plan/oracle re-contracts (driver-green in r4 under
-    #    the OLD contract; the changed plan needs fresh evidence).
     ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
     ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
     ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
     ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
-    # -- 10-19: oldest evidence — last driver-proved in r1.
     ("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL),
     ("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL),
     ("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL),
@@ -73,7 +114,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("customers_no_orders", tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
     ("sales_rollup", tpch.sales_rollup, tpch.SALES_ROLLUP_SQL),
     ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
-    # -- 20-50: oldest r2 greens (in their r2 order).
     ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
     ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),
     ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
@@ -105,55 +145,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
     ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
-    # -- 51+: remaining r2 tail.
-    ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
-    ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
-    ("rolling_7d_revenue", advanced.rolling_7d_revenue, advanced.ROLLING_7D_REVENUE_SQL),
-    ("cohort_retention", advanced.cohort_retention, advanced.COHORT_RETENTION_SQL),
-    ("hourly_anomalies", advanced.hourly_anomalies, advanced.HOURLY_ANOMALIES_SQL),
-    ("monthly_daily_corr", advanced.monthly_daily_corr, advanced.MONTHLY_DAILY_CORR_SQL),
-    ("sales_cube", advanced.sales_cube, advanced.SALES_CUBE_SQL),
-    ("doc_quality_filter", llm.doc_quality_filter, llm.DOC_QUALITY_FILTER_SQL),
-    ("pii_redact", llm.pii_redact, llm.PII_REDACT_SQL),
-    ("text_stats", llm.text_stats, llm.TEXT_STATS_SQL),
-    ("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_SQL),
-    ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
-    ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
-    ("top_terms_global", llm.top_terms_global, llm.TOP_TERMS_GLOBAL_SQL),
-    ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
-    ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
-    ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
-    ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
-    ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
-    # -- r3 block (driver-proved in CORRECTNESS_r03).
-    ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
-    ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
-    ("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL),
-    ("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL),
-    ("q11_important_parts", tpch2.q11_important_parts, tpch2.Q11_SQL),
-    ("q12_priority_shipping", tpch2.q12_priority_shipping, tpch2.Q12_SQL),
-    ("q13_order_distribution", tpch2.q13_order_distribution, tpch2.Q13_SQL),
-    ("q14_promo_revenue", tpch2.q14_promo_revenue, tpch2.Q14_SQL),
-    ("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL),
-    ("q16_supplier_part_counts", tpch2.q16_supplier_part_counts, tpch2.Q16_SQL),
-    ("q18_large_volume_customers", tpch2.q18_large_volume_customers, tpch2.Q18_SQL),
-    ("q19_disjunctive_revenue", tpch2.q19_disjunctive_revenue, tpch2.Q19_SQL),
-    ("q20_dominant_suppliers", tpch2.q20_dominant_suppliers, tpch2.Q20_SQL),
-    ("q21_waiting_supplier", tpch2.q21_waiting_supplier, tpch2.Q21_SQL),
-    ("q22_wealthy_inactive", tpch2.q22_wealthy_inactive, tpch2.Q22_SQL),
-    ("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL),
-    ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
-    ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
-    ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
-    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
-    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
-    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
-    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
-    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
-    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
-    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
-    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
-    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
     ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
     ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
     ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
@@ -173,7 +164,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
-    # -- r4 block (driver-proved in CORRECTNESS_r04).
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
     ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
@@ -203,7 +193,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
     ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
     ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
-    ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
     ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
@@ -223,6 +212,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
+
+#: name → callable returning the UNEXECUTED per-round plan frames of
+#: iterative operators whose registered frame is a union of
+#: localCheckpoint-ed results (so the registry-wide scale audit in
+#: `tests/test_tpch.py` would otherwise inspect a plan whose real
+#: per-round work already executed and vanished — VERDICT r5 #3).
+#: Every iterative/checkpoint-built operator MUST register here.
+AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
+    "quality_logit_train": llm.quality_logit_train_audit_plans,
+}
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
 #: the driver records a rows-only check.

@@ -1065,13 +1065,20 @@ def test_gopher_rules_verdict_recomputes_and_rules_are_live(spark):
 
 def test_quality_logit_matches_manual_and_splits(spark):
     """The logit recomputes from python over the raw text with the
-    exact weight chain; keep == logit > 0; both verdicts occur."""
+    exact weight chain (the r6 trained-weight constants, parsed out
+    of QUALITY_LOGIT_EXPR so this test tracks the frozen model);
+    keep == logit > QUALITY_LOGIT_THRESHOLD; both verdicts occur."""
     import re as _re
 
     from big_data_code_spark.functions.text import STOPWORDS
+    from big_data_code_spark.plans import llm
     from big_data_code_spark.plans.registry import QUERIES
     from big_data_code_spark.sources.tables import load_table
 
+    wb, ws, wp, wm, wt = (
+        float(x)
+        for x in _re.findall(r"(-?\d+(?:\.\d+)?)e0", llm.QUALITY_LOGIT_EXPR)
+    )
     texts = {
         r["doc_id"]: r["text"]
         for r in load_table(spark, SF_SMOKE, "documents").collect()
@@ -1090,9 +1097,9 @@ def test_quality_logit_matches_manual_and_splits(spark):
         punct_ratio = len(punct_re.findall(text)) / len(text) if text else 0.0
         mtl = sum(map(len, toks)) / n if n else 0.0
         sat = n / (n + 100.0)
-        logit = -3.0 + 20.0 * stop_ratio - 8.0 * punct_ratio + 0.4 * mtl + 2.0 * sat
+        logit = wb + ws * stop_ratio + wp * punct_ratio + wm * mtl + wt * sat
         assert abs(r["logit"] - round(logit, 6)) < 1e-12, r
-        assert r["keep"] == (logit > 0)
+        assert r["keep"] == (logit > llm.QUALITY_LOGIT_THRESHOLD)
         verdicts.add(r["keep"])
     assert verdicts == {True, False}
 
@@ -1737,8 +1744,11 @@ def test_exact_substring_dedup_stop_window_drops_boilerplate(spark, tmp_path):
 
 def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
     """The trained weights (final round) rank the rule labels better
-    than the frozen serving weights: AUC(trained) > AUC(frozen), and
-    the weight trajectory actually moves each round."""
+    than the RETIRED hand-set serving weights (the pre-r6 frozen
+    expr, kept here as the fixed baseline — since r6 the serving op
+    freezes the training op's own sf0.01 output, so comparing
+    against it would be self-referential), and the weight trajectory
+    actually moves each round."""
     from big_data_code_spark.plans import llm
     from big_data_code_spark.functions.text import (
         punct_count,
@@ -1775,7 +1785,11 @@ def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
         (F.size("toks") / (F.size("toks") + F.lit(100.0))).alias("sat"),
         (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
     )
-    rows = feats.withColumn("frozen", F.expr(llm.QUALITY_LOGIT_EXPR)).collect()
+    hand_set_expr = (  # the pre-r6 QUALITY_LOGIT_EXPR, verbatim
+        "-3.0 + 20.0 * stop_ratio - 8.0 * punct_ratio"
+        " + 0.4 * mtl + 2.0 * sat"
+    )
+    rows = feats.withColumn("frozen", F.expr(hand_set_expr)).collect()
 
     def auc(scored):
         pos = sorted(s for s, y in scored if y)
@@ -1810,6 +1824,62 @@ def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
     auc_frozen = auc([(f, y) for y, _, f in labeled])
     assert auc_trained > auc_frozen, (auc_trained, auc_frozen)
     assert auc_trained > 0.55, auc_trained
+
+
+def test_quality_logit_serves_trained_weights(spark):
+    """Train→serve linkage (r6 — VERDICT r5 #4): the constants
+    frozen into the serving expr `QUALITY_LOGIT_EXPR` must be
+    EXACTLY the final-round output of `quality_logit_train` on the
+    pinned training corpus (sf0.01), and `QUALITY_LOGIT_THRESHOLD`
+    must be the re-derivable calibration (the lowest between-scores
+    midpoint maximizing rule-label accuracy on that corpus). If the
+    training op, its float contract, or the corpus changes, this
+    fails until the frozen constants are regenerated — the serving
+    op can never silently drift from its own training loop again."""
+    from tests.conftest import SF_CORRECT
+
+    from big_data_code_spark.plans import llm
+
+    rounds = {
+        r["round"]: r
+        for r in llm.quality_logit_train(spark, SF_CORRECT).collect()
+    }
+    w = rounds[llm.QL_TRAIN_ROUNDS]
+
+    # (a) the expr's frozen literals ARE the trained weights,
+    # bit-exact: the expr embeds repr(w) + 'e0' (repr round-trips
+    # doubles), so parsing the literal text back recovers each
+    # weight exactly.
+    import re
+
+    lits = re.findall(r"(-?\d+(?:\.\d+)?)e0", llm.QUALITY_LOGIT_EXPR)
+    got = [float(x) for x in lits]
+    want = [w["w_bias"], w["w_stop"], w["w_punct"], w["w_mtl"], w["w_sat"]]
+    assert got == want, (got, want)
+
+    # (b) the frozen threshold is the derivable calibration on the
+    # same corpus: lowest midpoint between adjacent distinct scores
+    # maximizing accuracy against the rule labels.
+    feats = llm._qlt_labeled(spark, SF_CORRECT).withColumn(
+        "score", F.expr(llm.QUALITY_LOGIT_EXPR)
+    )
+    pairs = [
+        (r["score"], bool(r["y"])) for r in feats.select("score", "y").collect()
+    ]
+    cand = sorted({s for s, _ in pairs})
+    best_acc, best_tau = -1.0, None
+    for i in range(len(cand) - 1):
+        tau = (cand[i] + cand[i + 1]) / 2
+        acc = sum((s > tau) == y for s, y in pairs) / len(pairs)
+        if acc > best_acc:
+            best_acc, best_tau = acc, tau
+    assert best_tau == llm.QUALITY_LOGIT_THRESHOLD, (
+        best_tau,
+        llm.QUALITY_LOGIT_THRESHOLD,
+    )
+    # and the keep cut is usable: it keeps some docs and drops some
+    kept = sum(s > best_tau for s, _ in pairs)
+    assert 0 < kept < len(pairs), kept
 
 
 def test_pagerank_knn_graph_matches_independent_python_reimpl(spark):

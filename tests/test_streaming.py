@@ -582,21 +582,33 @@ def test_kafka_events_stream_construction_surface(spark):
     DAG it would attach is `parse_event_payloads` — asserted equal,
     plan-for-plan, against the same transform the (fully tested)
     file-stream path semantics run, on a Kafka-shaped static frame.
-    The un-executed surface is now the connector jar itself."""
-    import datetime
+    The un-executed surface is now the connector jar itself.
 
-    import pytest as _pytest
+    r6 (ADVICE): the missing-connector raise is an ENVIRONMENT
+    property, not a code property — with the spark-sql-kafka jar on
+    the classpath, load() succeeds lazily (no broker contact at
+    build time). So the raise is asserted only when construction
+    actually fails; when the connector resolves, we instead assert
+    the builder returned a streaming frame with the decoded event
+    schema. The plan-parity half runs unconditionally."""
+    import datetime
 
     from big_data_code_spark.streaming.speed_layer import (
         kafka_events_stream,
         parse_event_payloads,
     )
 
-    with _pytest.raises(Exception) as ei:
-        kafka_events_stream(spark, "nonexistent:9092", "events")
-    msg = str(ei.value)
-    assert "kafka" in msg.lower(), msg
-    assert "Failed to find" in msg or "DATA_SOURCE" in msg, msg
+    try:
+        stream = kafka_events_stream(spark, "nonexistent:9092", "events")
+    except Exception as e:  # no connector jar: must die INSIDE load()
+        msg = str(e)
+        assert "kafka" in msg.lower(), msg
+        assert "Failed to find" in msg or "DATA_SOURCE" in msg, msg
+    else:  # connector present: lazy build must yield the decoded stream
+        assert stream.isStreaming
+        assert [f.name for f in stream.schema.fields] == [
+            "event_id", "ts", "user_id", "event_type", "ingest_ts",
+        ]
 
     # decode-side plan parity: the transform kafka_events_stream
     # attaches is byte-identical to parse_event_payloads on the

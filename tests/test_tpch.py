@@ -156,22 +156,35 @@ BNLJ_ALLOWED = {
                                  # scalar broadcast per round
     "bpe_train_merges",          # r4 w4: one-row argmax-pair
                                  # broadcast per training round
+    "bpe_encode",                # r6: same one-row argmax-pair
+                                 # broadcast (shared merge-round
+                                 # step with bpe_train_merges)
     "zorder_layout_keys",        # r4 w7: one-row bucketing-bounds
                                  # (table stats) broadcast
+    "merge_upsert_orders",       # r5: one-row max(o_orderkey) scalar
+                                 # broadcast — insert re-keying so
+                                 # inserted keys stay disjoint at
+                                 # every SF
+    "quality_logit_train",       # r6 audit hook: one-row weight
+                                 # vector broadcast per GD round —
+                                 # the pre-checkpoint round-step plan
+                                 # exposed via AUDIT_PLAN_HOOKS
 }
 
 
 def test_no_unintended_scale_red_flags_in_any_plan(spark):
     """Sweep EVERY batch registry plan for operators that do not
     survive 100 TB: cartesian products, nested-loop joins outside
-    the allowlist, and Python row UDFs anywhere."""
-    from big_data_code_spark.plans.registry import QUERIES
+    the allowlist, and Python row UDFs anywhere.
 
-    offenders = {}
-    for name, fn in QUERIES.items():
-        if name.startswith("streaming_"):
-            continue  # streams are driven by tests/test_streaming.py
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    r6: iterative operators that return unions of localCheckpoint-ed
+    results (whose real per-round plans execute and vanish before
+    this audit sees the returned frame) expose their UNEXECUTED
+    round-step plans via `AUDIT_PLAN_HOOKS` — swept here with the
+    same rules, so no executed plan shape escapes the audit."""
+    from big_data_code_spark.plans.registry import AUDIT_PLAN_HOOKS, QUERIES
+
+    def flags(name, plan):
         bad = []
         if "CartesianProduct" in plan:
             bad.append("cartesian")
@@ -179,6 +192,20 @@ def test_no_unintended_scale_red_flags_in_any_plan(spark):
             bad.append("nested-loop-join")
         if "BatchEvalPython" in plan:
             bad.append("python-row-udf")
+        return bad
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # streams are driven by tests/test_streaming.py
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        bad = flags(name, plan)
         if bad:
             offenders[name] = bad
+    for name, hook in AUDIT_PLAN_HOOKS.items():
+        for i, df in enumerate(hook(spark, SF_SMOKE)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            bad = flags(name, plan)
+            if bad:
+                offenders[f"{name}#hook{i}"] = bad
     assert not offenders, offenders

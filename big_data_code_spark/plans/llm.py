@@ -1796,29 +1796,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) over the
     dup-seeded vector corpus.
 
-    Runs the banded-LSH plan (`cosine_dup_pairs_lsh`) — candidates
-    from a (band, signature-slice) equi-join, no
-    BroadcastNestedLoopJoin — which at near-dup thresholds returns
-    the identical pair set the brute-force `cosine_dup_pairs`
-    baseline computes (the oracle SQL stays the exact all-pairs
-    restatement; `tests/test_llm.py` additionally cross-checks the
-    two plans)."""
+    r6 re-contract (the sf1 tiling bench caught the r3-vintage
+    8-bit exact-recall banding going quadratic — candidates ≈
+    n²/256 per band, 18.9× wall at 10× data, the same failure mode
+    r4 fixed on `dedup_semantic_final`): the registered plan now
+    runs the PRODUCTION banding (SEMANTIC_N_PLANES=64 planes in
+    SEMANTIC_N_BANDS=4 bands of 16 sign bits, Arrow-vectorized
+    signatures), and the oracle is the shared plan-equivalence
+    restatement (`_SEMANTIC_PAIRS_CTES`) — exact for whatever pair
+    set the banding yields. Recall is the separate documented
+    contract: ≈98.8% on the seeded θ≈0.08 dups (per-band hit
+    (1-θ/π)^16; asserted ≥0.9 in tests, deterministic md5 planes);
+    an exact all-pairs sweep over dense vectors is inherently
+    quadratic, so exactness stays the brute-force baseline's job
+    (`cosine_dup_pairs`, cross-checked in tests at sf ≤ 0.01).
+    Candidates come from a (band, signature-slice) equi-join — no
+    BroadcastNestedLoopJoin, no all-pairs."""
     return ann.cosine_dup_pairs_lsh(
-        _vector_corpus(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD
+        _vector_corpus(spark, sf_dir),
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=SEMANTIC_N_PLANES,
+        n_bands=SEMANTIC_N_BANDS,
+        arrow_sig=True,
     )
-
-
-DEDUP_EMBEDDING_COSINE_SQL = f"""
-WITH {_VECTOR_CORPUS_CTE}
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       list_dot_product(a.v, b.v) /
-         (sqrt(list_dot_product(a.v, a.v)) *
-          sqrt(list_dot_product(b.v, b.v))) AS cos
-FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) *
-         sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
-"""
 
 
 # ------------------------------------------------- tf-idf / sampling
@@ -1890,9 +1890,13 @@ def dedup_semantic_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys, candidate equi-join, and cosine filter the Spark plan runs —
 # then the recursive closure. Exact for whatever pair set the
 # banding yields; recall is a separate documented contract.
-DEDUP_SEMANTIC_FINAL_SQL = f"""
-WITH RECURSIVE {_VECTOR_CORPUS_CTE},
-planes AS (
+#: Plan-equivalence restatement of the production banding (r4;
+#: shared since r6 by `dedup_semantic_final` AND
+#: `dedup_embedding_cosine`): DuckDB rebuilds the identical md5
+#: hyperplanes, signatures, band keys, candidate equi-join, and
+#: cosine filter, so the oracle is exact for whatever pair set the
+#: banding yields.
+_SEMANTIC_PAIRS_CTES = f"""planes AS (
   SELECT j, list_transform(range(0, 64),
            i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
                           % 2 = 0
@@ -1918,14 +1922,29 @@ cand AS (
   FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT va, vb
+  SELECT va, vb,
+         list_dot_product(x.v, y.v) /
+           (sqrt(list_dot_product(x.v, x.v)) *
+            sqrt(list_dot_product(y.v, y.v))) AS cos
   FROM cand
   JOIN vcorpus x ON cand.va = x.vec_id
   JOIN vcorpus y ON cand.vb = y.vec_id
   WHERE list_dot_product(x.v, y.v) /
           (sqrt(list_dot_product(x.v, x.v)) *
            sqrt(list_dot_product(y.v, y.v))) >= {COSINE_DUP_THRESHOLD}
-),
+)"""
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH {_VECTOR_CORPUS_CTE},
+{_SEMANTIC_PAIRS_CTES}
+SELECT va AS vec_id_a, vb AS vec_id_b, cos FROM pairs
+"""
+
+
+DEDUP_SEMANTIC_FINAL_SQL = f"""
+WITH RECURSIVE {_VECTOR_CORPUS_CTE},
+{_SEMANTIC_PAIRS_CTES},
 undirected AS (
   SELECT va AS a, vb AS b FROM pairs
   UNION

@@ -11,10 +11,12 @@ in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round to maximize hard evidence. After round 5 the
 union r1-r5 is 162/162 — every entry has at least one driver green —
 so rotation switched to second-pass policy (VERDICT r5 #6): round-6
-prefix = the queries CHANGED or ADDED this round (positions 1-3:
+prefix = the queries CHANGED or ADDED this round (positions 1-4:
 `bpe_encode`, NEW; `quality_logit`, reweighted from the training op;
-`quality_logit_train`, quantized-sigmoid contract) followed by the
-47 entries with the OLDEST most-recent green (the r2 tail, then the
+`quality_logit_train`, quantized-sigmoid contract;
+`dedup_embedding_cosine`, production-banding re-contract after the
+sf1 bench caught the 8-bit banding going quadratic) followed by the
+46 entries with the OLDEST most-recent green (the r2 tail, then the
 early r3 block), keeping every entry's latest green ≤ 3 rounds old.
 Positions 51+ hold the rest in their prior order. Nothing about a
 query's semantics depends on its position.
@@ -37,16 +39,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-3 are the
+    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-4 are the
     #    queries CHANGED or ADDED in r6 (new bpe_encode; quality_logit
     #    reweighted from the training op; quality_logit_train's
-    #    quantized-sigmoid contract) — they need fresh evidence.
-    # -- 4-50: the entries with the OLDEST most-recent driver green
+    #    quantized-sigmoid contract; dedup_embedding_cosine's
+    #    production-banding re-contract) — they need fresh evidence.
+    # -- 5-50: the entries with the OLDEST most-recent driver green
     #    (r2 tail, then the early r3 block), so every entry's latest
-    #    green stays <= 3 rounds old.
+    #    green stays <= 3 rounds old. (doc_repetition slid to 51 when
+    #    dedup_embedding_cosine was promoted; it keeps r3 evidence.)
     ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
+    ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
     ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
     ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
     ("rolling_7d_revenue", advanced.rolling_7d_revenue, advanced.ROLLING_7D_REVENUE_SQL),
@@ -130,7 +135,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("viewers_set_ops", tpch.viewers_set_ops, tpch.VIEWERS_SET_OPS_SQL),
     ("current_person_properties", swa.current_person_properties, swa.CURRENT_PERSON_PROPERTIES_SQL),
     ("simhash_fingerprint", llm.simhash_fingerprint, llm.SIMHASH_FINGERPRINT_SQL),
-    ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
     ("keyvalue_export", swa.keyvalue_export, swa.KEYVALUE_EXPORT_SQL),
     ("multimodal_metadata", llm.multimodal_metadata, llm.MULTIMODAL_METADATA_SQL),
     ("dedup_incremental", llm.dedup_incremental, llm.DEDUP_INCREMENTAL_SQL),

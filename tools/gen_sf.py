@@ -39,9 +39,25 @@ CONSONANTS = "bcdfghjklmnpqrstvwz"
 
 
 def cipher_pair(tile: int) -> tuple[str, str]:
-    """Per-tile rotation of the consonant alphabet (both cases)."""
-    rot = tile % len(CONSONANTS)
-    lo = CONSONANTS[rot:] + CONSONANTS[:rot]
+    """Per-tile AFFINE permutation of the 19-consonant alphabet
+    (both cases): consonant j → consonant (a·j + b) mod 19 with
+    a = 1 + tile//19, b = tile%19. 19 is prime, so every a in
+    1..18 is a unit and the map is a bijection; distinct (a, b) ⇒
+    distinct permutation, supporting up to 18·19 = 342 tiles.
+
+    r6 fix: the original pure ROTATION (a=1) family has only 19
+    members, so a 100-tile sf10 corpus put ~5.3 tiles on IDENTICAL
+    text — window document frequencies multiplied ~6× and the
+    substring-dedup probe measured a (6·df)² pair blow-up that was
+    pure tiling artifact (194× wall at 10× data on the broken
+    corpus; see SURVEY §12 for the clean-corpus numbers).
+    Tiles 0-18 keep the original rotations
+    (a=1), so N ≤ 19 corpora are bit-identical to earlier rounds'.
+    """
+    n = len(CONSONANTS)
+    a, b = 1 + tile // n, tile % n
+    assert a < n, f"tile {tile} exceeds the {n * (n - 1)}-tile cipher family"
+    lo = "".join(CONSONANTS[(a * j + b) % n] for j in range(n))
     return (
         CONSONANTS + CONSONANTS.upper(),
         lo + lo.upper(),

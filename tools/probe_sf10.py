@@ -15,10 +15,13 @@ Usage::
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: The 10 heaviest data-bound queries per the r5 verdict's ask.
 DEFAULT_PROBE = (

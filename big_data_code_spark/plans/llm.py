@@ -3790,8 +3790,10 @@ def exact_substring_dedup(
     """Verbatim-overlap detection (r4) — the exact-substring dedup
     family: two docs are flagged when they share any exact
     8-token window (SUBSTR_WIN_K). Each doc's distinct windows are
-    hashed (md5) and pairs come from the window-HASH equi-join —
-    16-byte keys shuffle, never window text, and never doc×doc.
+    hashed (xxhash64, r6 — 8-byte BIGINT keys; the oracle's md5 is
+    identity-equivalent modulo negligible collisions) and pairs
+    come from the window-HASH equi-join — fixed-width keys
+    shuffle, never window text, and never doc×doc.
     Reports the shared-window count and each side's overlap
     fraction, the evidence a span-level dedup pass acts on
     (`substring_dedup_apply` is the pass itself).
@@ -3830,8 +3832,14 @@ def exact_substring_dedup(
 
     corpus = _corpus(spark, sf_dir)
     # three consumers (sizes + both join sides) would each re-run
-    # the explode + md5 window build — persist it once, like the
+    # the explode + window-hash build — persist it once, like the
     # LSH signature table (released by bench/driver loops).
+    # r6: the window key is xxhash64 (8-byte BIGINT), not an md5
+    # string — the key never reaches the output (only pair ids and
+    # counts do, so the oracle contract is untouched), and the
+    # 32-char string keys quadrupled the h-shuffle volume and
+    # dominated the sort at sf10 (84s → 54s measured on the
+    # shuffle-side legs; `tools/probe_sf10.py`).
     win = track_persisted(
         corpus.select(
             "doc_id",
@@ -3839,7 +3847,7 @@ def exact_substring_dedup(
                 word_shingles(tokenize(F.col("text")), n=SUBSTR_WIN_K)
             ).alias("w"),
         )
-        .select("doc_id", F.md5("w").alias("h"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_win"))
@@ -3934,7 +3942,9 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts are derived, the master text is never mutated.
 
     Plan shape (the `chunk_dedup` pattern generalized to
-    OVERLAPPING stride-1 windows): positional windows → md5 → the
+    OVERLAPPING stride-1 windows): positional windows → xxhash64
+    (8-byte internal key, r6 — the oracle's md5 is identity-
+    equivalent modulo negligible 64-bit collisions) → the
     first occurrence per hash via one map-side-combinable
     min(struct(doc_id, pos)) aggregate — NOT a row_number window,
     so a boilerplate window shared by millions of docs partial-
@@ -3966,7 +3976,14 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_shingles(F.col("toks"), n=k, distinct=False)
             ).alias("i", "w"),
         )
-        .select("doc_id", F.col("i").cast("long").alias("i"), F.md5("w").alias("h"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            # r6: xxhash64 BIGINT key (internal only — never in the
+            # output), replacing the md5 string: same reasoning and
+            # measured win as exact_substring_dedup's h key.
+            F.xxhash64("w").alias("h"),
+        )
     )
     firsts = win.groupBy("h").agg(F.min(F.struct("doc_id", "i")).alias("f"))
     dup = (

@@ -201,6 +201,9 @@ BENCH_QUERIES = (
     "hourly_gap_fill",
     "user_event_unpivot",
     "dedup_cluster_stats",
+    "triangle_count_knn",
+    "dsir_importance_sample",
+    "quality_logit_calibration",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -6349,3 +6349,422 @@ SELECT tp, fp, fn, n_truth_dups,
        tp / (tp + fn) AS recall
 FROM agg
 """
+
+
+# ---------------------------------------------------- r6 wave 2:
+# graph analytics on the kNN graph, DSIR data selection,
+# classifier calibration
+
+
+def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    kNN graph (r6) — the graph-quality signal semantic-dedup and
+    retrieval-graph pipelines read before trusting neighborhoods
+    (a high-LCC node sits in a tight semantic cluster; LCC ~ 0
+    flags hub/noise nodes). Reference scope: the book's graph
+    analyses stop at connected components
+    (`BatchWorkflow.java` user-id normalization); this is the
+    next classic batch-graph operator, restated Spark-first.
+
+    100 TB shape — the Suri-Vassilvitskii degree-ordering trick
+    ("Counting triangles and the curse of the last reducer",
+    WWW'11): orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, so each triangle is counted
+    exactly once from its lowest corner and — critically — the
+    wedge self-join fans out per-node as out-degree², which
+    degree-ordering bounds by O(sqrt(m)) even when raw degrees are
+    skewed (the "last reducer" hub problem). Three equi-join
+    shuffles (degree join, wedge self-join, edge-closure probe);
+    never node×node, no global window.
+
+    Engine-exact: integer counts, LCC = 2·tri / (d·(d-1)) is one
+    integer/integer double division. Returns (vec_id, degree,
+    triangles, lcc) for every node of the kNN edge set.
+    """
+    g = knn_graph(spark, sf_dir)
+    edges = (
+        g.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    low_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(low_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(low_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(low_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy")
+    )
+    wedges = o1.join(o2, "a").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("tri", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+TRIANGLE_COUNT_KNN_SQL = f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY 1),
+e AS (
+  SELECT edges.u, edges.v, a.d AS du, b.d AS dv
+  FROM edges JOIN deg a ON edges.u = a.node JOIN deg b ON edges.v = b.node),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM e),
+wedges AS (
+  SELECT o1.a, o1.b AS x, o2.b AS y
+  FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+tri AS (
+  SELECT w.a, w.x, w.y
+  FROM wedges w JOIN oriented t ON w.x = t.a AND w.y = t.b),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri)
+  GROUP BY 1)
+SELECT deg.node AS vec_id, deg.d AS degree,
+       CAST(coalesce(per_node.tri, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN 2.0 * coalesce(per_node.tri, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+"""
+
+
+#: DSIR hashed-feature space: unigrams hashed into this many
+#: buckets (the paper uses 10k buckets on n-grams; 256 keeps the
+#: per-doc fold bounded at harness scale — production widens it,
+#: the plan is bucket-count-free).
+DSIR_BUCKETS = 256
+#: Per-language keep share of the importance resample (numerator /
+#: denominator, kept exact-integer so K = ceil(n·share) is
+#: engine-exact).
+DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 4
+#: Gumbel(0,1) noise from a seeded md5 uniform, on the 1e-6 grid —
+#: same construction as `_DP_NOISE_EXPR`'s Laplace.
+_DSIR_GUMBEL_EXPR = "round(-ln(-ln(u)), 6)"
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r6) — Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling": estimate how
+    target-like each raw document is with two hashed-unigram LMs
+    (target = the `lang = 'en'` slice, raw = the whole corpus),
+    score log w(d) = Σ_b c_d(b)·(ln p_t(b) − ln p_r(b)) over hash
+    buckets b, then Gumbel-top-K resample — rank by log w + Gumbel
+    noise, keep the top share per language stratum.
+
+    100 TB shape: the corpus collapses to (doc, bucket) counts and
+    two 256-row bucket dictionaries (map-side-combinable shuffles);
+    the log-ratio model is a broadcast join back; selection is a
+    language-partitioned window (never a global sort — the
+    `curriculum_order` pattern). Seeded md5 Gumbel ≙ `dp_noisy_counts`'
+    Laplace: a reproducible release, production swaps a real RNG.
+
+    Float contract: ln on identical doubles is bit-identical
+    cross-engine (the `unigram_logprob` verified contract); bucket
+    probabilities are integer/integer divisions; the per-doc score
+    folds a bucket-SORTED list sequentially; the Gumbel draw is
+    quantized to the 1e-6 grid. Returns (doc_id, lang, n_tokens,
+    log_w, gkey, rank_in_lang, kept).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("cr").alias("nr")).crossJoin(
+                    tgt.agg(F.sum("ct").alias("nt"))
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(float(DSIR_BUCKETS))))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.lit(float(DSIR_BUCKETS))))
+            ).alias("r"),
+        )
+    )
+    folded = (
+        db.join(F.broadcast(model), "b")
+        .select(
+            "doc_id",
+            "n",
+            F.struct(F.col("b"), (F.col("n") * F.col("r")).alias("t")).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("log_w"),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("log_w", F.lit(0.0)), 6).alias("log_w"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(4503599627370496.0)
+            ).alias("u"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "log_w",
+            F.round(F.col("log_w") + F.expr(_DSIR_GUMBEL_EXPR), 6).alias("gkey"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("gkey"), "doc_id")
+    wn = Window.partitionBy("lang")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "log_w",
+        "gkey",
+        F.row_number().over(w).cast("long").alias("rank_in_lang"),
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(wn) * DSIR_KEEP_NUM / DSIR_KEEP_DEN)
+        ).alias("kept"),
+    )
+
+
+DSIR_IMPORTANCE_SAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKENS}) AS t FROM documents)),
+db AS (SELECT doc_id, b, count(*) AS n FROM tok GROUP BY 1, 2),
+raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+scal AS (SELECT (SELECT sum(cr) FROM raw) AS nr, (SELECT sum(ct) FROM tgt) AS nt),
+model AS (
+  SELECT raw.b,
+         ln((coalesce(tgt.ct, 0) + 1.0) / (scal.nt + {DSIR_BUCKETS}.0))
+           - ln((raw.cr + 1.0) / (scal.nr + {DSIR_BUCKETS}.0)) AS r
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN scal),
+folded AS (
+  SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
+         coalesce(list_sum(list(db.n * m.r ORDER BY db.b)), 0.0) AS log_w
+  FROM db JOIN model m ON db.b = m.b
+  GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+         round(coalesce(f.log_w, 0.0), 6) AS log_w,
+         ('0x' || substr(md5('dsir:' || d.doc_id::VARCHAR), 1, 13))::BIGINT
+           / 4503599627370496e0 AS u
+  FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id),
+keyed AS (
+  SELECT doc_id, lang, n_tokens, log_w,
+         round(log_w + {_DSIR_GUMBEL_EXPR}, 6) AS gkey
+  FROM scored)
+SELECT doc_id, lang, n_tokens, log_w, gkey,
+       CAST(row_number() OVER
+            (PARTITION BY lang ORDER BY gkey DESC, doc_id) AS BIGINT)
+         AS rank_in_lang,
+       row_number() OVER (PARTITION BY lang ORDER BY gkey DESC, doc_id)
+         <= ceil(count(*) OVER (PARTITION BY lang)
+                 * {DSIR_KEEP_NUM} / {DSIR_KEEP_DEN}) AS kept
+FROM keyed
+"""
+
+
+#: Fixed-width score bins for the calibration table, frozen to the
+#: trained model's score range at the pinned corpus (logits land in
+#: (-0.30, -0.19) — 12 underfit GD rounds from w=0 keep every score
+#: in a narrow negative band; see QUALITY_LOGIT_THRESHOLD, which
+#: falls in bin 3). Out-of-range scores clamp to the edge bins.
+#: Fixed bins, not quantiles: binning is a map-side constant
+#: comparison, so the table needs no global sort at any scale.
+QL_CAL_LO = -0.3
+QL_CAL_W = 0.012
+QL_CAL_BINS = 10
+
+
+def quality_logit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the served quality classifier (r6) —
+    the calibration readout every learned data filter ships with:
+    bin the trained logit (`QUALITY_LOGIT_EXPR`, the exact score
+    `quality_logit` serves) into fixed-width score bins and report
+    each bin's document count and empirical positive rate against
+    the rule labels `quality_logit_train` trained on. A monotone
+    pos_rate across bins = the score ranks correctly; the bin
+    containing QUALITY_LOGIT_THRESHOLD shows the operating point.
+
+    100 TB shape: one map pass computes features + logit + bin
+    (whole-stage codegen, zero shuffle), one map-side-combinable
+    groupBy(bin). No quantiles, no global window.
+
+    Engine-exact: the logit is the bit-exact +/* chain over integer
+    ratios (no transcendentals), bin edges are double constants,
+    counts are integers and pos_rate one integer division. Returns
+    (bin, logit_lo, logit_hi, n_docs, n_pos, pos_rate).
+    """
+    labeled = _qlt_labeled(spark, sf_dir)
+    binned = labeled.select(
+        F.least(
+            F.greatest(
+                F.floor((F.expr(QUALITY_LOGIT_EXPR) - QL_CAL_LO) / QL_CAL_W),
+                F.lit(0),
+            ),
+            F.lit(QL_CAL_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.lit(QL_CAL_LO) + F.col("bin") * QL_CAL_W).alias("logit_lo"),
+            (F.lit(QL_CAL_LO) + (F.col("bin") + 1) * QL_CAL_W).alias("logit_hi"),
+            "n_docs",
+            "n_pos",
+            (F.col("n_pos") / F.col("n_docs")).alias("pos_rate"),
+        )
+    )
+
+
+def _quality_logit_calibration_sql() -> str:
+    label = (
+        f"CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}"
+        f" AND stop_ratio <= {QF_MAX_STOPWORD_RATIO}"
+        f" AND mtl BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN}"
+        f" THEN 1e0 ELSE 0e0 END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_filter(tokens,
+                     t -> list_contains({_STOP_SQL_BY_LANG["en"]}, t)))
+                   / len(tokens)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              ELSE 0.0 END AS mtl,
+         len(tokens) / (len(tokens) + 100.0) AS sat,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_distinct(tokens)) / len(tokens)
+              ELSE 0.0 END AS ttr
+  FROM tok),
+binned AS (
+  SELECT least(greatest(
+           floor(({QUALITY_LOGIT_EXPR} - {QL_CAL_LO!r}e0) / {QL_CAL_W!r}e0),
+           0), {QL_CAL_BINS - 1})::BIGINT AS bin,
+         {label} AS y
+  FROM feats),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1)
+SELECT bin, {QL_CAL_LO!r}e0 + bin * {QL_CAL_W!r}e0 AS logit_lo,
+       {QL_CAL_LO!r}e0 + (bin + 1) * {QL_CAL_W!r}e0 AS logit_hi,
+       n_docs, n_pos, n_pos / n_docs AS pos_rate
+FROM agg
+"""
+
+
+QUALITY_LOGIT_CALIBRATION_SQL = _quality_logit_calibration_sql()

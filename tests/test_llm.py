@@ -2002,3 +2002,108 @@ def test_pagerank_knn_graph_matches_independent_python_reimpl(spark):
     assert all(got[v] == pr[v] for v in pr), max(
         (abs(got[v] - pr[v]), v) for v in pr
     )
+
+
+def test_triangle_count_knn_oracle_and_independent_recount(spark):
+    """Oracle parity, plus an independent pure-Python recount: build
+    adjacency sets from the kNN edge list and count triangles
+    naively per node — the degree-ordered wedge join must agree
+    exactly (it is an optimization of the same quantity)."""
+    assert_matches_oracle(spark, "triangle_count_knn", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import knn_graph, triangle_count_knn
+
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in knn_graph(spark, SF_SMOKE).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want_tri = {
+        n: sum(1 for x in nbrs for y in nbrs if x < y and y in adj[x])
+        for n, nbrs in adj.items()
+    }
+    got = {
+        r["vec_id"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_count_knn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(adj)
+    for n, (d, tri, lcc) in got.items():
+        assert d == len(adj[n])
+        assert tri == want_tri[n], f"node {n}"
+        if d >= 2:
+            assert lcc == pytest.approx(2.0 * tri / (d * (d - 1)))
+        else:
+            assert lcc == 0.0
+    assert sum(t for _, t, _ in got.values()) % 3 == 0  # each tri counted 3x
+
+
+def test_dsir_importance_sample_oracle_and_semantics(spark):
+    """Oracle parity, plus the DSIR semantics the operator exists
+    for: the target slice (lang='en') must score more target-like
+    than the rest, and the per-language Gumbel-top-K keep contract
+    must hold exactly."""
+    import math
+
+    assert_matches_oracle(spark, "dsir_importance_sample", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import (
+        DSIR_KEEP_DEN,
+        DSIR_KEEP_NUM,
+        dsir_importance_sample,
+    )
+
+    rows = dsir_importance_sample(spark, SF_SMOKE).collect()
+    en = [r["log_w"] for r in rows if r["lang"] == "en"]
+    rest = [r["log_w"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, lrows in by_lang.items():
+        kept = [r for r in lrows if r["kept"]]
+        assert len(kept) == math.ceil(
+            len(lrows) * DSIR_KEEP_NUM / DSIR_KEEP_DEN
+        ), lang
+        # kept = exactly the top-K by (gkey desc, doc_id): no dropped
+        # row may outrank a kept one
+        worst_kept = min((r["gkey"], -r["doc_id"]) for r in kept)
+        best_drop = max(
+            ((r["gkey"], -r["doc_id"]) for r in lrows if not r["kept"]),
+            default=None,
+        )
+        assert best_drop is None or best_drop < worst_kept
+        ranks = sorted(r["rank_in_lang"] for r in lrows)
+        assert ranks == list(range(1, len(lrows) + 1))
+
+
+def test_quality_logit_calibration_oracle_and_consistency(spark):
+    """Oracle parity, plus internal consistency against the frame it
+    summarizes: bin totals must add up to the corpus, the positive
+    mass must equal the rule-label mass, and the served operating
+    point (QUALITY_LOGIT_THRESHOLD) must fall inside the bin range
+    the table was frozen for."""
+    assert_matches_oracle(spark, "quality_logit_calibration", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import (
+        QL_CAL_BINS,
+        QL_CAL_LO,
+        QL_CAL_W,
+        QUALITY_LOGIT_THRESHOLD,
+        _qlt_labeled,
+        quality_logit_calibration,
+    )
+
+    rows = quality_logit_calibration(spark, SF_SMOKE).collect()
+    labeled = _qlt_labeled(spark, SF_SMOKE).collect()
+    assert sum(r["n_docs"] for r in rows) == len(labeled)
+    assert sum(r["n_pos"] for r in rows) == sum(r["y"] for r in labeled)
+    for r in rows:
+        assert 0 <= r["bin"] < QL_CAL_BINS
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert r["pos_rate"] == pytest.approx(r["n_pos"] / r["n_docs"])
+        assert r["logit_hi"] == pytest.approx(r["logit_lo"] + QL_CAL_W)
+    assert QL_CAL_LO <= QUALITY_LOGIT_THRESHOLD < QL_CAL_LO + QL_CAL_BINS * QL_CAL_W

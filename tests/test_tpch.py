@@ -169,6 +169,9 @@ BNLJ_ALLOWED = {
                                  # vector broadcast per GD round —
                                  # the pre-checkpoint round-step plan
                                  # exposed via AUDIT_PLAN_HOOKS
+    "dsir_importance_sample",    # r6 w2: single-row (N_raw, N_target)
+                                 # LM normalizing-constants broadcast
+                                 # (the unigram_logprob shape)
 }
 
 

@@ -204,6 +204,8 @@ BENCH_QUERIES = (
     "triangle_count_knn",
     "dsir_importance_sample",
     "quality_logit_calibration",
+    "semdedup_kmeans",
+    "label_propagation_knn",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

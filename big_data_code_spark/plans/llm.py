@@ -6768,3 +6768,242 @@ FROM agg
 
 
 QUALITY_LOGIT_CALIBRATION_SQL = _quality_logit_calibration_sql()
+
+
+#: SemDeDup cluster count at the harness corpus sizes. Production
+#: derives n_cells ≈ n / target_cell_size (the paper uses k in the
+#: tens of thousands on 100M+ docs) so within-cell work stays
+#: bounded; the trained index is k×64 doubles — driver-light at any
+#: realistic k (the documented/allowlisted `ivf_train` collect).
+SEMDEDUP_N_CELLS = 16
+
+#: (corpus fingerprint) → trained SemDeDup centroid matrix (same
+#: build/search split + invalidation rule as _IVF_INDEX_CACHE, but
+#: trained on the dup-seeded _vector_corpus at 16 cells).
+_SEMDEDUP_INDEX_CACHE: dict[tuple[str, float, int], list[list[float]]] = {}
+
+
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6) — Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication": the
+    CLUSTER-bucketed member of the embedding-dedup family (the
+    banded-LSH member is `dedup_semantic_final`). k-means the
+    dup-seeded vector corpus into cells with the same deterministic
+    md5-init Lloyd trainer as the IVF index (`operators/ann.py::
+    ivf_train`), compute exact cosine pairs WITHIN each cell only,
+    and keep per duplicate relation the lowest-id vector (the
+    paper keeps one exemplar per intra-cluster duplicate set; the
+    lowest-id rule makes the verdict deterministic cross-engine).
+
+    100 TB shape: candidate pairs come from a cell equi-join, so
+    work is Σ|cell|² — bounded by the cell size the cluster count
+    targets (production re-derives n_cells ≈ n / target_cell_size,
+    exactly the paper's regime; 16 cells ≈ that ratio at harness
+    sizes). Assignment is a per-row argmin against the broadcast
+    k×64 centroid literal — shuffle-free. No all-pairs product
+    anywhere; the centroid collect is the documented offline
+    index-build step shared with `ann_ivf`.
+
+    Deterministic end to end (md5 init, fixed rounds, exact-integer
+    tie-breaks), so the oracle restates training, assignment,
+    within-cell pairs, and the keep rule exactly. Returns (vec_id,
+    cell, n_lower_dups, is_kept); seeded +0.01 perturbed copies
+    (cos ≈ 0.999 to their originals) must land is_kept = false
+    whenever they share a cell with their original (recall through
+    the cell partition is the documented trade, asserted in tests).
+    """
+    corpus = _vector_corpus(spark, sf_dir)
+    key = _ivf_cache_key(sf_dir)
+    centroids = _SEMDEDUP_INDEX_CACHE.get(key)
+    if centroids is None:
+        centroids = ann.ivf_train(corpus, n_cells=SEMDEDUP_N_CELLS)
+        _SEMDEDUP_INDEX_CACHE[key] = centroids
+    asg = ann.ivf_assign(corpus, centroids, "vec_id", "embedding")
+    a = asg.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
+    b = asg.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(ann.cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_THRESHOLD)
+    )
+    lower = pairs.groupBy(F.col("b").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lower_dups")
+    )
+    return asg.join(lower, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("n_lower_dups", F.lit(0)).cast("long").alias("n_lower_dups"),
+        (F.coalesce("n_lower_dups", F.lit(0)) == 0).alias("is_kept"),
+    )
+
+
+def _kmeans_cells_cte(n_cells: int) -> str:
+    """The `_IVF_TRAIN_CTE` training restatement (init hash → mean →
+    reassign → mean → final assignment) parameterized by cell count,
+    over a CTE `c(vec_id, vec)`. Produces `cells(c_id, c_vec, cell)`."""
+    return f"""a0 AS (
+  SELECT vec_id, vec,
+         (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % {n_cells})::INT AS cell
+  FROM c
+),
+cen0 AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(m ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(vec[i + 1]) AS m
+          FROM a0 CROSS JOIN range(0, 64) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+a1 AS (
+  SELECT vec_id, vec, rn::INT AS cell FROM (
+    SELECT a0.vec_id, a0.vec, cen0.rn,
+           row_number() OVER (
+             PARTITION BY a0.vec_id
+             ORDER BY list_sum(list_transform(list_zip(a0.vec, cen0.cen),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cen0.rn) AS pick
+    FROM a0 CROSS JOIN cen0
+  ) WHERE pick = 1
+),
+cen1 AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS rn, cen
+  FROM (
+    SELECT cell, list(m ORDER BY pos) AS cen
+    FROM (SELECT cell, i AS pos, avg(vec[i + 1]) AS m
+          FROM a1 CROSS JOIN range(0, 64) t(i) GROUP BY cell, i)
+    GROUP BY cell
+  )
+),
+cells AS (
+  SELECT vec_id AS c_id, vec AS c_vec, rn::INT AS cell FROM (
+    SELECT c.vec_id, c.vec, cen1.rn,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_sum(list_transform(list_zip(c.vec, cen1.cen),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      cen1.rn) AS pick
+    FROM c CROSS JOIN cen1
+  ) WHERE pick = 1
+)"""
+
+
+SEMDEDUP_KMEANS_SQL = f"""
+WITH {_VECTOR_CORPUS_CTE.strip()},
+c AS (SELECT vec_id, v AS vec FROM vcorpus),
+{_kmeans_cells_cte(SEMDEDUP_N_CELLS)},
+pairs AS (
+  SELECT a.c_id AS a, b.c_id AS b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.c_id < b.c_id
+  WHERE list_dot_product(a.c_vec, b.c_vec) /
+          (sqrt(list_dot_product(a.c_vec, a.c_vec)) *
+           sqrt(list_dot_product(b.c_vec, b.c_vec)))
+        >= {COSINE_DUP_THRESHOLD}
+),
+lower_dups AS (
+  SELECT b AS id, CAST(count(*) AS BIGINT) AS n_lower_dups
+  FROM pairs GROUP BY 1)
+SELECT cells.c_id AS vec_id, CAST(cells.cell AS BIGINT) AS cell,
+       CAST(coalesce(lower_dups.n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
+       coalesce(lower_dups.n_lower_dups, 0) = 0 AS is_kept
+FROM cells LEFT JOIN lower_dups ON cells.c_id = lower_dups.id
+"""
+
+
+#: Fixed synchronous label-propagation rounds — a fixed-round
+#: contract (like QL_TRAIN_ROUNDS), not a convergence loop, so both
+#: engines run the identical computation with no driver-side
+#: convergence check.
+LPA_ROUNDS = 5
+
+
+def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the kNN graph via synchronous label
+    propagation (r6) — Raghavan et al. 2007, the near-linear-time
+    community algorithm; on a semantic kNN graph its communities
+    are topic/near-dup clusters, the coarse structure corpus
+    curation reads between the per-node view (`triangle_count_knn`)
+    and the global one (`pagerank_knn_graph`). Completes the
+    batch-graph family next to the reference's connected components
+    (`IterateEdges`, `BatchWorkflow.java:561-687`): CC merges
+    everything reachable; LPA splits components into dense regions.
+
+    Exactly LPA_ROUNDS synchronous rounds from label(v) = v; each
+    round every node adopts its neighbors' plurality label (count
+    desc, then SMALLEST label — the determinism rule replacing the
+    paper's random tie-break, same substitution the md5-seeded ops
+    make for RNG).
+
+    100 TB shape: the symmetric edge list is checkpointed once and
+    re-joined per round (one equi-join + one map-side-combinable
+    (node, label) count + one node-partitioned window per round —
+    all hash-partitioned by node, AQE reuses the layout; the
+    O(log n)-round trick lives in `connected_components`, LPA is
+    inherently per-round local). No global window, no driver data.
+
+    Returns (vec_id, community, community_size).
+    """
+    g = knn_graph(spark, sf_dir)
+    und = (
+        g.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("c"), "lab")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "lab")
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("vec_id"),
+        F.col("lab").alias("community"),
+        "community_size",
+    )
+
+
+def _label_propagation_sql() -> str:
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""v{r} AS (
+  SELECT e.a, l.lab, count(*) AS c
+  FROM sym e JOIN l{r - 1} l ON e.b = l.node
+  GROUP BY 1, 2),
+l{r} AS (
+  SELECT a AS node, lab FROM (
+    SELECT a, lab, row_number() OVER (
+      PARTITION BY a ORDER BY c DESC, lab) AS rn
+    FROM v{r}) WHERE rn = 1)""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH knn AS ({{knn}}),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+{body},
+sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+          FROM l{LPA_ROUNDS} GROUP BY 1)
+SELECT l.node AS vec_id, l.lab AS community, s.community_size
+FROM l{LPA_ROUNDS} l JOIN sizes s ON l.lab = s.lab
+"""
+
+
+LABEL_PROPAGATION_KNN_SQL = _label_propagation_sql().format(knn=KNN_GRAPH_SQL)

@@ -39,14 +39,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-7 are the
+    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-9 are the
     #    queries CHANGED or ADDED in r6 (new bpe_encode /
     #    triangle_count_knn / dsir_importance_sample /
-    #    quality_logit_calibration; quality_logit reweighted from the
+    #    quality_logit_calibration / semdedup_kmeans /
+    #    label_propagation_knn; quality_logit reweighted from the
     #    training op; quality_logit_train's quantized-sigmoid
     #    contract; dedup_embedding_cosine's production-banding
     #    re-contract) — they need fresh evidence.
-    # -- 8-50: the entries with the OLDEST most-recent driver green
+    # -- 10-50: the entries with the OLDEST most-recent driver green
     #    (r2 tail, then the early r3 block), so every entry's latest
     #    green stays <= 3 rounds old. (entries that slid past 50 when
     #    r6 queries were promoted keep their r3 evidence.)
@@ -54,6 +55,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
     ("dsir_importance_sample", llm.dsir_importance_sample, llm.DSIR_IMPORTANCE_SAMPLE_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
+    ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
+    ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),

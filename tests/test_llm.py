@@ -2107,3 +2107,97 @@ def test_quality_logit_calibration_oracle_and_consistency(spark):
         assert r["pos_rate"] == pytest.approx(r["n_pos"] / r["n_docs"])
         assert r["logit_hi"] == pytest.approx(r["logit_lo"] + QL_CAL_W)
     assert QL_CAL_LO <= QUALITY_LOGIT_THRESHOLD < QL_CAL_LO + QL_CAL_BINS * QL_CAL_W
+
+
+def test_semdedup_kmeans_oracle_and_seeded_recall(spark):
+    """Oracle parity, plus the dedup semantics: every vector the
+    pass drops must really have a lower-id cell-mate at cos >= 0.95
+    (no false drops), and the seeded +0.01 perturbed copies must be
+    caught whenever the cell partition co-locates them with their
+    original (the documented recall trade — asserted well above the
+    random-pair rate)."""
+    assert_matches_oracle(spark, "semdedup_kmeans", SF_SMOKE)
+
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import (
+        COSINE_DUP_THRESHOLD,
+        _vector_corpus,
+        semdedup_kmeans,
+    )
+
+    rows = semdedup_kmeans(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    seeded = [v for v in by_id if v >= 1_000_000]
+    assert seeded
+    co_located = [
+        v for v in seeded if by_id[v]["cell"] == by_id[v - 1_000_000]["cell"]
+    ]
+    caught = [v for v in co_located if not by_id[v]["is_kept"]]
+    # cos(original, +0.01-perturbed) ≈ 0.999 >> 0.95: co-located
+    # seeded copies must essentially all be dropped
+    assert len(co_located) > len(seeded) // 2  # the partition keeps most
+    assert len(caught) == len(co_located)
+    # no false drops: dropped originals must have a real lower-id dup
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in _vector_corpus(spark, SF_SMOKE).collect()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    dropped = [r for r in rows if not r["is_kept"]]
+    for r in dropped[:20]:
+        mates = [
+            v
+            for v, rr in by_id.items()
+            if rr["cell"] == r["cell"] and v < r["vec_id"]
+        ]
+        assert any(
+            cos(vecs[v], vecs[r["vec_id"]]) >= COSINE_DUP_THRESHOLD for v in mates
+        ), r["vec_id"]
+
+
+def test_label_propagation_knn_oracle_and_fixed_point_reimpl(spark):
+    """Oracle parity, plus an independent pure-Python synchronous
+    LPA reimplementation from the kNN edge list — 5 rounds,
+    plurality label, smallest-label tie-break — compared label for
+    label."""
+    assert_matches_oracle(spark, "label_propagation_knn", SF_SMOKE)
+
+    from collections import Counter
+
+    from big_data_code_spark.plans.llm import (
+        LPA_ROUNDS,
+        knn_graph,
+        label_propagation_knn,
+    )
+
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in knn_graph(spark, SF_SMOKE).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = Counter(lab[m] for m in nbrs)
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        lab = nxt
+    got = {
+        r["vec_id"]: (r["community"], r["community_size"])
+        for r in label_propagation_knn(spark, SF_SMOKE).collect()
+    }
+    sizes = Counter(lab.values())
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n] == (lab[n], sizes[lab[n]]), n

@@ -6382,11 +6382,16 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles, lcc) for every node of the kNN edge set.
     """
     g = knn_graph(spark, sf_dir)
+    # five consumers below (degree build + both wedge sides + the
+    # closure probe) would each re-run the banded-LSH kNN
+    # construction — checkpoint the undirected edge list once (the
+    # `label_propagation_knn` pattern; measured 18s → 4s at sf0.1)
     edges = (
         g.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -6401,11 +6406,13 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # three consumers (both wedge sides + the closure probe) —
+    # checkpoint the oriented adjacency once as well
     oriented = e.select(
         F.when(low_u, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(low_u, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(low_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
     )

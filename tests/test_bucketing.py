@@ -167,3 +167,74 @@ def test_zorder_key_math_matches_naive_python_bits(spark):
         for r in QUERIES["zorder_layout_keys"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning (SPARK-32268, r6 🧪): when
+    one side of a shuffle join carries a selective filter, Catalyst
+    injects a `bloom_filter_might_contain` predicate on the probe
+    side, dropping non-joining rows BEFORE the probe-side shuffle —
+    at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only the rows that can match. The
+    thresholds default to production sizes (creation side < 10MB,
+    probe scan > 10GB), so the test lowers the probe threshold to
+    fire on harness data, asserts the predicate lands in the plan,
+    and asserts the pruned result equals the unpruned one."""
+    from big_data_code_spark.sources.tables import load_table
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom filters are only injected when
+        # the probe side would otherwise shuffle in full
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        q = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
+        )
+        got = q.collect()
+        # the optimized logical plan names the predicate
+        # bloom_filter_might_contain; the physical plan renders it
+        # might_contain(Subquery ...) on the probe-side Filter
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plain_plan
+        assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

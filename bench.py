@@ -206,6 +206,8 @@ BENCH_QUERIES = (
     "quality_logit_calibration",
     "semdedup_kmeans",
     "label_propagation_knn",
+    "source_quality_report",
+    "audience_overlap",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -7014,3 +7014,145 @@ FROM l{LPA_ROUNDS} l JOIN sizes s ON l.lab = s.lab
 
 
 LABEL_PROPAGATION_KNN_SQL = _label_propagation_sql().format(knn=KNN_GRAPH_SQL)
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source scorecard (r6) — the keep/drop-a-source readout
+    curation pipelines act on (FineWeb/Dolma-style source audits):
+    for every `documents.source`, the doc count, token mass, mean
+    trained-classifier score, classifier keep-rate, and the share of
+    docs with an exact duplicate in the dup-seeded corpus. Composes
+    the served classifier (`quality_logit`) with the exact-dedup
+    groups (`dedup_exact`) — the point IS the composition: one
+    source-grain frame a pipeline owner reads before re-weighting
+    or dropping a source.
+
+    100 TB shape: two doc-grain maps + one hash-agg each, joined on
+    doc_id, then one map-side-combinable groupBy(source). Mean logit
+    is an ORDER-FREE fixed-point sum (per-row round(logit·1e6) as
+    BIGINT — the `quality_logit_train` gradient-grid pattern) with
+    one divide at the end; rates are integer ratios. Returns
+    (source, n_docs, n_tokens, mean_logit, keep_rate,
+    exact_dup_rate).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ql = quality_logit(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    grp = (
+        corpus.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .select(F.explode("ids").alias("doc_id"), (F.col("n_copies") > 1).alias("has_dup"))
+        .where(F.col("doc_id") < 1_000_000)
+    )
+    return (
+        docs.join(ql, "doc_id")
+        .join(grp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.round(F.col("logit") * 1e6, 0).cast("long")).alias("lq"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.col("has_dup").cast("long")).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("lq") / (F.col("n_docs") * 1e6)).alias("mean_logit"),
+            (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+            (F.col("n_dup") / F.col("n_docs")).alias("exact_dup_rate"),
+        )
+    )
+
+
+_SOURCE_QUALITY_REPORT_TMPL = f"""
+WITH ql AS ({{ql}}),
+{_CORPUS_CTE},
+grp AS (
+  SELECT doc_id, n_copies > 1 AS has_dup
+  FROM (
+    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM corpus)
+  WHERE doc_id < 1000000),
+agg AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ql.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(ql.logit * 1e6) AS BIGINT)) AS BIGINT) AS lq,
+         CAST(sum(CASE WHEN ql.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(CASE WHEN grp.has_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM documents d
+  JOIN ql ON d.doc_id = ql.doc_id
+  JOIN grp ON d.doc_id = grp.doc_id
+  GROUP BY 1)
+SELECT source, n_docs, n_tokens,
+       lq / (n_docs * 1e6) AS mean_logit,
+       n_keep / n_docs AS keep_rate,
+       n_dup / n_docs AS exact_dup_rate
+FROM agg
+"""
+
+SOURCE_QUALITY_REPORT_SQL = _SOURCE_QUALITY_REPORT_TMPL.replace(
+    "{ql}", QUALITY_LOGIT_SQL
+)
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types (r6) — the
+    co-visitation matrix the reference's uniques views stop short
+    of (`uniquesView`, `BatchWorkflow.java:330-363`, counts each
+    audience alone): for every pair of event types, the exact
+    distinct-user audiences, their intersection, and Jaccard.
+
+    100 TB shape: one distinct on (user, type) — map-side
+    combinable — then a SELF-equi-join on user_id whose fan-out is
+    bounded by types-per-user (the event-type vocabulary, not the
+    user count), then one combinable groupBy(type pair). Never
+    user×user; sketch path for unbounded type vocabularies is the
+    HLL family. Exact integers + single divisions — engine-exact.
+    Returns (type_a, type_b, n_a, n_b, n_both, jaccard).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        both.join(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both"))).alias("jaccard"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT t.type_a, t.type_b, sa.n AS n_a, sb.n AS n_b, t.n_both,
+       t.n_both / (sa.n + sb.n - t.n_both) AS jaccard
+FROM both_t t
+JOIN sizes sa ON t.type_a = sa.event_type
+JOIN sizes sb ON t.type_b = sb.event_type
+"""

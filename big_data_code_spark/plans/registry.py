@@ -39,15 +39,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-9 are the
+    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-11 are the
     #    queries CHANGED or ADDED in r6 (new bpe_encode /
     #    triangle_count_knn / dsir_importance_sample /
     #    quality_logit_calibration / semdedup_kmeans /
-    #    label_propagation_knn; quality_logit reweighted from the
+    #    label_propagation_knn / source_quality_report /
+    #    audience_overlap; quality_logit reweighted from the
     #    training op; quality_logit_train's quantized-sigmoid
     #    contract; dedup_embedding_cosine's production-banding
     #    re-contract) — they need fresh evidence.
-    # -- 10-50: the entries with the OLDEST most-recent driver green
+    # -- 12-50: the entries with the OLDEST most-recent driver green
     #    (r2 tail, then the early r3 block), so every entry's latest
     #    green stays <= 3 rounds old. (entries that slid past 50 when
     #    r6 queries were promoted keep their r3 evidence.)
@@ -57,6 +58,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
     ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
+    ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
+    ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),

@@ -2201,3 +2201,72 @@ def test_label_propagation_knn_oracle_and_fixed_point_reimpl(spark):
     assert set(got) == set(adj)
     for n in adj:
         assert got[n] == (lab[n], sizes[lab[n]]), n
+
+
+def test_source_quality_report_oracle_and_recomputes(spark):
+    """Oracle parity, plus a recompute of one source's row from the
+    doc-grain frames it composes (quality_logit + exact-dup groups)."""
+    assert_matches_oracle(spark, "source_quality_report", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import (
+        quality_logit,
+        source_quality_report,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {r["source"]: r for r in source_quality_report(spark, SF_SMOKE).collect()}
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    ql = {r["doc_id"]: r for r in quality_logit(spark, SF_SMOKE).collect()}
+    src = next(iter(rows))
+    ids = [d for d, s in docs.items() if s == src]
+    want_n = len(ids)
+    got = rows[src]
+    assert got["n_docs"] == want_n
+    assert got["n_tokens"] == sum(ql[d]["n_tokens"] for d in ids)
+    assert got["keep_rate"] == pytest.approx(
+        sum(1 for d in ids if ql[d]["keep"]) / want_n
+    )
+    assert got["mean_logit"] == pytest.approx(
+        sum(round(ql[d]["logit"] * 1e6) for d in ids) / (want_n * 1e6)
+    )
+    # seeded exact copies are every 10th doc → the per-source dup
+    # rate is the share of doc_id % 10 == 0
+    assert got["exact_dup_rate"] == pytest.approx(
+        sum(1 for d in ids if d % 10 == 0) / want_n
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+
+
+def test_audience_overlap_oracle_and_set_recompute(spark):
+    """Oracle parity, plus an exact set recompute of every pair from
+    the raw events."""
+    assert_matches_oracle(spark, "audience_overlap", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import audience_overlap
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in audience_overlap(spark, SF_SMOKE).collect()
+    }
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            inter = len(users[a] & users[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert (r["n_a"], r["n_b"], r["n_both"]) == (
+                len(users[a]), len(users[b]), inter
+            )
+            assert r["jaccard"] == pytest.approx(
+                inter / len(users[a] | users[b])
+            )

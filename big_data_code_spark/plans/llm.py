@@ -6777,20 +6777,24 @@ FROM agg
 QUALITY_LOGIT_CALIBRATION_SQL = _quality_logit_calibration_sql()
 
 
-#: SemDeDup cluster count at the harness corpus sizes. Production
-#: derives n_cells ≈ n / target_cell_size (the paper uses k in the
-#: tens of thousands on 100M+ docs) so within-cell work stays
-#: bounded; the trained index is k×64 doubles — driver-light at any
+#: SemDeDup cluster count at the harness corpus sizes, and the
+#: registered-contract default of `semdedup_kmeans`'s `n_cells`
+#: parameter (the caller's scale lever — within-cell pair work is
+#: n²/n_cells, so production derives n_cells ≈ n / target_cell_size,
+#: the paper's regime of k in the tens of thousands on 100M+ docs).
+#: The trained index is k×64 doubles — driver-light at any
 #: realistic k (the documented/allowlisted `ivf_train` collect).
 SEMDEDUP_N_CELLS = 16
 
 #: (corpus fingerprint) → trained SemDeDup centroid matrix (same
 #: build/search split + invalidation rule as _IVF_INDEX_CACHE, but
 #: trained on the dup-seeded _vector_corpus at 16 cells).
-_SEMDEDUP_INDEX_CACHE: dict[tuple[str, float, int], list[list[float]]] = {}
+_SEMDEDUP_INDEX_CACHE: dict[tuple[str, float, int, int], list[list[float]]] = {}
 
 
-def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_kmeans(
+    spark: SparkSession, sf_dir: str, n_cells: int = SEMDEDUP_N_CELLS
+) -> DataFrame:
     """SemDeDup (r6) — Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication": the
     CLUSTER-bucketed member of the embedding-dedup family (the
@@ -6820,10 +6824,10 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell partition is the documented trade, asserted in tests).
     """
     corpus = _vector_corpus(spark, sf_dir)
-    key = _ivf_cache_key(sf_dir)
+    key = (*_ivf_cache_key(sf_dir), n_cells)
     centroids = _SEMDEDUP_INDEX_CACHE.get(key)
     if centroids is None:
-        centroids = ann.ivf_train(corpus, n_cells=SEMDEDUP_N_CELLS)
+        centroids = ann.ivf_train(corpus, n_cells=n_cells)
         _SEMDEDUP_INDEX_CACHE[key] = centroids
     asg = ann.ivf_assign(corpus, centroids, "vec_id", "embedding")
     a = asg.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")

@@ -2270,3 +2270,20 @@ def test_audience_overlap_oracle_and_set_recompute(spark):
             assert r["jaccard"] == pytest.approx(
                 inter / len(users[a] | users[b])
             )
+
+
+def test_semdedup_kmeans_cell_count_lever(spark):
+    """`n_cells` is the documented scale lever: a different cell
+    count changes the partition (cells stay in range) while the
+    keep rule still catches co-located seeded dups."""
+    from big_data_code_spark.plans.llm import semdedup_kmeans
+
+    rows = semdedup_kmeans(spark, SF_SMOKE, n_cells=4).collect()
+    assert all(0 <= r["cell"] < 4 for r in rows)
+    by_id = {r["vec_id"]: r for r in rows}
+    co_located = [
+        v for v in by_id if v >= 1_000_000
+        and by_id[v]["cell"] == by_id[v - 1_000_000]["cell"]
+    ]
+    assert co_located
+    assert all(not by_id[v]["is_kept"] for v in co_located)

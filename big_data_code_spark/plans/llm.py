@@ -6538,6 +6538,11 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
+    # the three consumers each re-run the explode deliberately: the
+    # two bucket LMs partial-aggregate to 256 rows MAP-SIDE straight
+    # off the explode (a nearly-free shuffle), which beats funneling
+    # them through the doc-grain (doc, bucket) shuffle — measured 2×
+    # worse at sf1 and sf10 when restructured that way (r6).
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (

@@ -6782,14 +6782,21 @@ FROM agg
 QUALITY_LOGIT_CALIBRATION_SQL = _quality_logit_calibration_sql()
 
 
-#: SemDeDup cluster count at the harness corpus sizes, and the
-#: registered-contract default of `semdedup_kmeans`'s `n_cells`
-#: parameter (the caller's scale lever — within-cell pair work is
-#: n²/n_cells, so production derives n_cells ≈ n / target_cell_size,
-#: the paper's regime of k in the tens of thousands on 100M+ docs).
-#: The trained index is k×64 doubles — driver-light at any
-#: realistic k (the documented/allowlisted `ivf_train` collect).
-SEMDEDUP_N_CELLS = 16
+#: SemDeDup cluster count — the registered-contract default of
+#: `semdedup_kmeans`'s `n_cells` parameter and the operator's scale
+#: lever: within-cell pair work is n²/n_cells, so cells must stay
+#: SMALL (the paper runs k in the tens of thousands on 100M+ docs
+#: precisely so each cluster's pairwise sweep is tiny). 256 keeps
+#: cells at ~2-200 members across the harness SFs (a 16-cell r6
+#: draft measured 365s/49× at the sf1 tiling bench — the quadratic
+#: n²/16 sweep; 256 cells flipped the cost into the per-row
+#: centroid-distance expression, which is interpreted-HOF-bound at
+#: ~n_cells×dim lambda evals per row — 64 balances the two legs at
+#: harness sizes); production re-derives
+#: n_cells ≈ n / target_cell_size. The trained index is k×64
+#: doubles — driver-light at any realistic k (the documented/
+#: allowlisted `ivf_train` collect).
+SEMDEDUP_N_CELLS = 64
 
 #: (corpus fingerprint) → trained SemDeDup centroid matrix (same
 #: build/search split + invalidation rule as _IVF_INDEX_CACHE, but
@@ -6834,7 +6841,12 @@ def semdedup_kmeans(
     if centroids is None:
         centroids = ann.ivf_train(corpus, n_cells=n_cells)
         _SEMDEDUP_INDEX_CACHE[key] = centroids
-    asg = ann.ivf_assign(corpus, centroids, "vec_id", "embedding")
+    # assignment feeds three consumers (both pair sides + the output
+    # join) — checkpoint it once, the interpreted-HOF distance expr
+    # is the expensive leg
+    asg = ann.ivf_assign(corpus, centroids, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
     a = asg.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
     b = asg.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
     pairs = (

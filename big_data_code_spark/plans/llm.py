@@ -6382,17 +6382,25 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles, lcc) for every node of the kNN edge set.
     """
     g = knn_graph(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     # five consumers below (degree build + both wedge sides + the
     # closure probe) would each re-run the banded-LSH kNN
-    # construction — checkpoint the undirected edge list once (the
-    # `label_propagation_knn` pattern; measured 18s → 4s at sf0.1)
-    edges = (
+    # construction — persist the undirected edge list once (tracked,
+    # so bench/driver loops release it between queries; measured
+    # 18s → 4s at sf0.1)
+    edges = track_persisted(
         g.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize before fan-out: parallel branches of one action
+    # race a cold lazy cache and each recompute the kNN build
+    edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -6407,12 +6415,15 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     # three consumers (both wedge sides + the closure probe) —
-    # checkpoint the oriented adjacency once as well
-    oriented = e.select(
-        F.when(low_u, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(low_u, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(low_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=True)
+    # persist the oriented adjacency once as well
+    oriented = track_persisted(
+        e.select(
+            F.when(low_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(low_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(low_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    oriented.count()  # same eager-touch rationale as `edges`
     o1 = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
     )
@@ -6841,12 +6852,20 @@ def semdedup_kmeans(
     if centroids is None:
         centroids = ann.ivf_train(corpus, n_cells=n_cells)
         _SEMDEDUP_INDEX_CACHE[key] = centroids
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     # assignment feeds three consumers (both pair sides + the output
-    # join) — checkpoint it once, the interpreted-HOF distance expr
-    # is the expensive leg
-    asg = ann.ivf_assign(corpus, centroids, "vec_id", "embedding").localCheckpoint(
-        eager=True
+    # join) — persist it once (tracked/releasable), the interpreted
+    # HOF distance expr is the expensive leg
+    asg = track_persisted(
+        ann.ivf_assign(corpus, centroids, "vec_id", "embedding").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
+    # materialize before the pair-join fan-out (cold-cache races)
+    asg.count()
     a = asg.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
     b = asg.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
     pairs = (
@@ -6978,11 +6997,20 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = (
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # one symmetric edge table re-joined every round — persisted
+    # (tracked/releasable), not checkpointed: LPA_ROUNDS is a small
+    # constant so lineage stays bounded without truncation
+    sym = track_persisted(
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize before the round loop (cold-cache branch races)
+    sym.count()
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )

@@ -208,6 +208,7 @@ BENCH_QUERIES = (
     "label_propagation_knn",
     "source_quality_report",
     "audience_overlap",
+    "keyvalue_export_ranged",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -39,16 +39,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-11 are the
+    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-12 are the
     #    queries CHANGED or ADDED in r6 (new bpe_encode /
     #    triangle_count_knn / dsir_importance_sample /
     #    quality_logit_calibration / semdedup_kmeans /
     #    label_propagation_knn / source_quality_report /
-    #    audience_overlap; quality_logit reweighted from the
+    #    audience_overlap / keyvalue_export_ranged; quality_logit reweighted from the
     #    training op; quality_logit_train's quantized-sigmoid
     #    contract; dedup_embedding_cosine's production-banding
     #    re-contract) — they need fresh evidence.
-    # -- 12-50: the entries with the OLDEST most-recent driver green
+    # -- 13-50: the entries with the OLDEST most-recent driver green
     #    (r2 tail, then the early r3 block), so every entry's latest
     #    green stays <= 3 rounds old. (entries that slid past 50 when
     #    r6 queries were promoted keep their r3 evidence.)
@@ -60,6 +60,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
     ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
+    ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),

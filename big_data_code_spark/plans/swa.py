@@ -129,6 +129,97 @@ FROM keyed
 """
 
 
+def keyvalue_export_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-sharded serving export manifest (r6) — the third member
+    of the reference's `ShardingScheme` family
+    (`BatchWorkflow.java:304-426` ships hash-mod and url-only):
+    shard = a contiguous slice of the 52-bit md5-proxy key space,
+    `(proxy * N) div 2^52`. Contiguous hash ranges are what
+    operable key/value stores actually pre-split on (HBase/Bigtable
+    region splits, Hadoop's TotalOrderPartitioner): a shard can be
+    split or merged by moving ONE boundary, where hash-mod resharding
+    moves (N-1)/N of every shard. Emits the shard-grain MANIFEST the
+    bulk-load planner reads — key count, value mass, key bounds per
+    shard.
+
+    100 TB shape: one map pass computes key/proxy/shard (whole-stage
+    codegen), one map-side-combinable groupBy(shard). Uniformity
+    comes from the md5 proxy, so no sampling pass is needed (the
+    TotalOrderPartitioner's sampler exists because it range-shards
+    RAW keys; hashing first makes fixed uniform boundaries exact).
+    Integer-only math — engine-exact. Returns (shard, n_keys,
+    total_views, min_key, max_key).
+    """
+    from ..serving.keyvalue import N_SHARDS_DEFAULT, url_bucketed_key
+
+    view = pageviews_over_time(spark, sf_dir)
+    key = url_bucketed_key(
+        F.col("event_type"), F.col("granularity"), F.col("bucket")
+    )
+    keyed = view.select(
+        key.alias("key"),
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long").alias("p"),
+        "total_views",
+    )
+    return (
+        keyed.select(
+            F.expr(f"(p * {N_SHARDS_DEFAULT}) div {2**52}").alias("shard"),
+            "key",
+            "total_views",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("total_views").cast("long").alias("total_views"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
+KEYVALUE_EXPORT_RANGED_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+fanned AS (
+  SELECT event_type,
+         g.granularity,
+         CASE g.granularity
+           WHEN 'h' THEN hour_bucket
+           WHEN 'd' THEN hour_bucket // 24
+           WHEN 'w' THEN (hour_bucket // 24) // 7
+           ELSE (hour_bucket // 24) // 28
+         END AS bucket,
+         cnt
+  FROM hourly
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+),
+view AS (
+  SELECT event_type, granularity, bucket,
+         CAST(sum(cnt) AS BIGINT) AS total_views
+  FROM fanned
+  GROUP BY 1, 2, 3
+),
+keyed AS (
+  SELECT event_type || '/' || granularity || '-' || CAST(bucket AS VARCHAR) AS key,
+         ('0x' || substr(md5(event_type || '/' || granularity || '-'
+                             || CAST(bucket AS VARCHAR)), 1, 13))::BIGINT AS p,
+         total_views
+  FROM view
+)
+SELECT (p * 32) // {2**52} AS shard,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(total_views) AS BIGINT) AS total_views,
+       min(key) AS min_key, max(key) AS max_key
+FROM keyed
+GROUP BY 1
+"""
+
+
 def keyvalue_export_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch BYTES through the serving-layer key/value export
     (r4) — the last reference wire-format analog:

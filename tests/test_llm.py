@@ -2314,27 +2314,18 @@ def test_keyvalue_export_ranged_oracle_and_contiguity(spark):
     )
     assert all(0 <= r["shard"] < 32 for r in rows)
     # contiguity: per-shard md5-proxy ranges must not overlap when
-    # walked in shard order
+    # walked in shard order (min_key/max_key are LEXICOGRAPHIC
+    # bounds, so recompute each key's proxy from the flat export)
     import hashlib
 
     def proxy(k):
         return int(hashlib.md5(k.encode()).hexdigest()[:13], 16)
 
-    prev_hi = -1
-    for r in rows:
-        lo_bound = r["shard"] * (2**52) // 32
-        hi_bound = (r["shard"] + 1) * (2**52 + 31) // 32
-        lo, hi = proxy(r["min_key"]), proxy(r["max_key"])
-        # min_key/max_key are lexicographic bounds, so re-derive the
-        # proxy extremes per shard from the flat export instead
-    from big_data_code_spark.serving.keyvalue import url_bucketed_key
-
-    keyed = [
-        (f'{r["key"]}', proxy(r["key"])) for r in flat
-    ]
     by_shard: dict[int, list[int]] = {}
-    for k, p in keyed:
+    for r in flat:
+        p = proxy(r["key"])
         by_shard.setdefault((p * 32) // (2**52), []).append(p)
+    assert sorted(by_shard) == sorted(r["shard"] for r in rows)
     shards = sorted(by_shard)
     for a, b in zip(shards, shards[1:]):
         assert max(by_shard[a]) < min(by_shard[b])  # contiguous, ordered

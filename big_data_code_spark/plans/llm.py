@@ -36,16 +36,22 @@ from ..sources.tables import load_table
 
 EXACT_DUP_MOD = 10
 NEAR_DUP_MOD = 7
+#: doc_id/vec_id offset that marks a seeded EXACT duplicate in
+#: `_corpus` / `_vector_corpus` (NEAR dups live at 2x the offset).
+#: Every master-vs-seeded split (`dedup_incremental`,
+#: `corpus_drift`, `source_quality_report`, ...) keys off this one
+#: constant, in the Spark plan and the oracle SQL alike (ADVICE r6).
+DUP_SEED_OFFSET = 1_000_000
 NEAR_DUP_TAIL = " near dup tail"
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = docs.where(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + DUP_SEED_OFFSET).alias("doc_id"), "text"
     )
     near = docs.where(F.col("doc_id") % NEAR_DUP_MOD == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2 * DUP_SEED_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
     )
     return docs.unionByName(exact).unionByName(near)
@@ -55,10 +61,10 @@ _CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + {DUP_SEED_OFFSET} AS doc_id, text FROM documents
   WHERE doc_id % {EXACT_DUP_MOD} = 0
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text || '{NEAR_DUP_TAIL}' AS text
+  SELECT doc_id + {2 * DUP_SEED_OFFSET} AS doc_id, text || '{NEAR_DUP_TAIL}' AS text
   FROM documents WHERE doc_id % {NEAR_DUP_MOD} = 0
 )
 """
@@ -202,8 +208,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     corpus = _corpus(spark, sf_dir)
-    master = corpus.where(F.col("doc_id") < 1_000_000)
-    batch = corpus.where(F.col("doc_id") >= 1_000_000)
+    master = corpus.where(F.col("doc_id") < DUP_SEED_OFFSET)
+    batch = corpus.where(F.col("doc_id") >= DUP_SEED_OFFSET)
 
     master_hashes = master.select(F.md5("text").alias("h")).distinct()
     exact_ids = (
@@ -225,8 +231,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch,
             master,
             MINHASH_LSH_THRESHOLD,
-            batch_sigs=sigs.where(F.col("id") >= 1_000_000),
-            master_sigs=sigs.where(F.col("id") < 1_000_000),
+            batch_sigs=sigs.where(F.col("id") >= DUP_SEED_OFFSET),
+            master_sigs=sigs.where(F.col("id") < DUP_SEED_OFFSET),
         )
         .select(F.col("batch_id").alias("doc_id"))
         .distinct()
@@ -255,7 +261,7 @@ WITH {_CORPUS_CTE},
 xcand AS (
   SELECT DISTINCT b.doc_id AS batch_id, m.doc_id AS master_id
   FROM bands b JOIN bands m ON b.bk = m.bk
-  WHERE b.doc_id >= 1000000 AND m.doc_id < 1000000
+  WHERE b.doc_id >= {DUP_SEED_OFFSET} AND m.doc_id < {DUP_SEED_OFFSET}
 ),
 near AS (
   SELECT DISTINCT x.batch_id AS doc_id
@@ -268,8 +274,8 @@ near AS (
 ),
 exact AS (
   SELECT DISTINCT doc_id FROM corpus
-  WHERE doc_id >= 1000000
-    AND md5(text) IN (SELECT md5(text) FROM corpus WHERE doc_id < 1000000)
+  WHERE doc_id >= {DUP_SEED_OFFSET}
+    AND md5(text) IN (SELECT md5(text) FROM corpus WHERE doc_id < {DUP_SEED_OFFSET})
 )
 SELECT c.doc_id,
        c.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
@@ -278,7 +284,7 @@ SELECT c.doc_id,
             WHEN c.doc_id IN (SELECT doc_id FROM near) THEN 'near'
             ELSE 'unique' END AS verdict
 FROM corpus c
-WHERE c.doc_id >= 1000000
+WHERE c.doc_id >= {DUP_SEED_OFFSET}
 """
 
 
@@ -1775,17 +1781,17 @@ def _vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     perturbed = as_double.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + DUP_SEED_OFFSET).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     return as_double.unionByName(perturbed)
 
 
-_VECTOR_CORPUS_CTE = """
+_VECTOR_CORPUS_CTE = f"""
 vcorpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT vec_id + {DUP_SEED_OFFSET} AS vec_id,
          list_transform(embedding::DOUBLE[], x -> x + 0.01) AS v
   FROM embeddings WHERE vec_id % 10 = 0
 )
@@ -3125,7 +3131,7 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (tok, n_master, n_batch, p_master, p_batch, js_contrib).
     """
     corpus = _corpus(spark, sf_dir)
-    side_master = F.col("doc_id") < 1_000_000
+    side_master = F.col("doc_id") < DUP_SEED_OFFSET
     toks = corpus.select(
         side_master.alias("is_master"),
         F.explode(tokenize(F.col("text"))).alias("tok"),
@@ -3159,7 +3165,7 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_DRIFT_SQL = f"""
 WITH {_CORPUS_CTE},
 tok AS (
-  SELECT doc_id < 1000000 AS is_master, unnest({_TOKENS}) AS tok
+  SELECT doc_id < {DUP_SEED_OFFSET} AS is_master, unnest({_TOKENS}) AS tok
   FROM corpus
 ),
 counts AS (
@@ -3790,8 +3796,9 @@ def exact_substring_dedup(
     """Verbatim-overlap detection (r4) — the exact-substring dedup
     family: two docs are flagged when they share any exact
     8-token window (SUBSTR_WIN_K). Each doc's distinct windows are
-    hashed (xxhash64, r6 — 8-byte BIGINT keys; the oracle's md5 is
-    identity-equivalent modulo negligible collisions) and pairs
+    hashed (r7: a pair of seed-distinct xxhash64 keys — a 128-bit
+    composite, collision-equivalent to the oracle's md5 even at
+    ~1e12 windows) and pairs
     come from the window-HASH equi-join — fixed-width keys
     shuffle, never window text, and never doc×doc.
     Reports the shared-window count and each side's overlap
@@ -3847,19 +3854,31 @@ def exact_substring_dedup(
                 word_shingles(tokenize(F.col("text")), n=SUBSTR_WIN_K)
             ).alias("w"),
         )
-        .select("doc_id", F.xxhash64("w").alias("h"))
+        # r7: TWO independent xxhash64 keys (seed-distinct) — a
+        # 128-bit composite equal in strength to the oracle's md5.
+        # One 64-bit key alone expects thousands of birthday
+        # collisions at the 100 TB design point (~1e11-1e12 stride-1
+        # windows), each silently fabricating a shared-window pair;
+        # the second 8-byte column costs ~half the md5-string volume
+        # saved by r6 while pushing the collision expectation back
+        # below 1e-14 (ADVICE r6).
+        .select(
+            "doc_id",
+            F.xxhash64("w").alias("h"),
+            F.xxhash64("w", F.lit(1)).alias("h2"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_win"))
     eligible = (
-        win.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        win.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h", "h2")))
         .where((F.col("df") >= 2) & (F.col("df") <= stop_df))
-        .select("doc_id", "h")
+        .select("doc_id", "h", "h2")
     )
-    a = eligible.select(F.col("doc_id").alias("doc_id_a"), "h")
-    b = eligible.select(F.col("doc_id").alias("doc_id_b"), "h")
+    a = eligible.select(F.col("doc_id").alias("doc_id_a"), "h", "h2")
+    b = eligible.select(F.col("doc_id").alias("doc_id_b"), "h", "h2")
     shared = (
-        a.join(b, "h")
+        a.join(b, ["h", "h2"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
@@ -3942,9 +3961,12 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts are derived, the master text is never mutated.
 
     Plan shape (the `chunk_dedup` pattern generalized to
-    OVERLAPPING stride-1 windows): positional windows → xxhash64
-    (8-byte internal key, r6 — the oracle's md5 is identity-
-    equivalent modulo negligible 64-bit collisions) → the
+    OVERLAPPING stride-1 windows): positional windows → two
+    seed-distinct xxhash64 keys (r7 — a 128-bit composite,
+    collision-equivalent to the oracle's md5 at any design scale;
+    a single 64-bit key would expect thousands of birthday
+    collisions at ~1e12 windows, each silently removing a
+    non-duplicate span) → the
     first occurrence per hash via one map-side-combinable
     min(struct(doc_id, pos)) aggregate — NOT a row_number window,
     so a boilerplate window shared by millions of docs partial-
@@ -3979,15 +4001,20 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("i").cast("long").alias("i"),
-            # r6: xxhash64 BIGINT key (internal only — never in the
+            # r6: xxhash64 BIGINT keys (internal only — never in the
             # output), replacing the md5 string: same reasoning and
-            # measured win as exact_substring_dedup's h key.
+            # measured win as exact_substring_dedup's h key. r7: two
+            # seed-distinct hashes = a 128-bit composite, md5-strength
+            # (one 64-bit key expects thousands of collisions at
+            # ~1e11-1e12 windows, each silently removing a
+            # non-duplicate span; ADVICE r6).
             F.xxhash64("w").alias("h"),
+            F.xxhash64("w", F.lit(1)).alias("h2"),
         )
     )
-    firsts = win.groupBy("h").agg(F.min(F.struct("doc_id", "i")).alias("f"))
+    firsts = win.groupBy("h", "h2").agg(F.min(F.struct("doc_id", "i")).alias("f"))
     dup = (
-        win.join(firsts, "h")
+        win.join(firsts, ["h", "h2"])
         .where(
             (F.col("doc_id") != F.col("f.doc_id")) | (F.col("i") != F.col("f.i"))
         )
@@ -6307,7 +6334,7 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (~F.col("is_kept")).alias("pred_dup")
     )
     labeled = verdicts.select(
-        "pred_dup", (F.col("doc_id") >= 1_000_000).alias("true_dup")
+        "pred_dup", (F.col("doc_id") >= DUP_SEED_OFFSET).alias("true_dup")
     )
     return labeled.agg(
         F.sum(F.when(F.col("pred_dup") & F.col("true_dup"), 1).otherwise(0))
@@ -6335,7 +6362,7 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_EVAL_PR_SQL = f"""
 WITH verdicts AS (SELECT doc_id, is_kept FROM ({DEDUP_CORPUS_FINAL_SQL})),
 labeled AS (
-  SELECT NOT is_kept AS pred_dup, doc_id >= 1000000 AS true_dup
+  SELECT NOT is_kept AS pred_dup, doc_id >= {DUP_SEED_OFFSET} AS true_dup
   FROM verdicts),
 agg AS (
   SELECT
@@ -7095,7 +7122,7 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("doc_id").alias("ids"),
         )
         .select(F.explode("ids").alias("doc_id"), (F.col("n_copies") > 1).alias("has_dup"))
-        .where(F.col("doc_id") < 1_000_000)
+        .where(F.col("doc_id") < DUP_SEED_OFFSET)
     )
     return (
         docs.join(ql, "doc_id")
@@ -7127,7 +7154,7 @@ grp AS (
   FROM (
     SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
     FROM corpus)
-  WHERE doc_id < 1000000),
+  WHERE doc_id < {DUP_SEED_OFFSET}),
 agg AS (
   SELECT d.source,
          CAST(count(*) AS BIGINT) AS n_docs,

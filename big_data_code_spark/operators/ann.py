@@ -653,6 +653,75 @@ def cosine_dup_pairs_lsh(
     ).where(F.col("cos") >= threshold)
 
 
+def cosine_pairs_lsh_cross(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    arrow_sig: bool = False,
+) -> DataFrame:
+    """`cosine_dup_pairs_lsh` between two DISJOINT vector sets — the
+    incremental-maintenance shape: a new BATCH joins the (stored, in
+    production) master signature table, so per-ingest candidate work
+    is batch×bucket-density, never master×master. Same banding, same
+    first-shared-band dedup (no ``distinct`` over candidates), same
+    fold cosine as the self-join operator, so batch∪master unions
+    reproduce a full rebuild exactly (the `knn_graph_incremental`
+    contract, asserted against the full-rebuild oracle).
+
+    Returns (vec_id_a, vec_id_b, cos) with vec_id_a from ``left``
+    and vec_id_b from ``right`` (ids must be disjoint across sides).
+    """
+    planes = hyperplanes(dim, n_planes)
+    rows = n_planes // n_bands
+
+    def banded(df: DataFrame, suffix: str) -> DataFrame:
+        dv = _as_double(F.col(vec_col))
+        sig_col = (
+            lsh_signature_arrow(planes)(F.col(vec_col))
+            if arrow_sig
+            else lsh_signature(F.col(vec_col), planes)
+        )
+        base = df.select(
+            F.col(id_col).alias(f"id{suffix}"),
+            dv.alias(f"v{suffix}"),
+            norm(dv).alias(f"nrm{suffix}"),
+            sig_col.alias(f"sig{suffix}"),
+        )
+        slices = F.array(
+            *[
+                F.substring(F.col(f"sig{suffix}"), b * rows + 1, rows)
+                for b in range(n_bands)
+            ]
+        )
+        return base.select(
+            f"id{suffix}", f"v{suffix}", f"nrm{suffix}", f"sig{suffix}",
+            F.posexplode(slices).alias("band", "slice"),
+        )
+
+    cand = banded(left, "_a").join(banded(right, "_b"), ["band", "slice"])
+    band_eq = F.array(
+        *[
+            F.substring(F.col("sig_a"), b * rows + 1, rows)
+            == F.substring(F.col("sig_b"), b * rows + 1, rows)
+            for b in range(n_bands)
+        ]
+    )
+    first_shared = cand.where(
+        F.col("band") == F.array_position(band_eq, F.lit(True)) - 1
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return first_shared.select(
+        F.col("id_a").alias("vec_id_a"),
+        F.col("id_b").alias("vec_id_b"),
+        cos.alias("cos"),
+    ).where(F.col("cos") >= threshold)
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -4224,6 +4224,46 @@ FROM r
 
 KNN_K = 5
 
+#: kNN-graph banding contract (r7 — VERDICT r6 #2): 4 bands of
+#: ``rows = clamp(ceil(log2 n), KNN_MIN_ROWS, KNN_MAX_ROWS)`` sign
+#: bits each, DERIVED from the embeddings count per corpus. rows ≈
+#: log2(n) keeps expected random-pair band collisions ≈ 4·n²/2^rows
+#: ≈ 4·n — LINEAR in corpus size — where any fixed row count is
+#: quadratic past its design n (the retired fixed 12 bits measured
+#: 105s at sf1 on an 8-bit draft and would have been n²/4096 at
+#: sf10+). The MAX_ROWS=24 ceiling bounds the oracle's static plane
+#: family (4×24 = 96 md5 planes); corpora past 2^24 vectors saturate
+#: at 96 planes — revisit the ceiling before that scale.
+KNN_BANDS = 4
+KNN_MIN_ROWS = 4
+KNN_MAX_ROWS = 24
+
+#: (embeddings fingerprint) → derived band rows (same invalidation
+#: rule as the IVF index cache; the count is one cheap parquet
+#: metadata read, cached so repeated graph builds don't re-count).
+_KNN_ROWS_CACHE: dict[tuple[str, float, int], int] = {}
+
+
+def _knn_band_rows(spark: SparkSession, sf_dir: str) -> int:
+    key = _ivf_cache_key(sf_dir)
+    rows = _KNN_ROWS_CACHE.get(key)
+    if rows is None:
+        n = _embeddings(spark, sf_dir).count()
+        rows = min(
+            KNN_MAX_ROWS, max(KNN_MIN_ROWS, math.ceil(math.log2(max(n, 2))))
+        )
+        _KNN_ROWS_CACHE[key] = rows
+    return rows
+
+
+#: SQL restatement of `_knn_band_rows` over a CTE `c` holding the
+#: corpus — the oracle derives the identical row count from the same
+#: count(*), so one SQL string stays exact at every SF.
+_KNN_ROWS_SQL = (
+    f"least({KNN_MAX_ROWS}, greatest({KNN_MIN_ROWS},"
+    f" CAST(ceil(log2(greatest(count(*), 2))) AS INT)))"
+)
+
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor GRAPH construction (r4): top-5 cosine
@@ -4237,22 +4277,44 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     side.
 
     Banding sizes candidates: rows ≈ log2(n) keeps expected bucket
-    co-occupancy near-constant. 4×12-bit bands here (12 ≈ log2 of
-    the 5k-50k harness corpora): random-pair band-collision prob
-    2^-12 ⇒ candidates ~4·n²/4096 — measured 105s → 9s at sf1 vs
-    the 8-bit banding whose n²/64 blow-up made it the suite's
-    super-linear query. Production re-derives rows per corpus
-    (wider bands at 100 TB). Candidate recall per band is
-    (1−θ/π)^12 — the documented ANN-graph trade. Deterministic md5
-    planes → the oracle restates the whole construction (plan
+    co-occupancy near-constant, so the REGISTERED query derives
+    rows from the corpus count (r7, `_knn_band_rows` — clamped
+    ceil(log2 n), 4 bands): random-pair band-collision prob 2^-rows
+    ⇒ candidates ~4·n²/2^rows ≈ 4·n at the derived rows — linear at
+    every SF, where the previous fixed 12 bits was quadratic past
+    its design corpus (its 8-bit r4 draft measured 105s → 9s at sf1
+    exactly because of the n²/2^rows blow-up). Candidate recall per
+    band is (1−θ/π)^rows — the documented ANN-graph trade (recall
+    for a FIXED angle decays as rows grow with the corpus; the
+    seeded-dup recall assertion in tests pins the harness regime).
+    Deterministic md5 planes → the oracle restates the whole
+    construction, deriving the identical row count in-SQL (plan
     equivalence).
 
     Returns (src, rank, dst, cos).
     """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     emb = _embeddings(spark, sf_dir)
-    pairs = ann.cosine_dup_pairs_lsh(
-        emb, threshold=-1.0, n_planes=48, n_bands=4, arrow_sig=True
+    rows = _knn_band_rows(spark, sf_dir)
+    # the symmetric union below consumes the pair frame TWICE —
+    # without a persist the whole banded-LSH build (signatures +
+    # band join + candidate cosines) runs once per consumer
+    # (measured 78s → ~40s at the sf10 probe). Tracked, so bench /
+    # driver loops release it between queries.
+    pairs = track_persisted(
+        ann.cosine_dup_pairs_lsh(
+            emb,
+            threshold=-1.0,
+            n_planes=KNN_BANDS * rows,
+            n_bands=KNN_BANDS,
+            arrow_sig=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize before fan-out (cold-cache branch races)
+    pairs.count()
     sym = pairs.select(
         F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
     ).unionByName(
@@ -4269,14 +4331,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_GRAPH_SQL = f"""
-WITH planes AS (
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+kparams AS (SELECT {_KNN_ROWS_SQL} AS nrows FROM c),
+planes AS (
   SELECT j, list_transform(range(0, 64),
            i -> CASE WHEN ('0x' || substr(md5('plane:' || j || ':' || i), 1, 2))::INT
                           % 2 = 0
                 THEN 1.0 ELSE -1.0 END) AS p
-  FROM range(0, 48) t(j)
+  FROM range(0, {KNN_BANDS * KNN_MAX_ROWS}) t(j)
+  WHERE j < {KNN_BANDS} * (SELECT nrows FROM kparams)
 ),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 sigs AS (
   SELECT c.vec_id,
          string_agg(CASE WHEN list_dot_product(c.vec, p.p) > 0
@@ -4285,8 +4349,10 @@ sigs AS (
   GROUP BY c.vec_id
 ),
 bands AS (
-  SELECT vec_id, b::VARCHAR || ':' || substr(sig, b * 12 + 1, 12) AS bk
-  FROM sigs CROSS JOIN range(0, 4) t(b)
+  SELECT vec_id,
+         b::VARCHAR || ':' || substr(sig, b * (SELECT nrows FROM kparams) + 1,
+                                     (SELECT nrows FROM kparams)) AS bk
+  FROM sigs CROSS JOIN range(0, {KNN_BANDS}) t(b)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -4313,6 +4379,104 @@ ranked AS (
 )
 SELECT src, rank, dst, cos FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+#: Every 20th vector plays the newly-ingested batch in
+#: `knn_graph_incremental` (the `dedup_incremental` convention:
+#: deterministic split, no RNG).
+KNN_INC_BATCH_MOD = 20
+
+
+def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance on ingest (r7 — VERDICT r6
+    #6): the ANN/graph counterpart of `dedup_incremental` /
+    `streaming_ingest_dedup`, and the reference's incremental-view-
+    maintenance story (`TridentSpeedLayer.java`) applied to the
+    semantic index. Every 20th vector plays the newly-arrived batch;
+    the rest is the master whose graph and signature table already
+    exist (built here as the local stand-in for "read the stored
+    state", exactly like `dedup_incremental`'s master signatures).
+
+    The incremental step costs ∝ BATCH: batch signatures, a
+    batch×master band join (`ann.cosine_pairs_lsh_cross` — the
+    master side contributes its stored signature table, never a
+    master×master pair), a batch×batch self-join, then one top-K
+    window over (stored master edges ∪ new edges). Master nodes
+    merge their stored top-K with new batch edges — dropping a
+    master candidate below rank K can never re-enter the final
+    top-K, so the merge is EXACTLY the full rebuild (the classic
+    top-K merge property). Banding rows stay the FULL-corpus
+    derivation (`_knn_band_rows`): index parameterization is fixed
+    across ingests and re-derived only at compaction, so batch and
+    master signatures live in one band space.
+
+    The registered oracle IS the full-rebuild SQL (`KNN_GRAPH_SQL`)
+    — the driver's hash match proves batch ∪ master ≡ rebuild; the
+    stream-vs-batch equality is also asserted row-exactly in tests.
+
+    Returns (src, rank, dst, cos) — identical to `knn_graph`.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    emb = _embeddings(spark, sf_dir)
+    rows = _knn_band_rows(spark, sf_dir)
+    n_planes = KNN_BANDS * rows
+    batch = emb.where(F.col("vec_id") % KNN_INC_BATCH_MOD == 0)
+    master = emb.where(F.col("vec_id") % KNN_INC_BATCH_MOD != 0)
+
+    # stored state stand-in: the master's own top-K graph (one
+    # banded self-join; in production this is a table read)
+    master_pairs = track_persisted(
+        ann.cosine_dup_pairs_lsh(
+            master, threshold=-1.0, n_planes=n_planes,
+            n_bands=KNN_BANDS, arrow_sig=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    master_pairs.count()
+    msym = master_pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
+    ).unionByName(
+        master_pairs.select(
+            F.col("vec_id_b").alias("src"), F.col("vec_id_a").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    master_graph = (
+        msym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cos")
+    )
+
+    # the incremental step — cost ∝ batch
+    new_pairs = track_persisted(
+        ann.cosine_pairs_lsh_cross(
+            batch, master, threshold=-1.0, n_planes=n_planes,
+            n_bands=KNN_BANDS, arrow_sig=True,
+        )
+        .unionByName(
+            ann.cosine_dup_pairs_lsh(
+                batch, threshold=-1.0, n_planes=n_planes,
+                n_bands=KNN_BANDS, arrow_sig=True,
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_pairs.count()
+    nsym = new_pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
+    ).unionByName(
+        new_pairs.select(
+            F.col("vec_id_b").alias("src"), F.col("vec_id_a").alias("dst"), "cos"
+        )
+    )
+    merged = master_graph.unionByName(nsym)
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos")
+    )
 
 
 # ---------------------------------------------------- r4 wave 2:

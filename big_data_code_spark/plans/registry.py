@@ -8,18 +8,15 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
-rotated each round to maximize hard evidence. After round 5 the
-union r1-r5 is 162/162 — every entry has at least one driver green —
-so rotation switched to second-pass policy (VERDICT r5 #6): round-6
-prefix = the queries CHANGED or ADDED this round (positions 1-4:
-`bpe_encode`, NEW; `quality_logit`, reweighted from the training op;
-`quality_logit_train`, quantized-sigmoid contract;
-`dedup_embedding_cosine`, production-banding re-contract after the
-sf1 bench caught the 8-bit banding going quadratic) followed by the
-46 entries with the OLDEST most-recent green (the r2 tail, then the
-early r3 block), keeping every entry's latest green ≤ 3 rounds old.
-Positions 51+ hold the rest in their prior order. Nothing about a
-query's semantics depends on its position.
+rotated each round (changed-first, then oldest-evidence-next —
+VERDICT r5 #6). The union r1-r6 is 171/171: every entry has at
+least one driver green and none fails its latest check. The r7
+prefix = 13 queries changed or added this round, then ALL 28
+entries whose latest green was r3 (the r6 verdict's rotation-debt
+list), then the 9 oldest r4-evidence entries — see the inline
+comments at the list itself, which are the authoritative
+description. Positions 51+ hold the rest in their prior order.
+Nothing about a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -39,30 +36,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r6 prefix rotation (VERDICT r5 #6): positions 1-12 are the
-    #    queries CHANGED or ADDED in r6 (new bpe_encode /
-    #    triangle_count_knn / dsir_importance_sample /
-    #    quality_logit_calibration / semdedup_kmeans /
-    #    label_propagation_knn / source_quality_report /
-    #    audience_overlap / keyvalue_export_ranged; quality_logit reweighted from the
-    #    training op; quality_logit_train's quantized-sigmoid
-    #    contract; dedup_embedding_cosine's production-banding
-    #    re-contract) — they need fresh evidence.
-    # -- 13-50: the entries with the OLDEST most-recent driver green
-    #    (r2 tail, then the early r3 block), so every entry's latest
-    #    green stays <= 3 rounds old. (entries that slid past 50 when
-    #    r6 queries were promoted keep their r3 evidence.)
-    ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
-    ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
-    ("dsir_importance_sample", llm.dsir_importance_sample, llm.DSIR_IMPORTANCE_SAMPLE_SQL),
-    ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
+    # -- r7 prefix rotation: positions 1-13 are the queries CHANGED
+    #    or ADDED in r7 (new knn_graph_incremental; semdedup_kmeans's
+    #    derived cell count + Arrow assignment/pair kernels; the
+    #    derived-banding kNN graph family incl. its three consumers;
+    #    the 128-bit substring-dedup keys; keyvalue_export_ranged's
+    #    shared shard constant; the retrained quality_logit family) —
+    #    they need fresh evidence.
+    # -- 14-41: ALL 28 entries whose latest driver green was r3
+    #    (VERDICT r6 'What's missing' #1 — the rotation debt list,
+    #    verbatim), so no entry's evidence is older than 3 rounds.
+    # -- 42-50: the 9 oldest r4-evidence entries, keeping the whole
+    #    prefix on the oldest-next policy.
+    ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
     ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
+    ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
+    ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
     ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
-    ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
-    ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
+    ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
+    ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
+    ("substring_dedup_apply", llm.substring_dedup_apply, llm.SUBSTRING_DEDUP_APPLY_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
+    ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
+    ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
+    # -- the 28 r3-vintage entries --
+    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
+    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
+    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
+    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
+    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
+    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
+    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
+    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
+    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
+    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
+    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
+    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
+    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
+    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
+    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
+    ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
+    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
+    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
+    ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
+    ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
+    ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
+    ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
+    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
+    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
+    ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
+    ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
+    ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
+    # -- 9 oldest r4-evidence entries --
+    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
+    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
+    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
+    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
+    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
+    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
+    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
+    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
+    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
+    # -- 51+: remaining entries, prior order (all r4+ evidence;
+    #    union r1-r6 = 171/171 green).
+    ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
+    ("dsir_importance_sample", llm.dsir_importance_sample, llm.DSIR_IMPORTANCE_SAMPLE_SQL),
+    ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
     ("funnel_3step", advanced.funnel_3step, advanced.FUNNEL_3STEP_SQL),
     ("user_value_windows", advanced.user_value_windows, advanced.USER_VALUE_WINDOWS_SQL),
@@ -102,22 +144,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
     ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
     ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
-    ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
-    ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
-    ("value_tier_lookup", advanced.value_tier_lookup, advanced.VALUE_TIER_LOOKUP_SQL),
-    ("text_normalize", llm.text_normalize, llm.TEXT_NORMALIZE_SQL),
-    ("ann_lsh", llm.ann_lsh, llm.ANN_LSH_SQL),
-    ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
-    ("lang_id", llm.lang_id, llm.LANG_ID_SQL),
-    ("embedding_stats", llm.embedding_stats, llm.EMBEDDING_STATS_SQL),
-    ("doc_repetition", llm.doc_repetition, llm.DOC_REPETITION_SQL),
-    # -- 51+: remaining entries, original registry order (all with
-    #    r3+ evidence; union r1-r5 = 162/162 green).
     ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
-    ("substring_dedup_apply", llm.substring_dedup_apply, llm.SUBSTRING_DEDUP_APPLY_SQL),
-    ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
     ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
     ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
     ("merge_upsert_orders", llm.merge_upsert_orders, llm.MERGE_UPSERT_ORDERS_SQL),
@@ -161,34 +190,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
     ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
-    ("token_counts", llm.token_counts, llm.TOKEN_COUNTS_SQL),
-    ("hourly_gap_fill", advanced.hourly_gap_fill, advanced.HOURLY_GAP_FILL_SQL),
-    ("user_event_unpivot", advanced.user_event_unpivot, advanced.USER_EVENT_UNPIVOT_SQL),
-    ("dq_checks", advanced.dq_checks, advanced.DQ_CHECKS_SQL),
-    ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
-    ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
-    ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
-    ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
-    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
-    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
-    ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
-    ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
-    ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
-    ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
-    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
-    ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
-    ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
-    ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
-    ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
-    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
-    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
-    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
-    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
-    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
-    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
-    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
-    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
-    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
     ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
     ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
     ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
@@ -206,7 +207,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
     ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
     ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
-    ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
     ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
     ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
     ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
@@ -215,7 +215,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
     ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
     ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
-    ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
     ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
     ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
     ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),

@@ -2109,6 +2109,38 @@ def test_quality_logit_calibration_oracle_and_consistency(spark):
     assert QL_CAL_LO <= QUALITY_LOGIT_THRESHOLD < QL_CAL_LO + QL_CAL_BINS * QL_CAL_W
 
 
+def test_knn_graph_incremental_equals_full_rebuild(spark):
+    """The stream-vs-batch equality contract (r7): maintaining the
+    kNN graph incrementally — stored master top-K merged with the
+    batch's cross/self band-join edges — must reproduce the full
+    rebuild ROW-EXACTLY (same edges, ranks, and cosines), because
+    signatures are immutable and dropping a master candidate below
+    rank K can never re-enter the merged top-K."""
+    from big_data_code_spark.plans.llm import knn_graph, knn_graph_incremental
+
+    full = {tuple(r) for r in knn_graph(spark, SF_SMOKE).collect()}
+    inc = {tuple(r) for r in knn_graph_incremental(spark, SF_SMOKE).collect()}
+    assert full and inc == full
+
+
+def test_knn_band_rows_derivation(spark):
+    """Band rows derive from the embeddings count (clamped
+    ceil(log2 n)) — the r7 contract that keeps expected band
+    collisions ≈ 4·n at every SF."""
+    import math
+
+    from big_data_code_spark.plans.llm import (
+        KNN_MAX_ROWS,
+        KNN_MIN_ROWS,
+        _embeddings,
+        _knn_band_rows,
+    )
+
+    n = _embeddings(spark, SF_SMOKE).count()
+    expect = min(KNN_MAX_ROWS, max(KNN_MIN_ROWS, math.ceil(math.log2(n))))
+    assert _knn_band_rows(spark, SF_SMOKE) == expect
+
+
 def test_ivf_assign_arrow_bit_identical_to_hof(spark):
     """The Arrow-vectorized nearest-centroid kernel (r7 — BLAS
     prefilter + element-order exact re-rank) must agree with the

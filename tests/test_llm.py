@@ -1079,9 +1079,11 @@ def test_gopher_rules_verdict_recomputes_and_rules_are_live(spark):
 
 def test_quality_logit_matches_manual_and_splits(spark):
     """The logit recomputes from python over the raw text with the
-    exact weight chain (the r6 trained-weight constants, parsed out
-    of QUALITY_LOGIT_EXPR so this test tracks the frozen model);
-    keep == logit > QUALITY_LOGIT_THRESHOLD; both verdicts occur."""
+    exact weight + standardization chain (the frozen r7 constants,
+    read STRUCTURED from QUALITY_LOGIT_WEIGHTS / QL_STD — no
+    literal-text parsing, so scientific-notation reprs can't break
+    this); keep == logit > QUALITY_LOGIT_THRESHOLD; both verdicts
+    occur."""
     import re as _re
 
     from big_data_code_spark.functions.text import STOPWORDS
@@ -1089,10 +1091,8 @@ def test_quality_logit_matches_manual_and_splits(spark):
     from big_data_code_spark.plans.registry import QUERIES
     from big_data_code_spark.sources.tables import load_table
 
-    wb, ws, wp, wm, wt = (
-        float(x)
-        for x in _re.findall(r"(-?\d+(?:\.\d+)?)e0", llm.QUALITY_LOGIT_EXPR)
-    )
+    w = llm.QUALITY_LOGIT_WEIGHTS
+    std = llm.QL_STD
     texts = {
         r["doc_id"]: r["text"]
         for r in load_table(spark, SF_SMOKE, "documents").collect()
@@ -1107,11 +1107,16 @@ def test_quality_logit_matches_manual_and_splits(spark):
         toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
         n = len(toks)
         assert r["n_tokens"] == n
-        stop_ratio = sum(1 for t in toks if t in en) / n if n else 0.0
-        punct_ratio = len(punct_re.findall(text)) / len(text) if text else 0.0
-        mtl = sum(map(len, toks)) / n if n else 0.0
-        sat = n / (n + 100.0)
-        logit = wb + ws * stop_ratio + wp * punct_ratio + wm * mtl + wt * sat
+        raw = {
+            "stop": sum(1 for t in toks if t in en) / n if n else 0.0,
+            "punct": len(punct_re.findall(text)) / len(text) if text else 0.0,
+            "mtl": sum(map(len, toks)) / n if n else 0.0,
+            "sat": n / (n + 100.0),
+        }
+        z = {k: (raw[k] - std[k][0]) / std[k][1] for k in raw}
+        z["sat2"] = (z["sat"] * z["sat"] - std["sat2"][0]) / std["sat2"][1]
+        logit = w["bias"] + sum(w[k] * z[k] for k in
+                                ("stop", "punct", "mtl", "sat", "sat2"))
         assert abs(r["logit"] - round(logit, 6)) < 1e-12, r
         assert r["keep"] == (logit > llm.QUALITY_LOGIT_THRESHOLD)
         verdicts.add(r["keep"])
@@ -1829,12 +1834,6 @@ def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
     against it would be self-referential), and the weight trajectory
     actually moves each round."""
     from big_data_code_spark.plans import llm
-    from big_data_code_spark.functions.text import (
-        punct_count,
-        stopword_hits,
-        tokenize,
-    )
-    from big_data_code_spark.sources.tables import load_table
 
     rounds = {
         r["round"]: r
@@ -1842,33 +1841,34 @@ def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
     }
     assert sorted(rounds) == list(range(1, llm.QL_TRAIN_ROUNDS + 1))
     vecs = [
-        tuple(rounds[i][c] for c in ("w_bias", "w_stop", "w_punct", "w_mtl", "w_sat"))
+        tuple(
+            rounds[i][c]
+            for c in ("w_bias", "w_stop", "w_punct", "w_mtl", "w_sat", "w_sat2")
+        )
         for i in sorted(rounds)
     ]
     assert len(set(vecs)) == len(vecs), "weights must move every round"
     w = rounds[llm.QL_TRAIN_ROUNDS]
 
-    docs = load_table(spark, SF_SMOKE, "documents")
-    toks = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
-    feats = toks.select(
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.when(F.size("toks") > 0, stopword_hits(F.col("toks"), "en") / F.size("toks"))
-        .otherwise(F.lit(0.0)).alias("stop_ratio"),
-        F.when(F.length("text") > 0, punct_count(F.col("text")) / F.length("text"))
-        .otherwise(F.lit(0.0)).alias("punct_ratio"),
-        F.when(
-            F.size("toks") > 0,
-            F.aggregate(F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-            / F.size("toks"),
-        ).otherwise(F.lit(0.0)).alias("mtl"),
-        (F.size("toks") / (F.size("toks") + F.lit(100.0))).alias("sat"),
-        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("ttr"),
-    )
     hand_set_expr = (  # the pre-r6 QUALITY_LOGIT_EXPR, verbatim
         "-3.0 + 20.0 * stop_ratio - 8.0 * punct_ratio"
         " + 0.4 * mtl + 2.0 * sat"
     )
-    rows = feats.withColumn("frozen", F.expr(hand_set_expr)).collect()
+    raw = {
+        r["doc_id"]: r
+        for r in llm._qlt_labeled(spark, SF_SMOKE)
+        .withColumn("frozen", F.expr(hand_set_expr))
+        .collect()
+    }
+    # the trained weights apply to the STANDARDIZED features the
+    # trainer derived on this same corpus (r7)
+    zrows = {
+        r["doc_id"]: r for r in llm._qlt_labeled_std(spark, SF_SMOKE).collect()
+    }
+    rows = [
+        {**raw[d].asDict(), **{k: zrows[d][k] for k in ("zs", "zp", "zm", "zt", "zu")}}
+        for d in raw
+    ]
 
     def auc(scored):
         pos = sorted(s for s, y in scored if y)
@@ -1885,24 +1885,24 @@ def test_quality_logit_train_descends_and_beats_frozen_auc(spark):
 
     labeled = []
     for r in rows:
-        y = (
-            r["n_tokens"] >= llm.QF_MIN_TOKENS
-            and r["ttr"] >= llm.QF_MIN_TTR
-            and r["stop_ratio"] <= llm.QF_MAX_STOPWORD_RATIO
-            and llm.QF_MIN_MEAN_TOKLEN <= r["mtl"] <= llm.QF_MAX_MEAN_TOKLEN
-        )
+        y = bool(r["y"])
         trained = (
             w["w_bias"]
-            + w["w_stop"] * r["stop_ratio"]
-            + w["w_punct"] * r["punct_ratio"]
-            + w["w_mtl"] * r["mtl"]
-            + w["w_sat"] * r["sat"]
+            + w["w_stop"] * r["zs"]
+            + w["w_punct"] * r["zp"]
+            + w["w_mtl"] * r["zm"]
+            + w["w_sat"] * r["zt"]
+            + w["w_sat2"] * r["zu"]
         )
         labeled.append((y, trained, r["frozen"]))
     auc_trained = auc([(t, y) for y, t, _ in labeled])
     auc_frozen = auc([(f, y) for y, _, f in labeled])
     assert auc_trained > auc_frozen, (auc_trained, auc_frozen)
-    assert auc_trained > 0.55, auc_trained
+    # r7 retrain bar: the standardized + curvature model must rank
+    # the rule labels essentially correctly (measured 0.992 at
+    # sf0.01 / 0.985 at the other SFs), far past the r6 underfit
+    # 0.72 and the old 0.55 smoke floor.
+    assert auc_trained > 0.9, auc_trained
 
 
 def test_quality_logit_serves_trained_weights(spark):
@@ -1925,16 +1925,34 @@ def test_quality_logit_serves_trained_weights(spark):
     }
     w = rounds[llm.QL_TRAIN_ROUNDS]
 
-    # (a) the expr's frozen literals ARE the trained weights,
-    # bit-exact: the expr embeds repr(w) + 'e0' (repr round-trips
-    # doubles), so parsing the literal text back recovers each
-    # weight exactly.
-    import re
-
-    lits = re.findall(r"(-?\d+(?:\.\d+)?)e0", llm.QUALITY_LOGIT_EXPR)
-    got = [float(x) for x in lits]
-    want = [w["w_bias"], w["w_stop"], w["w_punct"], w["w_mtl"], w["w_sat"]]
+    # (a) the frozen weight dict IS the trained final round,
+    # bit-exact — STRUCTURED float comparison (r7: no literal-text
+    # regex, so a weight whose repr lands in scientific notation
+    # can neither break the expr nor silently escape this check;
+    # `_dlit` guards the expr side of the same edge).
+    got = llm.QUALITY_LOGIT_WEIGHTS
+    want = {
+        "bias": w["w_bias"],
+        "stop": w["w_stop"],
+        "punct": w["w_punct"],
+        "mtl": w["w_mtl"],
+        "sat": w["w_sat"],
+        "sat2": w["w_sat2"],
+    }
     assert got == want, (got, want)
+
+    # (a') the frozen standardization constants are the in-plan
+    # derivation's output on the same corpus, bit-exact.
+    assert llm.QL_STD == llm._qlt_std_consts(spark, SF_CORRECT)
+
+    # (a'') every literal the expr embeds parses back to the frozen
+    # double in BOTH engines' literal grammars (the _dlit contract).
+    for x in [*(v for pair in llm.QL_STD.values() for v in pair),
+              *llm.QUALITY_LOGIT_WEIGHTS.values(),
+              llm.QUALITY_LOGIT_THRESHOLD]:
+        lit = llm._dlit(x)
+        assert float(lit.removesuffix("e0") if lit.endswith("e0") else lit) == x
+        assert not lit.endswith("e0") or "e" not in lit.removesuffix("e0")
 
     # (b) the frozen threshold is the derivable calibration on the
     # same corpus: lowest midpoint between adjacent distinct scores
@@ -2107,6 +2125,10 @@ def test_quality_logit_calibration_oracle_and_consistency(spark):
         assert r["pos_rate"] == pytest.approx(r["n_pos"] / r["n_docs"])
         assert r["logit_hi"] == pytest.approx(r["logit_lo"] + QL_CAL_W)
     assert QL_CAL_LO <= QUALITY_LOGIT_THRESHOLD < QL_CAL_LO + QL_CAL_BINS * QL_CAL_W
+    # r7 retrain: populated bins exist on BOTH sides of the served
+    # threshold (the r6 all-negative score band is gone)
+    assert any(r["logit_hi"] <= QUALITY_LOGIT_THRESHOLD for r in rows)
+    assert any(r["logit_lo"] > QUALITY_LOGIT_THRESHOLD for r in rows)
 
 
 def test_knn_graph_incremental_equals_full_rebuild(spark):

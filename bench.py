@@ -13,6 +13,19 @@ overhead distorting the numbers. Each query runs ``$SPARK_GRAFT_REPS``
 times (default 2) and reports the MIN — at sf0.1 the first run is
 ~50% JIT/metadata noise, so round-over-round deltas on single runs
 were not signal (r1 verdict).
+
+MEASUREMENT PROTOCOL (min-over-passes — the r6/r7 noise findings,
+recorded here so no future round re-roots-causes phantom deltas):
+this host's wall-clock noise band is LARGE and one-sided — identical
+code measured 7.4–16.7s (sf1) and 30.5–81s (sf10) across solo runs,
+one full bench hit 238s vs 176s on identical code, and a single
+in-bench sf10 pass swung 23s vs 74s under concurrent load. Fresh
+multi-MB memory allocations fault in at ~30 MB/s here, so
+first-touch passes are not representative either. Therefore: wall
+numbers are the MIN over ≥2 passes, cross-SF ratios compare
+same-warmth passes, and nothing is called a regression from a
+single run (PROBE_r7.json carries both passes per cell for
+exactly this reason).
 """
 
 from __future__ import annotations

@@ -35,6 +35,12 @@ DEFAULT_PROBE = (
     "substring_dedup_apply",
     "dedup_corpus_final",
     "bm25_search",
+    # r7: the derived-parameter re-contracts + the graph family
+    # (VERDICT r6 #1/#2 asked for these decade rows explicitly)
+    "semdedup_kmeans",
+    "knn_graph",
+    "triangle_count_knn",
+    "label_propagation_knn",
 )
 
 

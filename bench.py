@@ -222,8 +222,17 @@ BENCH_QUERIES = (
     "source_quality_report",
     "audience_overlap",
     "keyvalue_export_ranged",
-    # r7 operator:
+    # r7 operators:
     "knn_graph_incremental",
+    "doremi_mixture_weights",
+    "semdedup_incremental",
+    "contrastive_pairs",
+    "minhash_band_sweep",
+    "ngram_novelty",
+    "topic_cluster_mix",
+    "split_leakage_audit",
+    "quality_logit_pr_curve",
+    "packing_efficiency",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

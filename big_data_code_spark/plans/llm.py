@@ -7699,3 +7699,1168 @@ FROM both_t t
 JOIN sizes sa ON t.type_a = sa.event_type
 JOIN sizes sb ON t.type_b = sb.event_type
 """
+
+# ------------------------------------------------- r7 wave 2: eval + audit
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (r7) — the eval readout for
+    `sequence_packing` (find→apply→EVALUATE symmetry, like
+    `dedup_eval_pr` for the dedup family): per language, how well
+    the contiguous-stream packing fills its fixed-length training
+    sequences. Reports sequence count (``ceil(tokens / L)`` —
+    integer arithmetic, no float ceil), tail padding (only the
+    stream's final sequence pads under this contract), fill rate,
+    and the straddle rate (share of docs split across a sequence
+    boundary — the attention-masking cost a loader pays).
+
+    100 TB shape: one agg over `sequence_packing`'s per-doc frame —
+    map-side-combinable per-lang counts on top of the packing
+    window; no joins, no new shuffle beyond the packing itself.
+    Integer counts + single divisions — engine-exact.
+
+    Returns (lang, n_docs, n_tokens, n_seqs, tail_pad, fill_rate,
+    split_frac).
+    """
+    packed = sequence_packing(spark, sf_dir)
+    L = SEQ_PACK_LEN
+    agg = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("is_split").cast("long")).cast("long").alias("n_split"),
+    )
+    n_seqs = F.expr(f"CAST((n_tokens + {L - 1}) DIV {L} AS BIGINT)")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        n_seqs.alias("n_seqs"),
+        (n_seqs * L - F.col("n_tokens")).cast("long").alias("tail_pad"),
+        F.when(F.col("n_tokens") > 0, F.col("n_tokens") / (n_seqs * L))
+        .otherwise(F.lit(0.0))
+        .alias("fill_rate"),
+        (F.col("n_split") / F.col("n_docs")).alias("split_frac"),
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_SQL}),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN is_split THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+  FROM packed GROUP BY 1)
+SELECT lang, n_docs, n_tokens,
+       CAST((n_tokens + {SEQ_PACK_LEN - 1}) // {SEQ_PACK_LEN} AS BIGINT) AS n_seqs,
+       CAST((n_tokens + {SEQ_PACK_LEN - 1}) // {SEQ_PACK_LEN}
+            * {SEQ_PACK_LEN} - n_tokens AS BIGINT) AS tail_pad,
+       CASE WHEN n_tokens > 0
+            THEN n_tokens / ((n_tokens + {SEQ_PACK_LEN - 1}) // {SEQ_PACK_LEN}
+                             * {SEQ_PACK_LEN})
+            ELSE 0.0 END AS fill_rate,
+       n_split / n_docs AS split_frac
+FROM agg
+"""
+
+
+def quality_logit_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve for the served quality classifier
+    (r7) — the operating-point sweep that complements
+    `quality_logit_calibration`'s reliability table: at every
+    calibration bin edge, the counts and P/R/F1 of "keep docs whose
+    logit bin ≥ this bin" against the rule labels the classifier
+    was trained on. The contract thresholds at BIN granularity (the
+    same clamped fixed-width bins as the calibration table), so the
+    curve, the calibration table, and the served threshold all read
+    off one binning.
+
+    100 TB shape: one map pass (logit + bin, whole-stage codegen),
+    one groupBy(bin) — QL_CAL_BINS groups — then a QL_CAL_BINS-row
+    cumulative window on the AGGREGATED frame (constant-size at any
+    corpus scale; the bin spine is generated, so empty bins still
+    emit a curve point). Integer counts, single divisions.
+
+    Returns (bin, threshold, n_pred_pos, tp, fp, fn, precision,
+    recall, f1) — precision NULL when nothing is predicted positive.
+    """
+    labeled = _qlt_labeled(spark, sf_dir)
+    binned = labeled.select(
+        F.least(
+            F.greatest(
+                F.floor((F.expr(QUALITY_LOGIT_EXPR) - QL_CAL_LO) / QL_CAL_W),
+                F.lit(0),
+            ),
+            F.lit(QL_CAL_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col("y").cast("long").alias("y"),
+    )
+    bybin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    spine = spark.range(QL_CAL_BINS).select(F.col("id").alias("bin"))
+    full = (
+        spine.join(bybin, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("npos", F.lit(0)).cast("long").alias("npos"),
+        )
+    )
+    w_ge = (
+        Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    cum = full.select(
+        "bin",
+        F.sum("n").over(w_ge).cast("long").alias("n_pred_pos"),
+        F.sum("npos").over(w_ge).cast("long").alias("tp"),
+        F.sum("npos").over(w_all).cast("long").alias("total_pos"),
+    )
+    prec = F.when(
+        F.col("n_pred_pos") > 0, F.col("tp") / F.col("n_pred_pos")
+    )
+    rec = F.when(F.col("total_pos") > 0, F.col("tp") / F.col("total_pos")).otherwise(
+        F.lit(0.0)
+    )
+    staged = cum.select(
+        "bin",
+        (F.lit(QL_CAL_LO) + F.col("bin") * QL_CAL_W).alias("threshold"),
+        "n_pred_pos",
+        "tp",
+        (F.col("n_pred_pos") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("total_pos") - F.col("tp")).cast("long").alias("fn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    return staged.select(
+        "*",
+        F.when(
+            (F.col("precision").isNotNull()) & (F.col("tp") > 0),
+            2.0 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def _quality_logit_pr_curve_sql() -> str:
+    label = (
+        f"CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}"
+        f" AND stop_ratio <= {QF_MAX_STOPWORD_RATIO}"
+        f" AND mtl BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN}"
+        f" THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_filter(tokens,
+                     t -> list_contains({_STOP_SQL_BY_LANG["en"]}, t)))
+                   / len(tokens)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tokens) > 0
+              THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
+              ELSE 0.0 END AS mtl,
+         len(tokens) / (len(tokens) + 100.0) AS sat,
+         CASE WHEN len(tokens) > 0
+              THEN len(list_distinct(tokens)) / len(tokens)
+              ELSE 0.0 END AS ttr
+  FROM tok),
+binned AS (
+  SELECT CAST(least(greatest(
+           floor(({QUALITY_LOGIT_EXPR} - {_dlit(QL_CAL_LO)})
+                 / {_dlit(QL_CAL_W)}), 0),
+           {QL_CAL_BINS - 1}) AS BIGINT) AS bin,
+         {label} AS y
+  FROM feats),
+bybin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos
+  FROM binned GROUP BY 1),
+spine AS (SELECT CAST(b AS BIGINT) AS bin FROM range(0, {QL_CAL_BINS}) t(b)),
+full_t AS (
+  SELECT spine.bin,
+         CAST(coalesce(bybin.n, 0) AS BIGINT) AS n,
+         CAST(coalesce(bybin.npos, 0) AS BIGINT) AS npos
+  FROM spine LEFT JOIN bybin ON spine.bin = bybin.bin),
+cum AS (
+  SELECT bin,
+         CAST(sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS n_pred_pos,
+         CAST(sum(npos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS tp,
+         CAST(sum(npos) OVER () AS BIGINT) AS total_pos
+  FROM full_t),
+staged AS (
+  SELECT bin,
+         {_dlit(QL_CAL_LO)} + bin * {_dlit(QL_CAL_W)} AS threshold,
+         n_pred_pos, tp,
+         CAST(n_pred_pos - tp AS BIGINT) AS fp,
+         CAST(total_pos - tp AS BIGINT) AS fn,
+         CASE WHEN n_pred_pos > 0 THEN tp / n_pred_pos END AS precision,
+         CASE WHEN total_pos > 0 THEN tp / total_pos ELSE 0.0 END AS recall,
+         tp AS tp_flag
+  FROM cum)
+SELECT bin, threshold, n_pred_pos, tp, fp, fn, precision, recall,
+       CASE WHEN precision IS NOT NULL AND tp_flag > 0
+            THEN 2.0 * precision * recall / (precision + recall)
+            ELSE 0.0 END AS f1
+FROM staged
+"""
+
+
+QUALITY_LOGIT_PR_CURVE_SQL = _quality_logit_pr_curve_sql()
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split-leakage audit (r7) — the decontamination
+    check `benchmark_contamination` runs against an EXTERNAL eval
+    set, turned inward: how many near-duplicate pairs (MinHash-LSH,
+    est-Jaccard ≥ 0.5 — the production dedup verdict) STRADDLE the
+    `hash_split` train/val boundary. Cross-split near-dups are
+    silent eval leakage — a val doc whose near-copy was trained on —
+    so this is the audit a pipeline runs after splitting and before
+    training. Runs on the raw `documents` table (the split's input),
+    not the dup-seeded corpus.
+
+    100 TB shape: the pair generation is the banded-LSH path
+    (signature table + band bucket join — never doc×doc); the split
+    map is a shuffle-free md5 expression evaluated on each pair
+    side, so the audit adds ONE map pass + one tiny groupBy over the
+    pair stream. The pair-share normalizer is a window over the
+    ≤3-row aggregate. Integer counts + single divisions.
+
+    Returns (split_a, split_b, is_leak, n_pairs, pair_share) —
+    split_a ≤ split_b lexicographically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_LSH_THRESHOLD)
+    splits = hash_split(spark, sf_dir)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("sb")
+    )
+    tagged = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    agg = tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "split_a",
+        "split_b",
+        (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        "n_pairs",
+        (F.col("n_pairs") / F.sum("n_pairs").over(w_all)).alias("pair_share"),
+    )
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLES_CTE},
+{_SIG_SQL},
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT)
+                   % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents),
+tagged AS (
+  SELECT least(pa.split, pb.split) AS split_a,
+         greatest(pa.split, pb.split) AS split_b
+  FROM pairs
+  JOIN sp pa ON pairs.doc_id_a = pa.doc_id
+  JOIN sp pb ON pairs.doc_id_b = pb.doc_id),
+agg AS (
+  SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM tagged GROUP BY 1, 2)
+SELECT split_a, split_b, split_a <> split_b AS is_leak, n_pairs,
+       n_pairs / sum(n_pairs) OVER () AS pair_share
+FROM agg
+"""
+
+
+#: (n_bands, rows_per_band) grid for `minhash_band_sweep` — every
+#: factorization of the 16-perm OPH signature from "every component
+#: its own band" (最 permissive) to 2 bands of 8 (strictest).
+BAND_SWEEP_CONFIGS: tuple[tuple[int, int], ...] = (
+    (16, 1), (8, 2), (4, 4), (2, 8),
+)
+
+
+def _band_sweep_detect_prob(b: int, r: int, tau: float) -> float:
+    """1 - (1 - tau^r)^b via explicit left-to-right multiplication
+    (NOT pow()), so the constant embedded in the Spark plan and the
+    oracle SQL is the identical double on both sides."""
+    tr = 1.0
+    for _ in range(r):
+        tr *= tau
+    q = 1.0 - tr
+    qb = 1.0
+    for _ in range(b):
+        qb *= q
+    return 1.0 - qb
+
+
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-parameterization sweep (r7) — the tuning loop a
+    dedup deployment runs before freezing (bands, rows): for every
+    factorization of the 16-perm OPH signature, the candidate-pair
+    volume, the verified-duplicate count (est-Jaccard ≥ 0.5), the
+    resulting candidate precision, and the theoretical S-curve
+    detection probability at the threshold similarity
+    (1 − (1 − τ^r)^b). Read together these pick the operating
+    point: more bands = higher recall, more candidates to verify;
+    more rows per band = cheaper, blinder. Complements
+    `dedup_eval_pr` (which evaluates ONE frozen config against the
+    seeded truth) with the cross-config table.
+
+    100 TB shape: the 16-perm signature table is computed ONCE
+    (persisted — at cluster scale it's the stored signature table
+    every config reads); each config adds one band-key explode (b
+    short keys/doc) + one bucket equi-join + one agg — the same
+    banded-LSH candidate path as production, never doc×doc. The
+    detection probability is a frozen literal (same double in plan
+    and oracle, built by explicit multiplication — no pow()).
+
+    Returns (n_bands, rows_per_band, detect_prob_at_tau,
+    n_candidates, n_verified, precision) — one row per config.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    corpus = _corpus(spark, sf_dir)
+    sigs = track_persisted(
+        dedup.minhash_signatures(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs.count()
+    sa = sigs.select(F.col("id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    n_eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    parts = []
+    for b, r in BAND_SWEEP_CONFIGS:
+        bands = sigs.select(
+            "id", F.explode(dedup._band_keys(F.col("sig"), b, r)).alias("bk")
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.bk") == F.col("y.bk"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("doc_id_a"), F.col("y.id").alias("doc_id_b")
+            )
+            .distinct()
+        )
+        est = (
+            cand.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .select((n_eq / F.lit(float(dedup.N_MINHASHES))).alias("ej"))
+        )
+        p = _band_sweep_detect_prob(b, r, MINHASH_LSH_THRESHOLD)
+        parts.append(
+            est.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(
+                    (F.col("ej") >= MINHASH_LSH_THRESHOLD).cast("long")
+                ).alias("n_verified"),
+            ).select(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(p).alias("detect_prob_at_tau"),
+                "n_candidates",
+                F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_candidates") > 0, F.col("n_verified") / F.col("n_candidates")
+        ).alias("precision"),
+    )
+
+
+def _minhash_band_sweep_sql() -> str:
+    blocks = []
+    rows = []
+    for i, (b, r) in enumerate(BAND_SWEEP_CONFIGS):
+        keys = []
+        for band in range(b):
+            parts = " || '|' || ".join(
+                f"sig[{band * r + j + 1}]" for j in range(r)
+            )
+            keys.append(f"'{band}:' || md5({parts})")
+        p = _band_sweep_detect_prob(b, r, MINHASH_LSH_THRESHOLD)
+        blocks.append(f"""bands{i} AS (
+  SELECT doc_id, unnest([{", ".join(keys)}]) AS bk FROM sig),
+cand{i} AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands{i} a JOIN bands{i} b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+est{i} AS (
+  SELECT len(list_filter(list_transform(range(1, 17),
+           i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0 AS ej
+  FROM cand{i} c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id),
+row{i} AS (
+  SELECT CAST({b} AS BIGINT) AS n_bands,
+         CAST({r} AS BIGINT) AS rows_per_band,
+         {_dlit(p)} AS detect_prob_at_tau,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN ej >= {MINHASH_LSH_THRESHOLD}
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+  FROM est{i})""")
+        rows.append(f"SELECT * FROM row{i}")
+    body = ",\n".join(blocks)
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {{corpus}},
+{{shingles}},
+{{sig}},
+{body},
+u AS ({union})
+SELECT *, CASE WHEN n_candidates > 0
+               THEN n_verified / n_candidates END AS precision
+FROM u
+"""
+
+
+MINHASH_BAND_SWEEP_SQL = (
+    _minhash_band_sweep_sql()
+    .replace("{corpus}", _CORPUS_CTE.strip().rstrip())
+    .replace("{shingles}", _SHINGLES_CTE.strip())
+    .replace("{sig}", _SIG_SQL.strip())
+)
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty profile (r7) — the memorization /
+    redundancy readout of Lee et al. 2022's dedup analysis: for each
+    doc in the dup-seeded corpus, the share of its distinct 3-token
+    shingles whose FIRST corpus occurrence (min doc_id — ingest
+    order) is this doc. Seeded exact copies score 0 (every shingle
+    seen before); fresh text scores near 1; boilerplate-heavy docs
+    sit in between. The per-doc novelty histogram is the curation
+    signal for "how much of this batch is genuinely new text".
+
+    100 TB shape: the same three shuffles as `chunk_dedup` — explode
+    distinct (doc, shingle-hash) pairs (8-byte xxhash64 keys, bodies
+    pruned), one map-side-combinable min per shingle, one hash join
+    back, one per-doc agg. Never doc×doc. The oracle groups by the
+    shingle STRING (DuckDB has no xxhash64) — the same
+    hash≡string-equality contract as `dedup_ngram_jaccard`.
+
+    Returns (doc_id, n_shingles, n_novel, novelty) — novelty NULL
+    for docs with fewer than 3 tokens.
+    """
+    corpus = _corpus(spark, sf_dir)
+    ex = dedup._shingle_table(corpus, "doc_id", "text", 3)
+    firsts = ex.groupBy("sh").agg(F.min("id").alias("first_doc"))
+    per = (
+        ex.join(firsts, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_novel") / F.col("n_shingles"),
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+per AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM ex e JOIN firsts f ON e.s = f.s
+  GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN p.n_novel / p.n_shingles END AS novelty
+FROM corpus c LEFT JOIN per p ON c.doc_id = p.doc_id
+"""
+
+
+#: (embeddings fingerprint) → (derived n_cells, centroids) for the
+#: RAW embeddings table (no dup seeding) — `topic_cluster_mix`'s
+#: index, cached under the same invalidation rule as
+#: `_SEMDEDUP_INDEX_CACHE` (which holds the dup-seeded corpus's).
+_TOPIC_INDEX_CACHE: dict[tuple[str, float, int], tuple[int, list[list[float]]]] = {}
+
+
+def topic_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report by semantic cluster (r7) — the
+    "what is in my corpus" table (WIMBD-style audit; the cluster
+    axis of SemDeDup/DSIR curation): k-means the RAW embeddings into
+    corpus-derived cells (same deterministic md5-init Lloyd trainer
+    and n = count/target derivation as `semdedup_kmeans`), join each
+    vector to its document, and report per (cell, source) document
+    counts, the cell's total, and the source's share within the
+    cell vs its share of the whole corpus — the lift table that
+    shows which sources dominate which semantic regions.
+
+    100 TB shape: one broadcast-centroid Arrow argmin per vector
+    (shuffle-free assignment, same kernel as `semdedup_kmeans`), one
+    hash join to `documents` on the aligned id, two
+    map-side-combinable aggs ((cell, source) and cell totals — the
+    totals join back on the tiny cell key). Integer counts + single
+    divisions; the trained index is the documented offline
+    build step (collect allowlisted, cached per corpus fingerprint).
+
+    Returns (cell, source, n_docs, cell_docs, share_in_cell,
+    share_of_corpus).
+    """
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    key = _ivf_cache_key(sf_dir)
+    cached = _TOPIC_INDEX_CACHE.get(key)
+    if cached is not None:
+        n_cells, centroids = cached
+    else:
+        n_cells = max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CELL))
+        centroids = ann.ivf_train(emb, n_cells=n_cells)
+        _TOPIC_INDEX_CACHE[key] = (n_cells, centroids)
+    asg = ann.ivf_assign(emb, centroids, "vec_id", "embedding").select(
+        F.col("id").alias("doc_id"), F.col("cell").cast("long").alias("cell")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = asg.join(docs, "doc_id")
+    bycell = tagged.groupBy("cell", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = bycell.groupBy("cell").agg(
+        F.sum("n_docs").cast("long").alias("cell_docs")
+    )
+    w_all = Window.partitionBy()
+    return (
+        bycell.join(totals, "cell")
+        .select(
+            "cell",
+            "source",
+            "n_docs",
+            "cell_docs",
+            (F.col("n_docs") / F.col("cell_docs")).alias("share_in_cell"),
+            (F.col("n_docs") / F.sum("n_docs").over(w_all)).alias(
+                "share_of_corpus"
+            ),
+        )
+    )
+
+
+TOPIC_CLUSTER_MIX_SQL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_cells_cte()},
+tagged AS (
+  SELECT cells.cell, d.source
+  FROM cells JOIN documents d ON cells.c_id = d.doc_id),
+bycell AS (
+  SELECT cell, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM tagged GROUP BY 1, 2),
+totals AS (
+  SELECT cell, CAST(sum(n_docs) AS BIGINT) AS cell_docs
+  FROM bycell GROUP BY 1)
+SELECT CAST(b.cell AS BIGINT) AS cell, b.source, b.n_docs, t.cell_docs,
+       b.n_docs / t.cell_docs AS share_in_cell,
+       b.n_docs / sum(b.n_docs) OVER () AS share_of_corpus
+FROM bycell b JOIN totals t ON b.cell = t.cell
+"""
+
+
+def _semdedup_cross_pairs_kernel(threshold: float):
+    """Grouped-map kernel for `semdedup_incremental`: given one
+    cell's rows flagged is_batch, emit every (a, b) pair where b IS
+    a batch row, a < b, and cosine ≥ threshold — so per-cell work is
+    |cell|·|batch ∩ cell|, ∝ batch, never |cell|². The dot is the
+    identical element-order IEEE-754 fold as
+    `_semdedup_cell_pairs_kernel` (one multiply + one add per
+    dimension), so the incremental verdicts hash-match the
+    full-rebuild oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf):
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+        nb = int(pdf["is_batch"].sum())
+        if nb == 0 or len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()[order].astype(np.float64)
+        isb = pdf["is_batch"].to_numpy()[order]
+        bidx = np.flatnonzero(isb)
+        B = X[bidx]
+        acc = np.zeros((len(ids), len(bidx)))
+        for i in range(X.shape[1]):  # element-order fold per pair
+            acc += X[:, i, None] * B[None, :, i]
+        cosm = acc / (nrm[:, None] * nrm[bidx][None, :])
+        r, q = np.nonzero(
+            (cosm >= threshold) & (ids[:, None] < ids[bidx][None, :])
+        )
+        return pd.DataFrame({"a": ids[r], "b": ids[bidx][q]})
+
+    return _pairs
+
+
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup on ingest (r7) — the cluster-bucketed
+    counterpart of `dedup_incremental` (MinHash) and
+    `knn_graph_incremental` (kNN graph), completing the
+    incremental-maintenance story for the semantic-dedup family.
+    The seeded perturbed copies (vec_id ≥ DUP_SEED_OFFSET) play the
+    incoming batch; the originals the master whose cell assignments
+    already exist (built here as the stored-state stand-in, exactly
+    like `knn_graph_incremental`'s master graph). The k-means index
+    (derived cell count + centroids, `_SEMDEDUP_INDEX_CACHE` — the
+    SAME index `semdedup_kmeans` serves) is frozen across ingests
+    and re-derived only at compaction.
+
+    The incremental step costs ∝ BATCH: a shuffle-free broadcast
+    argmin assigns the batch, then ONE grouped-map pass per cell
+    compares batch members against (master ∪ lower-id batch) cell
+    mates — per-cell work |cell|·|batch ∩ cell|, never |cell|².
+    Verdicts are EXACTLY the full rebuild's rows for the batch ids
+    (all master ids sort below the offset, so "lower-id dups" of a
+    batch vector are its master cell-mates plus lower batch ids —
+    the same top-of-offset argument as `dedup_incremental`); the
+    registered oracle IS the full-rebuild SQL filtered to the batch,
+    so the driver's hash match proves batch ∪ master ≡ rebuild.
+
+    Returns (vec_id, cell, n_lower_dups, is_kept) for the batch —
+    `semdedup_kmeans`'s schema restricted to the ingest.
+    """
+    corpus = _vector_corpus(spark, sf_dir)
+    key = _ivf_cache_key(sf_dir)
+    cached = _SEMDEDUP_INDEX_CACHE.get(key)
+    if cached is not None:
+        n_cells, centroids = cached
+    else:
+        n_cells = max(1, math.ceil(corpus.count() / SEMDEDUP_TARGET_CELL))
+        centroids = ann.ivf_train(corpus, n_cells=n_cells)
+        _SEMDEDUP_INDEX_CACHE[key] = (n_cells, centroids)
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    asg = track_persisted(
+        ann.ivf_assign(corpus, centroids, "vec_id", "embedding")
+        .withColumn("nrm", ann.norm(F.col("v")))
+        .withColumn("is_batch", F.col("id") >= DUP_SEED_OFFSET)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    asg.count()
+    pairs = asg.groupBy("cell").applyInPandas(
+        _semdedup_cross_pairs_kernel(COSINE_DUP_THRESHOLD),
+        schema="a long, b long",
+    )
+    lower = pairs.groupBy(F.col("b").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lower_dups")
+    )
+    return (
+        asg.where(F.col("is_batch"))
+        .join(lower, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_lower_dups", F.lit(0)).cast("long").alias("n_lower_dups"),
+            (F.coalesce("n_lower_dups", F.lit(0)) == 0).alias("is_kept"),
+        )
+    )
+
+
+SEMDEDUP_INCREMENTAL_SQL = (
+    SEMDEDUP_KMEANS_SQL.rstrip()
+    + f"\nWHERE cells.c_id >= {DUP_SEED_OFFSET}\n"
+)
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (r7) — the (anchor,
+    positive, hard-negative) triplets an embedding-model trainer
+    consumes, mined from the pipeline's own signals: positives are
+    near-duplicates (MinHash-LSH est-Jaccard ≥ 0.5 over the
+    dup-seeded corpus — texts that SHOULD embed together), hard
+    negatives are the anchor's closest kNN-graph neighbor that is
+    NOT a near-duplicate (semantically close, lexically distinct —
+    the informative negative). Deterministic picks: the positive is
+    the partner with the highest est-Jaccard (smallest id on ties);
+    the negative is the lowest-rank non-duplicate neighbor. Anchors
+    are original docs (id < DUP_SEED_OFFSET, so an embedding row
+    exists) with at least one positive AND one qualifying negative.
+
+    100 TB shape: composes two already-banded pipelines — the
+    MinHash candidate path (signature table + band join) and the
+    derived-banding kNN graph — plus one anti-join of the top-K
+    edge list against the symmetric positive set and two per-anchor
+    row_number windows. Never doc×doc beyond those bucketed joins.
+
+    Returns (anchor_id, positive_id, pos_est_j, negative_id,
+    neg_cos, neg_rank).
+    """
+    pos = dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir), threshold=MINHASH_LSH_THRESHOLD
+    )
+    sympos = pos.select(
+        F.col("doc_id_a").alias("anchor"),
+        F.col("doc_id_b").alias("partner"),
+        "est_jaccard",
+    ).unionByName(
+        pos.select(
+            F.col("doc_id_b").alias("anchor"),
+            F.col("doc_id_a").alias("partner"),
+            "est_jaccard",
+        )
+    ).where(F.col("anchor") < DUP_SEED_OFFSET)
+    wp = Window.partitionBy("anchor").orderBy(
+        F.desc("est_jaccard"), "partner"
+    )
+    best_pos = (
+        sympos.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("partner").alias("positive_id"),
+            F.col("est_jaccard").alias("pos_est_j"),
+        )
+    )
+    knn = knn_graph(spark, sf_dir).withColumnRenamed("src", "anchor")
+    nondup = knn.join(
+        sympos.select("anchor", F.col("partner").alias("dst")),
+        ["anchor", "dst"],
+        "left_anti",
+    )
+    wn = Window.partitionBy("anchor").orderBy("rank")
+    best_neg = (
+        nondup.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("dst").alias("negative_id"),
+            F.col("cos").alias("neg_cos"),
+            F.col("rank").alias("neg_rank"),
+        )
+    )
+    return best_pos.join(best_neg, "anchor").select(
+        F.col("anchor").alias("anchor_id"),
+        "positive_id",
+        "pos_est_j",
+        "negative_id",
+        "neg_cos",
+        "neg_rank",
+    )
+
+
+CONTRASTIVE_PAIRS_SQL = f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+{_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+mp AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         len(list_filter(list_transform(range(1, 17),
+               i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}),
+sympos AS (
+  SELECT doc_id_a AS anchor, doc_id_b AS partner, est_jaccard FROM mp
+  UNION ALL
+  SELECT doc_id_b AS anchor, doc_id_a AS partner, est_jaccard FROM mp),
+sympos_f AS (SELECT * FROM sympos WHERE anchor < {DUP_SEED_OFFSET}),
+best_pos AS (
+  SELECT anchor, partner AS positive_id, est_jaccard AS pos_est_j
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY anchor ORDER BY est_jaccard DESC, partner) AS rn
+    FROM sympos_f) WHERE rn = 1),
+nondup AS (
+  SELECT k.src AS anchor, k.dst, k.cos, k.rank
+  FROM knn k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sympos_f sp
+    WHERE sp.anchor = k.src AND sp.partner = k.dst)),
+best_neg AS (
+  SELECT anchor, dst AS negative_id, cos AS neg_cos, rank AS neg_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY rank) AS rn
+    FROM nondup) WHERE rn = 1)
+SELECT p.anchor AS anchor_id, p.positive_id, p.pos_est_j,
+       n.negative_id, n.neg_cos, n.neg_rank
+FROM best_pos p JOIN best_neg n ON p.anchor = n.anchor
+"""
+
+
+#: Exponentiated-gradient rounds / learning rate for
+#: `doremi_mixture_weights` — fixed-round contract (QL_TRAIN_ROUNDS
+#: family): both engines run the identical computation, no
+#: convergence check. The LR is SQL literal text so the Spark plan
+#: and the oracle share one spelling.
+DOREMI_ROUNDS = 5
+DOREMI_LR = "1e0"
+
+
+def _doremi_base(spark: SparkSession, sf_dir: str):
+    """(dt, nd, v): per-(domain, token) counts, per-domain token
+    totals, and the one-row global vocab scalar — the sufficient
+    statistics every DoReMi round reads (the corpus collapses to
+    these once; rounds never touch documents again)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("source").alias("dom"),
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    )
+    dt = tok.groupBy("dom", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nd = dt.groupBy("dom").agg(F.sum("c").cast("long").alias("n"))
+    v = dt.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    return dt, nd, v
+
+
+def _sorted_fold(struct_col, out_name):
+    """Σ over a group in FIRST-FIELD-SORTED order — the
+    `unigram_logprob` determinism contract (double sums are
+    order-dependent; both engines fold the identical sequence)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(struct_col)),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    ).alias(out_name)
+
+
+def _doremi_h_own(dt: DataFrame, nd: DataFrame, v: DataFrame) -> DataFrame:
+    term = F.col("c") * F.log(
+        (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    )
+    return (
+        dt.join(F.broadcast(nd), "dom")
+        .crossJoin(F.broadcast(v))
+        .select("dom", "n", F.struct(F.col("tok"), term.alias("t")).alias("s"))
+        .groupBy("dom")
+        .agg(_sorted_fold(F.col("s"), "hs"), F.min("n").alias("n"))
+        .select("dom", (F.lit(0.0) - F.col("hs") / F.col("n")).alias("h_own"))
+    )
+
+
+def _doremi_round_step(
+    dt: DataFrame, nd: DataFrame, v: DataFrame, hown: DataFrame, w: DataFrame
+) -> DataFrame:
+    """One exponentiated-gradient round: mixture-LM cross-entropy
+    per domain under the current weights, non-negative excess vs the
+    domain's own LM, multiplicative update, normalize. Returns the
+    K-row (dom, h_mix, excess, w) frame PRE-checkpoint (the audit
+    hook hands exactly this to the scale sweep)."""
+    z = (
+        w.join(F.broadcast(nd), "dom")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.struct(
+                F.col("dom"),
+                (F.col("w") / (F.col("n") + F.col("v"))).alias("t"),
+            ).alias("s")
+        )
+        .agg(_sorted_fold(F.col("s"), "z"))
+    )
+    sm = (
+        dt.join(F.broadcast(w), "dom")
+        .join(F.broadcast(nd), "dom")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tok",
+            F.struct(
+                F.col("dom"),
+                (F.col("w") * F.col("c") / (F.col("n") + F.col("v"))).alias("t"),
+            ).alias("s"),
+        )
+        .groupBy("tok")
+        .agg(_sorted_fold(F.col("s"), "sm"))
+    )
+    hmix = (
+        dt.join(sm, "tok")
+        .crossJoin(F.broadcast(z))
+        .join(F.broadcast(nd), "dom")
+        .select(
+            "dom",
+            "n",
+            F.struct(
+                F.col("tok"),
+                (F.col("c") * F.log(F.col("sm") + F.col("z"))).alias("t"),
+            ).alias("s"),
+        )
+        .groupBy("dom")
+        .agg(_sorted_fold(F.col("s"), "hs"), F.min("n").alias("n"))
+        .select("dom", (F.lit(0.0) - F.col("hs") / F.col("n")).alias("h_mix"))
+    )
+    ex = hmix.join(F.broadcast(hown), "dom").select(
+        "dom",
+        "h_mix",
+        F.round(
+            F.greatest(F.col("h_mix") - F.col("h_own"), F.lit(0.0)), 9
+        ).alias("excess"),
+    )
+    u = w.join(ex, "dom").select(
+        "dom",
+        "h_mix",
+        "excess",
+        (F.col("w") * F.exp(F.expr(DOREMI_LR) * F.col("excess"))).alias("u"),
+    )
+    zn = u.select(
+        F.struct(F.col("dom"), F.col("u").alias("t")).alias("s")
+    ).agg(_sorted_fold(F.col("s"), "zn"))
+    return u.crossJoin(F.broadcast(zn)).select(
+        "dom",
+        "h_mix",
+        "excess",
+        F.round(F.col("u") / F.col("zn"), 9).alias("w"),
+    )
+
+
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture optimization (r7) — DoReMi (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining") restated on the engine's unigram-LM proxy: per
+    `documents.source` domain, DOREMI_ROUNDS exponentiated-gradient
+    rounds upweight the domains the CURRENT mixture language model
+    serves worst. Completes the data-mixing family's optimization
+    shape next to the static recipes (`mix_balance_uniform`,
+    `temperature_mix`, `token_budget_mix`) and the per-example
+    resampler (`dsir_importance_sample`).
+
+    Per round, with weights w: the mixture LM p_w(t) = Σ_d w_d ·
+    (c_dt + 1)/(N_d + V) splits into a sparse per-token mass (fold
+    over domains that saw t) plus one scalar (the smoothing floor —
+    absent domains contribute w_d/(N_d+V) regardless of t); each
+    domain's excess loss = max(0, H_pw(d) − H_own(d)) (cross-entropy
+    under the mixture minus under its own LM); then w ← w·exp(η·
+    excess), normalized. The minimax flavor of the paper (Group DRO
+    against the reference model) with the engine's deterministic
+    unigram proxy standing in for the trained proxy model.
+
+    100 TB shape: ONE corpus pass builds the (domain, token) count
+    table + per-domain totals + the vocab scalar (two map-side-
+    combinable shuffles — `unigram_logprob`'s shape); every round
+    then runs on those sufficient statistics (vocab-sized groupBy +
+    one hash join back, K-row weight state broadcast, one-row
+    normalizers), never re-reading documents. Rounds are fixed
+    (DOREMI_ROUNDS) and the K-row weight frame is locally
+    checkpointed per round (the `quality_logit_train` lineage
+    contract; pre-checkpoint round plan exposed to the scale audit
+    via AUDIT_PLAN_HOOKS).
+
+    Float contract: every cross-token/cross-domain double sum folds
+    in sorted order (the `unigram_logprob` pattern); excess and the
+    normalized weights are quantized to the 1e-9 grid each round
+    (`round(x, 9)` — the `quality_logit_train` sigmoid contract), so
+    drift cannot compound across rounds; ln/exp are bit-identical on
+    identical doubles (established by `unigram_logprob` /
+    `quality_logit_train`).
+
+    Returns (round, source, n_tokens, h_own, h_mix, excess, weight)
+    — one row per domain per round, weight summing to 1 (±1e-9·K
+    quantization) each round.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    dt, nd, v = _doremi_base(spark, sf_dir)
+    dt = track_persisted(dt.persist(StorageLevel.MEMORY_AND_DISK))
+    dt.count()
+    # K-row / 1-row frames, re-read every round: checkpoint once so
+    # rounds don't re-derive them from the corpus.
+    nd = nd.localCheckpoint(eager=True)
+    v = v.localCheckpoint(eager=True)
+    hown = _doremi_h_own(dt, nd, v).localCheckpoint(eager=True)
+    k = nd.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w = (
+        nd.select("dom")
+        .crossJoin(F.broadcast(k))
+        .select("dom", F.round(F.lit(1.0) / F.col("k"), 9).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    out_rounds = []
+    for rnd in range(1, DOREMI_ROUNDS + 1):
+        step = _doremi_round_step(dt, nd, v, hown, w)
+        step = step.localCheckpoint(eager=True)
+        out_rounds.append(
+            step.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("dom"),
+                "h_mix",
+                "excess",
+                F.col("w").alias("weight"),
+            )
+        )
+        w = step.select("dom", "w")
+    out = out_rounds[0]
+    for s in out_rounds[1:]:
+        out = out.unionByName(s)
+    # reported entropies on the 1e-9 grid: the fold's last ulp is
+    # engine-sensitive (one 2-ulp h_mix drift measured in 500 rounds
+    # x domains); everything that FEEDS FORWARD (excess, weight) is
+    # already grid-quantized, this aligns the report columns too.
+    return (
+        out.join(F.broadcast(hown), "dom")
+        .join(F.broadcast(nd), "dom")
+        .select(
+            "round",
+            F.col("dom").alias("source"),
+            F.col("n").alias("n_tokens"),
+            F.round("h_own", 9).alias("h_own"),
+            F.round("h_mix", 9).alias("h_mix"),
+            "excess",
+            "weight",
+        )
+    )
+
+
+def doremi_mixture_weights_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook (the `quality_logit_train_audit_plans` contract):
+    `doremi_mixture_weights` returns unions of localCheckpoint-ed
+    K-row frames, so the scale sweep would otherwise only see
+    executed-and-vanished round plans. Exposes the UNEXECUTED
+    round-1 step (corpus stats + mixture fold + EG update); every
+    round is plan-identical."""
+    dt, nd, v = _doremi_base(spark, sf_dir)
+    hown = _doremi_h_own(dt, nd, v)
+    k = nd.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w0 = (
+        nd.select("dom")
+        .crossJoin(F.broadcast(k))
+        .select("dom", F.round(F.lit(1.0) / F.col("k"), 9).alias("w"))
+    )
+    return [_doremi_round_step(dt, nd, v, hown, w0)]
+
+
+def _doremi_sql() -> str:
+    rounds = []
+    for r in range(1, DOREMI_ROUNDS + 1):
+        prev = "w0" if r == 1 else f"w{r - 1}"
+        rounds.append(f"""z{r} AS (
+  SELECT list_sum(list(w.w / (nd.n + vv.v) ORDER BY w.dom)) AS z
+  FROM {prev} w JOIN nd ON w.dom = nd.dom CROSS JOIN vv),
+s{r} AS (
+  SELECT dt.tok,
+         list_sum(list(w.w * dt.c / (nd.n + vv.v) ORDER BY dt.dom)) AS sm
+  FROM dt JOIN {prev} w ON dt.dom = w.dom
+          JOIN nd ON dt.dom = nd.dom CROSS JOIN vv
+  GROUP BY dt.tok),
+hm{r} AS (
+  SELECT dt.dom,
+         0e0 - list_sum(list(dt.c * ln(s.sm + z.z) ORDER BY dt.tok))
+               / min(nd.n) AS h_mix
+  FROM dt JOIN s{r} s ON dt.tok = s.tok
+          JOIN nd ON dt.dom = nd.dom CROSS JOIN z{r} z
+  GROUP BY dt.dom),
+ex{r} AS (
+  SELECT h.dom, h.h_mix,
+         round(greatest(h.h_mix - o.h_own, 0e0), 9) AS excess
+  FROM hm{r} h JOIN hown o ON h.dom = o.dom),
+u{r} AS (
+  SELECT w.dom, e.h_mix, e.excess,
+         w.w * exp({DOREMI_LR} * e.excess) AS u
+  FROM {prev} w JOIN ex{r} e ON w.dom = e.dom),
+zn{r} AS (SELECT list_sum(list(u ORDER BY dom)) AS zn FROM u{r}),
+-- MATERIALIZED: round r+1 references w{r} three times; inlining
+-- would re-expand the whole prior-round tree per reference
+-- (3^rounds blow-up)
+w{r} AS MATERIALIZED (
+  SELECT u.dom, u.h_mix, u.excess, round(u.u / zn.zn, 9) AS w
+  FROM u{r} u CROSS JOIN zn{r} zn)""")
+        body = ",\n".join(rounds)
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, w.dom AS source,
+       nd.n AS n_tokens, round(o.h_own, 9) AS h_own,
+       round(w.h_mix, 9) AS h_mix, w.excess, w.w AS weight
+FROM w{r} w JOIN hown o ON w.dom = o.dom JOIN nd ON w.dom = nd.dom"""
+        for r in range(1, DOREMI_ROUNDS + 1)
+    )
+    return f"""
+WITH tok AS (SELECT source AS dom, unnest({_TOKENS}) AS tok FROM documents),
+-- MATERIALIZED: the round CTEs reference dt many times; without the
+-- hint DuckDB inlines the parquet scan per reference (fd exhaustion
+-- on the unrolled rounds)
+dt AS MATERIALIZED (
+  SELECT dom, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+nd AS MATERIALIZED (SELECT dom, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY 1),
+vv AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM (SELECT DISTINCT tok FROM dt)),
+hown AS MATERIALIZED (
+  SELECT dt.dom,
+         0e0 - list_sum(list(dt.c * ln((dt.c + 1.0) / (nd.n + vv.v))
+                             ORDER BY dt.tok)) / min(nd.n) AS h_own
+  FROM dt JOIN nd ON dt.dom = nd.dom CROSS JOIN vv
+  GROUP BY dt.dom),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM nd),
+w0 AS MATERIALIZED (SELECT dom, round(1e0 / (SELECT k FROM kk), 9) AS w FROM nd),
+{body}
+{selects}
+"""
+
+
+DOREMI_MIXTURE_WEIGHTS_SQL = _doremi_sql()

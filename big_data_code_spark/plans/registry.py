@@ -11,12 +11,14 @@ in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
 VERDICT r5 #6). The union r1-r6 is 171/171: every entry has at
 least one driver green and none fails its latest check. The r7
-prefix = 13 queries changed or added this round, then ALL 28
-entries whose latest green was r3 (the r6 verdict's rotation-debt
-list), then the 9 oldest r4-evidence entries — see the inline
-comments at the list itself, which are the authoritative
-description. Positions 51+ hold the rest in their prior order.
-Nothing about a query's semantics depends on its position.
+prefix = 13 queries changed or added early in the round, then ALL
+28 entries whose latest green was r3 (the r6 verdict's
+rotation-debt list), then the 9 operators ADDED in r7 wave 2
+(changed-first beats oldest-next) — see the inline comments at the
+list itself, which are the authoritative description. Positions
+51+ hold the rest in their prior order, starting with the 9
+oldest-r4 entries the wave-2 block displaced (they rotate in next
+round). Nothing about a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -46,8 +48,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # -- 14-41: ALL 28 entries whose latest driver green was r3
     #    (VERDICT r6 'What's missing' #1 — the rotation debt list,
     #    verbatim), so no entry's evidence is older than 3 rounds.
-    # -- 42-50: the 9 oldest r4-evidence entries, keeping the whole
-    #    prefix on the oldest-next policy.
+    # -- 42-50: the 9 operators ADDED in r7 wave 2 (changed-first
+    #    beats oldest-next, so they displace the 9 oldest-r4 entries
+    #    to positions 51+): domain-mixture optimization, the
+    #    incremental/eval/audit closures of the dedup+quality
+    #    families, and the corpus-composition report.
     ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
     ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
@@ -91,6 +96,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
     # -- 9 oldest r4-evidence entries --
+    ("doremi_mixture_weights", llm.doremi_mixture_weights, llm.DOREMI_MIXTURE_WEIGHTS_SQL),
+    ("semdedup_incremental", llm.semdedup_incremental, llm.SEMDEDUP_INCREMENTAL_SQL),
+    ("contrastive_pairs", llm.contrastive_pairs, llm.CONTRASTIVE_PAIRS_SQL),
+    ("minhash_band_sweep", llm.minhash_band_sweep, llm.MINHASH_BAND_SWEEP_SQL),
+    ("ngram_novelty", llm.ngram_novelty, llm.NGRAM_NOVELTY_SQL),
+    ("topic_cluster_mix", llm.topic_cluster_mix, llm.TOPIC_CLUSTER_MIX_SQL),
+    ("split_leakage_audit", llm.split_leakage_audit, llm.SPLIT_LEAKAGE_AUDIT_SQL),
+    ("quality_logit_pr_curve", llm.quality_logit_pr_curve, llm.QUALITY_LOGIT_PR_CURVE_SQL),
+    ("packing_efficiency", llm.packing_efficiency, llm.PACKING_EFFICIENCY_SQL),
+    # -- 51+: remaining entries, prior order (all r4+ evidence;
+    #    union r1-r6 = 171/171 green), starting with the 9
+    #    oldest-r4 entries the wave-2 block displaced.
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
     ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
@@ -100,8 +117,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
     ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
     ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
-    # -- 51+: remaining entries, prior order (all r4+ evidence;
-    #    union r1-r6 = 171/171 green).
     ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
     ("dsir_importance_sample", llm.dsir_importance_sample, llm.DSIR_IMPORTANCE_SAMPLE_SQL),
     ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
@@ -236,6 +251,7 @@ QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
 #: Every iterative/checkpoint-built operator MUST register here.
 AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "quality_logit_train": llm.quality_logit_train_audit_plans,
+    "doremi_mixture_weights": llm.doremi_mixture_weights_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

@@ -2459,3 +2459,180 @@ def test_keyvalue_export_ranged_oracle_and_contiguity(spark):
     shards = sorted(by_shard)
     for a, b in zip(shards, shards[1:]):
         assert max(by_shard[a]) < min(by_shard[b])  # contiguous, ordered
+
+
+# ------------------------------------------------- r7 wave 2 operators
+
+
+def test_packing_efficiency_oracle_and_consistency(spark):
+    assert_matches_oracle(spark, "packing_efficiency", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        SEQ_PACK_LEN,
+        packing_efficiency,
+        sequence_packing,
+    )
+
+    rows = packing_efficiency(spark, SF_SMOKE).collect()
+    packed = sequence_packing(spark, SF_SMOKE).collect()
+    assert sum(r["n_docs"] for r in rows) == len(packed)
+    for r in rows:
+        assert 0 <= r["tail_pad"] < SEQ_PACK_LEN
+        assert 0.0 <= r["fill_rate"] <= 1.0
+        assert 0.0 <= r["split_frac"] <= 1.0
+
+
+def test_quality_logit_pr_curve_oracle_and_monotone(spark):
+    assert_matches_oracle(spark, "quality_logit_pr_curve", SF_SMOKE)
+    from big_data_code_spark.plans.llm import quality_logit_pr_curve
+
+    rows = sorted(
+        quality_logit_pr_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bin"],
+    )
+    # the lowest threshold predicts everything positive: no false
+    # negatives, recall = 1
+    assert rows[0]["fn"] == 0 and rows[0]["recall"] == 1.0
+    # recall and predicted-positive count are non-increasing in the
+    # threshold; tp+fn is the constant positive total
+    total = rows[0]["tp"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["recall"] <= a["recall"]
+        assert b["n_pred_pos"] <= a["n_pred_pos"]
+        assert b["tp"] + b["fn"] == total
+
+
+def test_split_leakage_audit_oracle_and_totals(spark):
+    assert_matches_oracle(spark, "split_leakage_audit", SF_SMOKE)
+    from big_data_code_spark.operators import dedup
+    from big_data_code_spark.plans.llm import (
+        MINHASH_LSH_THRESHOLD,
+        split_leakage_audit,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = split_leakage_audit(spark, SF_SMOKE).collect()
+    n_total = dedup.minhash_lsh_pairs(
+        load_table(spark, SF_SMOKE, "documents"),
+        threshold=MINHASH_LSH_THRESHOLD,
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_total
+    assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+
+def test_minhash_band_sweep_oracle_and_tradeoff(spark):
+    assert_matches_oracle(spark, "minhash_band_sweep", SF_SMOKE)
+    from big_data_code_spark.plans.llm import minhash_band_sweep
+
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in minhash_band_sweep(spark, SF_SMOKE).collect()
+    }
+    # theoretical S-curve: stricter bands (more rows) detect less at
+    # the threshold similarity
+    probs = [rows[c]["detect_prob_at_tau"] for c in ((16, 1), (8, 2), (4, 4), (2, 8))]
+    assert probs == sorted(probs, reverse=True)
+    # the permissive extreme generates at least as many candidates
+    # as the strict extreme, and verification never exceeds candidates
+    assert rows[(16, 1)]["n_candidates"] >= rows[(2, 8)]["n_candidates"]
+    for r in rows.values():
+        assert r["n_verified"] <= r["n_candidates"]
+
+
+def test_ngram_novelty_oracle_and_seeded_copies(spark):
+    assert_matches_oracle(spark, "ngram_novelty", SF_SMOKE)
+    from big_data_code_spark.plans.llm import DUP_SEED_OFFSET, ngram_novelty
+
+    rows = ngram_novelty(spark, SF_SMOKE).collect()
+    # every seeded EXACT copy's shingles first occurred in its
+    # original (lower doc_id), so its novelty is exactly 0
+    exact = [
+        r
+        for r in rows
+        if DUP_SEED_OFFSET <= r["doc_id"] < 2 * DUP_SEED_OFFSET
+        and r["n_shingles"] > 0
+    ]
+    assert exact and all(r["n_novel"] == 0 and r["novelty"] == 0.0 for r in exact)
+    # originals carry the corpus's novel mass
+    originals = [r for r in rows if r["doc_id"] < DUP_SEED_OFFSET]
+    assert sum(r["n_novel"] for r in originals) > 0
+
+
+def test_topic_cluster_mix_oracle_and_shares(spark):
+    assert_matches_oracle(spark, "topic_cluster_mix", SF_SMOKE)
+    from collections import defaultdict
+
+    from big_data_code_spark.plans.llm import topic_cluster_mix
+
+    rows = topic_cluster_mix(spark, SF_SMOKE).collect()
+    per_cell = defaultdict(float)
+    for r in rows:
+        per_cell[r["cell"]] += r["share_in_cell"]
+    assert all(abs(v - 1.0) < 1e-9 for v in per_cell.values())
+    assert abs(sum(r["share_of_corpus"] for r in rows) - 1.0) < 1e-9
+
+
+def test_semdedup_incremental_equals_rebuild_on_batch(spark):
+    """The incremental verdicts must be EXACTLY the full rebuild's
+    rows for the batch ids (the `knn_graph_incremental` equality
+    contract for the cluster-bucketed family)."""
+    assert_matches_oracle(spark, "semdedup_incremental", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        DUP_SEED_OFFSET,
+        semdedup_incremental,
+        semdedup_kmeans,
+    )
+
+    inc = {tuple(r) for r in semdedup_incremental(spark, SF_SMOKE).collect()}
+    full = {
+        tuple(r)
+        for r in semdedup_kmeans(spark, SF_SMOKE)
+        .where(F.col("vec_id") >= DUP_SEED_OFFSET)
+        .collect()
+    }
+    assert inc == full
+
+
+def test_contrastive_pairs_oracle_and_semantics(spark):
+    assert_matches_oracle(spark, "contrastive_pairs", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        DUP_SEED_OFFSET,
+        MINHASH_LSH_THRESHOLD,
+        contrastive_pairs,
+    )
+
+    rows = contrastive_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["anchor_id"] < DUP_SEED_OFFSET
+        assert r["negative_id"] != r["positive_id"]
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["pos_est_j"] >= MINHASH_LSH_THRESHOLD
+
+
+def test_doremi_mixture_weights_oracle_and_invariants(spark):
+    assert_matches_oracle(spark, "doremi_mixture_weights", SF_SMOKE)
+    from collections import defaultdict
+
+    from big_data_code_spark.plans.llm import (
+        DOREMI_ROUNDS,
+        doremi_mixture_weights,
+    )
+
+    rows = doremi_mixture_weights(spark, SF_SMOKE).collect()
+    by_round = defaultdict(list)
+    for r in rows:
+        by_round[r["round"]].append(r)
+    assert sorted(by_round) == list(range(1, DOREMI_ROUNDS + 1))
+    for rnd, rs in by_round.items():
+        # weights stay a distribution (1e-9-grid quantization slack)
+        assert abs(sum(r["weight"] for r in rs) - 1.0) < 1e-6
+        assert all(r["weight"] > 0 for r in rs)
+        assert all(r["excess"] >= 0.0 for r in rs)
+    # round 1 starts uniform, so its weight ranking IS the excess
+    # ranking (w1 = exp(eta * excess) / Z)
+    r1 = by_round[1]
+    by_excess = sorted(r1, key=lambda r: (-r["excess"], r["source"]))
+    by_weight = sorted(r1, key=lambda r: (-r["weight"], r["source"]))
+    assert [r["source"] for r in by_excess] == [r["source"] for r in by_weight]

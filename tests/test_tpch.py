@@ -172,6 +172,10 @@ BNLJ_ALLOWED = {
     "dsir_importance_sample",    # r6 w2: single-row (N_raw, N_target)
                                  # LM normalizing-constants broadcast
                                  # (the unigram_logprob shape)
+    "doremi_mixture_weights",    # r7 w2: one-row vocab/z/normalizer
+                                 # scalars broadcast per EG round —
+                                 # the pre-checkpoint round-step plan
+                                 # exposed via AUDIT_PLAN_HOOKS
 }
 
 

@@ -233,6 +233,9 @@ BENCH_QUERIES = (
     "split_leakage_audit",
     "quality_logit_pr_curve",
     "packing_efficiency",
+    "quality_ablation_report",
+    "chunk_bm25_search",
+    "streaming_ngram_novelty",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -8864,3 +8864,271 @@ w0 AS MATERIALIZED (SELECT dom, round(1e0 / (SELECT k FROM kk), 9) AS w FROM nd)
 
 
 DOREMI_MIXTURE_WEIGHTS_SQL = _doremi_sql()
+
+
+#: (rule key, fail predicate over `gopher_repetition_rules`'s
+#: REPORTED columns) — the ablation contract evaluates the rounded
+#: report columns, so both engines judge the identical doubles.
+_GOPHER_ABLATION_RULES: tuple[tuple[str, str], ...] = (
+    ("words_band", f"NOT (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"),
+    ("mean_word_len_band", f"NOT (mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL})"),
+    ("alpha_frac", f"alpha_frac < {GOPHER_MIN_ALPHA}"),
+    ("stop_hits", f"stop_hits < {GOPHER_MIN_STOP}"),
+    ("top2_frac", f"top2_frac > {GOPHER_MAX_TOP2}"),
+    ("dup3_frac", f"dup3_frac > {GOPHER_MAX_DUP3}"),
+)
+
+
+def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher rule filter (r7 w2) — the
+    attribution table a curation owner reads before retuning a
+    threshold: for each rule, how many documents fail it, and how
+    many fail ONLY it (the docs that rule alone removes — relaxing
+    it recovers exactly those). A rule with high n_fail but zero
+    n_unique_fail is redundant; one with high unique share is the
+    binding constraint. A final 'any' row gives the combined-filter
+    totals (n_fail = docs failing >= 1 rule; n_unique_fail = docs
+    failing exactly one).
+
+    Contract: fail flags are evaluated on `gopher_repetition_rules`'s
+    REPORTED (6-dp-rounded) columns with the same thresholds, so the
+    ablation and the report read one set of doubles; docs where
+    rounding crosses a threshold would disagree with the unrounded
+    `keep` verdict identically in both engines.
+
+    100 TB shape: one map pass over the rule report (flags + unpivot
+    — rows x 7), one map-side-combinable groupBy(rule) over a
+    7-value key. Integer counts + single divisions.
+
+    Returns (rule, n_fail, n_unique_fail, fail_rate,
+    unique_fail_rate).
+    """
+    g = gopher_repetition_rules(spark, sf_dir)
+    flags = g.select(
+        "doc_id",
+        *[
+            F.expr(pred).cast("long").alias(f"f{i}")
+            for i, (_, pred) in enumerate(_GOPHER_ABLATION_RULES)
+        ],
+    )
+    fcols = [f"f{i}" for i in range(len(_GOPHER_ABLATION_RULES))]
+    nf = flags.select(
+        "doc_id",
+        *fcols,
+        sum([F.col(c) for c in fcols[1:]], F.col(fcols[0])).alias("n_fails"),
+    )
+    stack_args = ", ".join(
+        f"'{key}', f{i}" for i, (key, _) in enumerate(_GOPHER_ABLATION_RULES)
+    )
+    unpivoted = nf.select(
+        "n_fails",
+        F.expr(
+            f"stack({len(_GOPHER_ABLATION_RULES)}, {stack_args}) AS (rule, failed)"
+        ),
+    ).unionByName(
+        nf.select(
+            "n_fails",
+            F.lit("any").alias("rule"),
+            (F.col("n_fails") > 0).cast("long").alias("failed"),
+        )
+    )
+    totals = nf.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        unpivoted.groupBy("rule")
+        .agg(
+            F.sum("failed").cast("long").alias("n_fail"),
+            F.sum(
+                ((F.col("failed") == 1) & (F.col("n_fails") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_unique_fail"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rule",
+            "n_fail",
+            "n_unique_fail",
+            (F.col("n_fail") / F.col("n_docs")).alias("fail_rate"),
+            (F.col("n_unique_fail") / F.col("n_docs")).alias("unique_fail_rate"),
+        )
+    )
+
+
+def _quality_ablation_sql() -> str:
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS f{i}"
+        for i, (_, pred) in enumerate(_GOPHER_ABLATION_RULES)
+    )
+    nf = " + ".join(f"f{i}" for i in range(len(_GOPHER_ABLATION_RULES)))
+    selects = "\n  UNION ALL\n  ".join(
+        f"SELECT n_fails, '{key}' AS rule, f{i} AS failed FROM nf"
+        for i, (key, _) in enumerate(_GOPHER_ABLATION_RULES)
+    )
+    return f"""
+WITH g AS ({{gopher}}),
+flags AS (
+  SELECT doc_id,
+         {flag_cols}
+  FROM g),
+nf AS (SELECT *, {nf} AS n_fails FROM flags),
+unpivoted AS (
+  {selects}
+  UNION ALL
+  SELECT n_fails, 'any' AS rule,
+         CASE WHEN n_fails > 0 THEN 1 ELSE 0 END AS failed
+  FROM nf),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nf),
+agg AS (
+  SELECT rule,
+         CAST(sum(failed) AS BIGINT) AS n_fail,
+         CAST(sum(CASE WHEN failed = 1 AND n_fails = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unique_fail
+  FROM unpivoted GROUP BY 1)
+SELECT rule, n_fail, n_unique_fail,
+       n_fail / totals.n_docs AS fail_rate,
+       n_unique_fail / totals.n_docs AS unique_fail_rate
+FROM agg CROSS JOIN totals
+"""
+
+
+QUALITY_ABLATION_REPORT_SQL = _quality_ablation_sql().replace(
+    "{gopher}", GOPHER_REPETITION_RULES_SQL
+)
+
+
+def chunk_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular BM25 retrieval (r7 w2) — the RAG indexing/
+    retrieval shape: score `doc_chunking`'s overlapping 32-token
+    windows (not whole documents) against the query set, so the
+    hits are PASSAGES a context window can actually consume. Same
+    scoring contract as `bm25_search` (Lucene idf, k1/b constants,
+    1e-6-quantized terms folded in sorted order) with chunk-level
+    statistics: tf within the chunk, df = chunks containing the
+    term, dl = chunk length, avgdl over chunks.
+
+    100 TB shape: the chunk explode is per-row fan-out (a streaming
+    ingest stage); scoring joins query terms against the chunk
+    posting lists (cost ∝ postings of queried terms, never
+    corpus x corpus); corpus stats are two combinable aggs; top-K is
+    a per-query window. Returns (q_id, rank, doc_id, chunk_id,
+    score) — rank over (score desc, doc_id, chunk_id).
+    """
+    ch = doc_chunking(spark, sf_dir)
+    ctok = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(tokenize(F.col("chunk_text"))).alias("term"),
+    )
+    tf = ctok.groupBy("doc_id", "chunk_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scal = (
+        ch.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chunk_tokens").alias("_sumdl"),
+        ).select("n_docs", F.expr("_sumdl / n_docs").alias("avgdl"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        q.join(tf, "term")
+        .join(dfreq, "term")
+        .join(
+            ch.select("doc_id", "chunk_id", F.col("chunk_tokens").alias("dl")),
+            ["doc_id", "chunk_id"],
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "q_id", "doc_id", "chunk_id", "term",
+            F.expr(_BM25_TERM_EXPR).alias("c"),
+        )
+        .groupBy("q_id", "doc_id", "chunk_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score")
+        )
+    )
+    win = Window.partitionBy("q_id").orderBy(F.desc("score"), "doc_id", "chunk_id")
+    return (
+        scored.select(
+            "q_id",
+            F.row_number().over(win).cast("long").alias("rank"),
+            "doc_id",
+            "chunk_id",
+            "score",
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+    )
+
+
+CHUNK_BM25_SEARCH_SQL = f"""
+WITH ch AS ({DOC_CHUNKING_SQL}),
+ctok AS (
+  SELECT doc_id, chunk_id,
+         unnest(list_filter(regexp_split_to_array(lower(chunk_text),
+                '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM ch),
+tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf
+       FROM ctok GROUP BY 1, 2, 3),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(chunk_tokens) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+  FROM ch),
+q AS (
+  SELECT doc_id AS q_id, unnest(list_distinct({_TOKENS})) AS term
+  FROM documents WHERE doc_id < {BM25_N_QUERIES}),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dlt AS (SELECT doc_id, chunk_id, chunk_tokens AS dl FROM ch),
+scored AS (
+  SELECT q.q_id, tf.doc_id, tf.chunk_id,
+         list_sum(list({_BM25_TERM_EXPR} ORDER BY q.term)) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfreq ON q.term = dfreq.term
+  JOIN dlt ON tf.doc_id = dlt.doc_id AND tf.chunk_id = dlt.chunk_id
+  CROSS JOIN scal
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT q_id, doc_id, chunk_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, rank, doc_id, chunk_id, score FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+#: Oracle for `plans/speed.streaming_ngram_novelty`: batch docs'
+#: distinct shingles anti-joined against the master's shingle set —
+#: (doc, master)-local, so the streamed union is provably equal.
+STREAMING_NGRAM_NOVELTY_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+msh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(shingles) AS s FROM sh WHERE doc_id < {DUP_SEED_OFFSET})),
+bex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE doc_id >= {DUP_SEED_OFFSET}),
+per AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN m.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM bex b LEFT JOIN msh m ON b.s = m.s
+  GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN p.n_novel / p.n_shingles END AS novelty
+FROM (SELECT doc_id FROM corpus WHERE doc_id >= {DUP_SEED_OFFSET}) c
+LEFT JOIN per p ON c.doc_id = p.doc_id
+"""

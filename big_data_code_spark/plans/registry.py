@@ -11,14 +11,15 @@ in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
 VERDICT r5 #6). The union r1-r6 is 171/171: every entry has at
 least one driver green and none fails its latest check. The r7
-prefix = 13 queries changed or added early in the round, then ALL
+prefix = 10 queries changed or added early in the round, then ALL
 28 entries whose latest green was r3 (the r6 verdict's
-rotation-debt list), then the 9 operators ADDED in r7 wave 2
+rotation-debt list), then the 12 operators ADDED in r7 wave 2
 (changed-first beats oldest-next) — see the inline comments at the
 list itself, which are the authoritative description. Positions
-51+ hold the rest in their prior order, starting with the 9
-oldest-r4 entries the wave-2 block displaced (they rotate in next
-round). Nothing about a query's semantics depends on its position.
+51+ hold the rest in their prior order, starting with the 3
+least-changed r7 entries and the 9 oldest-r4 entries the wave-2
+block displaced (they rotate in next round). Nothing about a
+query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -38,21 +39,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r7 prefix rotation: positions 1-13 are the queries CHANGED
-    #    or ADDED in r7 (new knn_graph_incremental; semdedup_kmeans's
-    #    derived cell count + Arrow assignment/pair kernels; the
-    #    derived-banding kNN graph family incl. its three consumers;
-    #    the 128-bit substring-dedup keys; keyvalue_export_ranged's
-    #    shared shard constant; the retrained quality_logit family) —
-    #    they need fresh evidence.
-    # -- 14-41: ALL 28 entries whose latest driver green was r3
+    # -- r7 prefix rotation: positions 1-10 are the queries CHANGED
+    #    or ADDED early in r7 (new knn_graph_incremental;
+    #    semdedup_kmeans's derived cell count + Arrow
+    #    assignment/pair kernels; the derived-banding kNN graph
+    #    family incl. its three consumers; the 128-bit
+    #    substring-dedup keys; the retrained quality_logit +
+    #    training op) — they need fresh evidence.
+    # -- 11-38: ALL 28 entries whose latest driver green was r3
     #    (VERDICT r6 'What's missing' #1 — the rotation debt list,
     #    verbatim), so no entry's evidence is older than 3 rounds.
-    # -- 42-50: the 9 operators ADDED in r7 wave 2 (changed-first
-    #    beats oldest-next, so they displace the 9 oldest-r4 entries
-    #    to positions 51+): domain-mixture optimization, the
-    #    incremental/eval/audit closures of the dedup+quality
-    #    families, and the corpus-composition report.
+    # -- 39-50: the 12 operators ADDED in r7 wave 2 (changed-first
+    #    beats oldest-next; they displace the 9 oldest-r4 entries
+    #    and the 3 least-changed r7 entries to positions 51+):
+    #    domain-mixture optimization, the incremental/eval/audit
+    #    closures of the dedup+quality families, the
+    #    corpus-composition report, chunk-granular retrieval, the
+    #    rule-ablation table, and streaming novelty scoring.
     ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
     ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
@@ -61,11 +64,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
     ("exact_substring_dedup", llm.exact_substring_dedup, llm.EXACT_SUBSTRING_DEDUP_SQL),
     ("substring_dedup_apply", llm.substring_dedup_apply, llm.SUBSTRING_DEDUP_APPLY_SQL),
-    ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit", llm.quality_logit, llm.QUALITY_LOGIT_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
-    ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
-    ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
     # -- the 28 r3-vintage entries --
     ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
     ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
@@ -105,9 +105,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("split_leakage_audit", llm.split_leakage_audit, llm.SPLIT_LEAKAGE_AUDIT_SQL),
     ("quality_logit_pr_curve", llm.quality_logit_pr_curve, llm.QUALITY_LOGIT_PR_CURVE_SQL),
     ("packing_efficiency", llm.packing_efficiency, llm.PACKING_EFFICIENCY_SQL),
+    ("quality_ablation_report", llm.quality_ablation_report, llm.QUALITY_ABLATION_REPORT_SQL),
+    ("chunk_bm25_search", llm.chunk_bm25_search, llm.CHUNK_BM25_SEARCH_SQL),
+    ("streaming_ngram_novelty", speed.streaming_ngram_novelty, llm.STREAMING_NGRAM_NOVELTY_SQL),
     # -- 51+: remaining entries, prior order (all r4+ evidence;
-    #    union r1-r6 = 171/171 green), starting with the 9
+    #    union r1-r6 = 171/171 green). First: the three
+    #    least-changed r7 entries demoted to make prefix room for
+    #    the 12 wave-2 additions (all three were r6 driver-green,
+    #    changed only by shared-constant interpolation or the
+    #    retrain's frozen weights, and re-verified 50/50 by this
+    #    round's local driver-mimic prefix sweep); then the 9
     #    oldest-r4 entries the wave-2 block displaced.
+    ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
+    ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
+    ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
     ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),

@@ -1050,3 +1050,101 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming novelty scoring on ingest (r7 w2) — the streaming
+    member of the novelty family (`ngram_novelty` is the batch
+    profile): the seeded copies arrive as file micro-batches and
+    each batch document is scored for how much NEW content it
+    brings vs the static master — the share of its distinct 3-token
+    shingles absent from the master's shingle set. The per-absorb
+    curation signal ("is this feed sending us anything new?") next
+    to `streaming_ingest_dedup`'s duplicate verdicts.
+
+    Like ingest dedup, every verdict depends only on (doc, master)
+    — never on other batch docs or batch arrival order — so the
+    union of per-batch results equals the batch-at-once computation
+    and the oracle checks the stream hash-exactly. Per-trigger cost
+    ∝ micro-batch: the master's distinct shingle-hash set is
+    computed once (the stored-state stand-in; 8-byte xxhash64 keys,
+    same hash≡string-equality contract as `dedup_ngram_jaccard`),
+    each batch adds one explode + one anti-join + one per-doc agg.
+
+    Returns (doc_id, n_shingles, n_novel, novelty) for the streamed
+    docs — `ngram_novelty`'s schema with master-only reference.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+    from ..operators.dedup import _shingle_table
+    from .llm import DUP_SEED_OFFSET, _corpus
+
+    for d in os.listdir(tempfile.gettempdir()):
+        p = os.path.join(tempfile.gettempdir(), d)
+        if (
+            d.startswith("ingest_novelty_")
+            and _time.time() - os.path.getmtime(p) > 3600
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+    src = _chunked_docs_dir(spark, sf_dir)
+    master = _corpus(spark, sf_dir).where(F.col("doc_id") < DUP_SEED_OFFSET)
+    master_sh = track_persisted(
+        _shingle_table(master, "doc_id", "text", 3)
+        .select("sh")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    master_sh.count()
+    sink = os.path.join(
+        tempfile.gettempdir(), f"ingest_novelty_{_uuid.uuid4().hex[:10]}"
+    )
+    spark.createDataFrame(
+        [], "doc_id long, n_shingles long, n_novel long, novelty double"
+    ).write.mode("overwrite").parquet(sink)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        ex = _shingle_table(batch_df, "doc_id", "text", 3)
+        per = (
+            ex.join(master_sh, "sh", "left_anti")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        )
+        sizes = ex.groupBy("id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        )
+        (
+            batch_df.select("doc_id")
+            .join(sizes.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .join(per.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+                F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) > 0,
+                    F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"),
+                ).alias("novelty"),
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(sink).localCheckpoint(eager=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return result

@@ -176,6 +176,12 @@ BNLJ_ALLOWED = {
                                  # scalars broadcast per EG round —
                                  # the pre-checkpoint round-step plan
                                  # exposed via AUDIT_PLAN_HOOKS
+    "quality_ablation_report",   # r7 w2: one-row doc-count total
+                                 # broadcast for the rate columns
+    "chunk_bm25_search",         # r7 w2: single-row (n_chunks,
+                                 # avgdl) corpus-stats broadcast
+                                 # (bm25_search's shape at chunk
+                                 # grain)
 }
 
 

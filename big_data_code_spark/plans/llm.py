@@ -7986,12 +7986,9 @@ pairs AS (
   WHERE len(list_filter(list_transform(range(1, 17),
           i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
         >= {MINHASH_LSH_THRESHOLD}),
-sp AS (
-  SELECT doc_id,
-         CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT)
-                   % 100 < {TRAIN_PCT}
-              THEN 'train' ELSE 'val' END AS split
-  FROM documents),
+-- the split map IS hash_split's oracle (one definition,
+-- ADVICE-r6 shared-constant rule)
+sp AS ({HASH_SPLIT_SQL.strip()}),
 tagged AS (
   SELECT least(pa.split, pb.split) AS split_a,
          greatest(pa.split, pb.split) AS split_b
@@ -8009,7 +8006,7 @@ FROM agg
 
 #: (n_bands, rows_per_band) grid for `minhash_band_sweep` — every
 #: factorization of the 16-perm OPH signature from "every component
-#: its own band" (最 permissive) to 2 bands of 8 (strictest).
+#: its own band" (most permissive) to 2 bands of 8 (strictest).
 BAND_SWEEP_CONFIGS: tuple[tuple[int, int], ...] = (
     (16, 1), (8, 2), (4, 4), (2, 8),
 )
@@ -8832,7 +8829,7 @@ zn{r} AS (SELECT list_sum(list(u ORDER BY dom)) AS zn FROM u{r}),
 w{r} AS MATERIALIZED (
   SELECT u.dom, u.h_mix, u.excess, round(u.u / zn.zn, 9) AS w
   FROM u{r} u CROSS JOIN zn{r} zn)""")
-        body = ",\n".join(rounds)
+    body = ",\n".join(rounds)
     selects = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS BIGINT) AS round, w.dom AS source,
        nd.n AS n_tokens, round(o.h_own, 9) AS h_own,

@@ -95,7 +95,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
     ("doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL),
-    # -- 9 oldest r4-evidence entries --
     ("doremi_mixture_weights", llm.doremi_mixture_weights, llm.DOREMI_MIXTURE_WEIGHTS_SQL),
     ("semdedup_incremental", llm.semdedup_incremental, llm.SEMDEDUP_INCREMENTAL_SQL),
     ("contrastive_pairs", llm.contrastive_pairs, llm.CONTRASTIVE_PAIRS_SQL),

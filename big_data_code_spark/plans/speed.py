@@ -566,6 +566,27 @@ def _chunked_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> st
     return out_dir
 
 
+
+def _prune_stale_sinks(prefix: str) -> None:
+    """Prune hour-old ephemeral foreachBatch sinks left by DEAD
+    processes (1 h leaves any live concurrent run untouched). The
+    getmtime is guarded: a concurrent run can legally rmtree a dir
+    between our listdir and the stat (TOCTOU — flagged r7 review).
+    """
+    import time as _time
+
+    for d in os.listdir(tempfile.gettempdir()):
+        if not d.startswith(prefix):
+            continue
+        p = os.path.join(tempfile.gettempdir(), d)
+        try:
+            stale = _time.time() - os.path.getmtime(p) > 3600
+        except FileNotFoundError:
+            continue
+        if stale:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-ingest dedup (r3): documents arrive as
     micro-batches (file stream, 1 file/trigger) and `foreachBatch`
@@ -593,17 +614,8 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the sink is ephemeral staging, deleted before this call
     # returns (the result is localCheckpoint-ed off it — see below),
-    # so no sink list is needed. Stale sinks from DEAD processes are
-    # pruned by age (1 h leaves any live concurrent run untouched).
-    import time as _time
-
-    for d in os.listdir(tempfile.gettempdir()):
-        p = os.path.join(tempfile.gettempdir(), d)
-        if (
-            d.startswith("ingest_dedup_")
-            and _time.time() - os.path.getmtime(p) > 3600
-        ):
-            shutil.rmtree(p, ignore_errors=True)
+    # so no sink list is needed.
+    _prune_stale_sinks("ingest_dedup_")
 
     src = _chunked_docs_dir(spark, sf_dir)
     master = _corpus(spark, sf_dir).where(F.col("doc_id") < 1_000_000)
@@ -1074,7 +1086,6 @@ def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, n_shingles, n_novel, novelty) for the streamed
     docs — `ngram_novelty`'s schema with master-only reference.
     """
-    import time as _time
     import uuid as _uuid
 
     from pyspark import StorageLevel
@@ -1083,13 +1094,7 @@ def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _shingle_table
     from .llm import DUP_SEED_OFFSET, _corpus
 
-    for d in os.listdir(tempfile.gettempdir()):
-        p = os.path.join(tempfile.gettempdir(), d)
-        if (
-            d.startswith("ingest_novelty_")
-            and _time.time() - os.path.getmtime(p) > 3600
-        ):
-            shutil.rmtree(p, ignore_errors=True)
+    _prune_stale_sinks("ingest_novelty_")
 
     src = _chunked_docs_dir(spark, sf_dir)
     master = _corpus(spark, sf_dir).where(F.col("doc_id") < DUP_SEED_OFFSET)

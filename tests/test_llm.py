@@ -2691,9 +2691,7 @@ def test_streaming_ngram_novelty_oracle_and_masters(spark):
     """Streamed union ≡ the batch computation (same contract as
     streaming_ingest_dedup), and seeded exact copies bring zero new
     shingles vs the master."""
-    from tests.conftest import assert_matches_oracle as amo
-
-    amo(spark, "streaming_ngram_novelty", SF_SMOKE)
+    assert_matches_oracle(spark, "streaming_ngram_novelty", SF_SMOKE)
     from big_data_code_spark.plans.llm import DUP_SEED_OFFSET
     from big_data_code_spark.plans.speed import streaming_ngram_novelty
 

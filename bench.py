@@ -236,6 +236,9 @@ BENCH_QUERIES = (
     "quality_ablation_report",
     "chunk_bm25_search",
     "streaming_ngram_novelty",
+    "top_event_transitions",
+    "trending_events_decay",
+    "abtest_value_ztest",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -8,12 +8,15 @@ declared identically in the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timebuckets import epoch_us
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
+from .llm import _dlit
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -1236,3 +1239,233 @@ FROM keyed
 
 
 ZORDER_LAYOUT_KEYS_SQL = _zorder_sql()
+
+
+# ------------------------------------------------- r7 wave 2: clickstream
+
+
+def top_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis (r7 w2) — the event-transition
+    matrix a web-analytics engine serves next to its funnels
+    (`funnel_conversion` asks "did A then B ever happen";
+    this asks "what do users actually do NEXT"): per user, events
+    ordered by (ts, event_id) — event_id makes the order total, so
+    both engines see identical sequences — each adjacent pair is a
+    transition; output per (prev_type, next_type): count, share of
+    all transitions, and rank.
+
+    100 TB shape: ONE window shuffle on user_id (the sequence is
+    per-user local — sessions co-locate), then one map-side-
+    combinable agg over a |types|² key space (≤25 rows here), one
+    constant-size rank window. Never user×user.
+
+    Returns (prev_type, next_type, n_transitions, share, rank).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    agg = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wr = Window.orderBy(F.desc("n_transitions"), "prev_type", "next_type")
+    wall = Window.partitionBy()
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions") / F.sum("n_transitions").over(wall)).alias(
+            "share"
+        ),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+TOP_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+agg AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+       n_transitions / sum(n_transitions) OVER () AS share,
+       CAST(row_number() OVER (
+         ORDER BY n_transitions DESC, prev_type, next_type) AS BIGINT) AS rank
+FROM agg
+"""
+
+
+#: Half-life for the trending decay score, in seconds (7 days).
+TRENDING_HALFLIFE_SECS = 604_800
+
+
+def trending_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending score per event type (r7 w2) — the
+    exponential-decay serving view (half-life 7 d) a "trending now"
+    widget reads: recent events count ~1, events one half-life old
+    count 0.5. The decayed-counter analog of the reference's hourly
+    rollups — recency weighting instead of bucket boundaries.
+
+    Float contract: the decay weight is exp(-Δs·λ) with Δs an EXACT
+    integer second difference from the corpus max timestamp
+    (epoch_us arithmetic, integer division) and λ a shared literal;
+    each weight is quantized onto the 1e-6 fixed-point grid and
+    summed as BIGINT — an ORDER-FREE exact sum under any
+    partitioning (the `pca_power_iteration` contract) — then divided
+    once. 100 TB shape: one map pass + one combinable agg over the
+    type vocabulary; the max-ts scalar broadcasts (allowlisted).
+
+    Returns (event_type, n_events, decay_score, rank).
+    """
+    from pyspark.sql.window import Window
+
+    lam = math.log(2.0) / TRENDING_HALFLIFE_SECS
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_us("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("max_us"))
+    weighted = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            f"CAST(round(exp(-(CAST((max_us - us) DIV 1000000 AS BIGINT)"
+            f" * {_dlit(lam)})) * 1e6) AS BIGINT)"
+        ).alias("w_fp"),
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("w_fp").cast("long").alias("score_fp"),
+    )
+    wr = Window.orderBy(F.desc("score_fp"), "event_type")
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.col("score_fp") / 1e6).alias("decay_score"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+def _trending_sql() -> str:
+    lam = math.log(2.0) / TRENDING_HALFLIFE_SECS
+    return f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+mx AS (SELECT max(us) AS max_us FROM ev),
+weighted AS (
+  SELECT event_type,
+         CAST(round(exp(-(CAST((max_us - us) // 1000000 AS BIGINT)
+                          * {_dlit(lam)})) * 1e6) AS BIGINT) AS w_fp
+  FROM ev CROSS JOIN mx),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(w_fp) AS BIGINT) AS score_fp
+  FROM weighted GROUP BY 1)
+SELECT event_type, n_events, score_fp / 1e6 AS decay_score,
+       CAST(row_number() OVER (
+         ORDER BY score_fp DESC, event_type) AS BIGINT) AS rank
+FROM agg
+"""
+
+
+TRENDING_EVENTS_DECAY_SQL = _trending_sql()
+
+
+#: Two-sided significance threshold for the A/B readout (z_0.975).
+ABTEST_Z_CRIT = 1.96
+
+
+def abtest_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test on purchase value (r7 w2) — the
+    experimentation readout an analytics engine serves: users split
+    into variants by user_id parity (the `hash_split` family's
+    deterministic assignment), the metric is the value of their
+    purchase events, and the large-sample z-statistic says whether
+    the variant means differ significantly. (A conversion-RATE test
+    degenerates on the harness corpus — every user purchases — so
+    the registered readout tests the value metric; the rate form is
+    the same plan with 0/1 values.)
+
+    Float contract: per-event value and value-squared are quantized
+    onto the 1e-6 fixed-point grid and summed as BIGINT — exact,
+    order-free under any partitioning (the `pca_power_iteration`
+    contract); means/variances/z are one fixed chain of double
+    arithmetic over those exact sums, identical text in both
+    engines. 100 TB shape: one filtered map pass + one 2-group
+    combinable agg; no joins, no windows.
+
+    Returns ONE row (n_a, mean_a, n_b, mean_b, z_score,
+    significant).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    fp = ev.select(
+        ((F.col("user_id") % 2) == 0).alias("is_a"),
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v_fp"),
+        F.expr("CAST(round(value * value * 1e6) AS BIGINT)").alias("vv_fp"),
+    )
+    counts = fp.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("v_fp"))).alias("sv_a"),
+        F.sum(F.when(F.col("is_a"), F.col("vv_fp"))).alias("svv_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("v_fp"))).alias("sv_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("vv_fp"))).alias("svv_b"),
+    )
+    mean = "(sv_{v} / 1e6 / n_{v})"
+    var = "(svv_{v} / 1e6 / n_{v} - " + mean + " * " + mean + ")"
+    m_a, m_b = mean.format(v="a"), mean.format(v="b")
+    var_a, var_b = var.format(v="a"), var.format(v="b")
+    z = (
+        f"({m_a} - {m_b}) / sqrt({var_a} / n_a + {var_b} / n_b)"
+    )
+    return counts.select(
+        "n_a",
+        F.expr(m_a).alias("mean_a"),
+        "n_b",
+        F.expr(m_b).alias("mean_b"),
+        F.expr(z).alias("z_score"),
+        F.expr(f"abs({z}) > {ABTEST_Z_CRIT}").alias("significant"),
+    )
+
+
+def _abtest_sql() -> str:
+    mean = "(sv_{v} / 1e6 / n_{v})"
+    var = "(svv_{v} / 1e6 / n_{v} - " + mean + " * " + mean + ")"
+    m_a, m_b = mean.format(v="a"), mean.format(v="b")
+    var_a, var_b = var.format(v="a"), var.format(v="b")
+    z = f"({m_a} - {m_b}) / sqrt({var_a} / n_a + {var_b} / n_b)"
+    return f"""
+WITH fp AS (
+  SELECT user_id % 2 = 0 AS is_a,
+         CAST(round(value * 1e6) AS BIGINT) AS v_fp,
+         CAST(round(value * value * 1e6) AS BIGINT) AS vv_fp
+  FROM events WHERE event_type = 'purchase'),
+counts AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN v_fp END) AS BIGINT) AS sv_a,
+         CAST(sum(CASE WHEN is_a THEN vv_fp END) AS BIGINT) AS svv_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN NOT is_a THEN v_fp END) AS BIGINT) AS sv_b,
+         CAST(sum(CASE WHEN NOT is_a THEN vv_fp END) AS BIGINT) AS svv_b
+  FROM fp)
+SELECT n_a, {m_a} AS mean_a, n_b, {m_b} AS mean_b,
+       {z} AS z_score,
+       abs({z}) > {ABTEST_Z_CRIT} AS significant
+FROM counts
+"""
+
+
+ABTEST_VALUE_ZTEST_SQL = _abtest_sql()

@@ -108,13 +108,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("chunk_bm25_search", llm.chunk_bm25_search, llm.CHUNK_BM25_SEARCH_SQL),
     ("streaming_ngram_novelty", speed.streaming_ngram_novelty, llm.STREAMING_NGRAM_NOVELTY_SQL),
     # -- 51+: remaining entries, prior order (all r4+ evidence;
-    #    union r1-r6 = 171/171 green). First: the three
-    #    least-changed r7 entries demoted to make prefix room for
-    #    the 12 wave-2 additions (all three were r6 driver-green,
-    #    changed only by shared-constant interpolation or the
-    #    retrain's frozen weights, and re-verified 50/50 by this
-    #    round's local driver-mimic prefix sweep); then the 9
+    #    union r1-r6 = 171/171 green). First: the three wave-2
+    #    clickstream ops added after the prefix filled (every
+    #    position 1-50 is a materially-changed or brand-new entry
+    #    with a stronger claim; these three carry this round's
+    #    local driver-mimic evidence and rotate into the prefix
+    #    next round); then the three least-changed r7 entries
+    #    demoted to make prefix room for the wave-2 block (all
+    #    r6 driver-green, changed only by shared-constant
+    #    interpolation or the retrain's frozen weights, re-verified
+    #    50/50 by this round's local prefix sweeps); then the 9
     #    oldest-r4 entries the wave-2 block displaced.
+    ("top_event_transitions", advanced.top_event_transitions, advanced.TOP_EVENT_TRANSITIONS_SQL),
+    ("trending_events_decay", advanced.trending_events_decay, advanced.TRENDING_EVENTS_DECAY_SQL),
+    ("abtest_value_ztest", advanced.abtest_value_ztest, advanced.ABTEST_VALUE_ZTEST_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

@@ -317,3 +317,72 @@ def test_dq_checks_clean_feed_passes(spark):
     assert len(rows) == 6
     assert all(r["passed"] for r in rows.values())
     assert rows["row_count"]["metric"] > 0
+
+
+# ------------------------------------------------- r7 wave 2: clickstream
+
+
+def test_top_event_transitions_oracle_and_shares(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "top_event_transitions", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import top_event_transitions
+
+    rows = sorted(
+        top_event_transitions(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    counts = [r["n_transitions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # transitions = events - users-with-events (each user's first
+    # event opens no transition)
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(counts) == ev.count() - n_users
+
+
+def test_trending_events_decay_oracle_and_bounds(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "trending_events_decay", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import trending_events_decay
+
+    rows = trending_events_decay(spark, SF_SMOKE).collect()
+    for r in rows:
+        # each event contributes (0, 1] -> score bounded by count
+        assert 0.0 < r["decay_score"] <= r["n_events"]
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_abtest_value_ztest_oracle_and_recompute(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "abtest_value_ztest", SF_SMOKE)
+    import math
+
+    from big_data_code_spark.plans.advanced import abtest_value_ztest
+    from big_data_code_spark.sources.tables import load_table
+
+    row = abtest_value_ztest(spark, SF_SMOKE).collect()[0]
+    ev = [
+        (r["user_id"], r["value"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase'")
+        .collect()
+    ]
+    a = [round(v * 1e6) for u, v in ev if u % 2 == 0]
+    b = [round(v * 1e6) for u, v in ev if u % 2 == 1]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert abs(row["mean_a"] - sum(a) / 1e6 / len(a)) < 1e-9
+    # independent z recompute on the same fixed-point grid
+    sa = [round((v) * (v) * 1e6) for u, v in ev if u % 2 == 0]
+    sb = [round((v) * (v) * 1e6) for u, v in ev if u % 2 == 1]
+    ma, mb = sum(a) / 1e6 / len(a), sum(b) / 1e6 / len(b)
+    va = sum(sa) / 1e6 / len(a) - ma * ma
+    vb = sum(sb) / 1e6 / len(b) - mb * mb
+    z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert abs(row["z_score"] - z) < 1e-9

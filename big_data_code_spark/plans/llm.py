@@ -8004,11 +8004,19 @@ FROM agg
 """
 
 
-#: (n_bands, rows_per_band) grid for `minhash_band_sweep` — every
-#: factorization of the 16-perm OPH signature from "every component
-#: its own band" (most permissive) to 2 bands of 8 (strictest).
+#: (n_bands, rows_per_band) grid for `minhash_band_sweep` — the
+#: factorizations of the 16-perm OPH signature with rows >= 2, from
+#: 8 bands of 2 (most permissive) to 2 bands of 8 (strictest). The
+#: rows = 1 factorization is deliberately EXCLUDED: a single-
+#: component band has detect_prob 1-(1-tau)^16 ~ 1.0 at tau = 0.5 —
+#: i.e. it is a near-all-pairs verifier, and its candidate set is
+#: ~quadratic by construction (the r7 sf10 probe measured the
+#: 4-config grid at 618s where the rows >= 2 grid is decade-linear;
+#: hot stop-shingle mins pile whole corpora into one bucket at
+#: r = 1). No production tuning sweep evaluates r = 1 above toy
+#: scale for exactly this reason.
 BAND_SWEEP_CONFIGS: tuple[tuple[int, int], ...] = (
-    (16, 1), (8, 2), (4, 4), (2, 8),
+    (8, 2), (4, 4), (2, 8),
 )
 
 

@@ -2525,17 +2525,23 @@ def test_minhash_band_sweep_oracle_and_tradeoff(spark):
     assert_matches_oracle(spark, "minhash_band_sweep", SF_SMOKE)
     from big_data_code_spark.plans.llm import minhash_band_sweep
 
+    from big_data_code_spark.plans.llm import BAND_SWEEP_CONFIGS
+
     rows = {
         (r["n_bands"], r["rows_per_band"]): r
         for r in minhash_band_sweep(spark, SF_SMOKE).collect()
     }
+    assert set(rows) == set(BAND_SWEEP_CONFIGS)
+    # rows = 1 is deliberately absent: detect_prob ~ 1 at tau makes
+    # it a near-all-pairs verifier (quadratic candidates at scale)
+    assert all(r >= 2 for _, r in rows)
     # theoretical S-curve: stricter bands (more rows) detect less at
     # the threshold similarity
-    probs = [rows[c]["detect_prob_at_tau"] for c in ((16, 1), (8, 2), (4, 4), (2, 8))]
+    probs = [rows[c]["detect_prob_at_tau"] for c in BAND_SWEEP_CONFIGS]
     assert probs == sorted(probs, reverse=True)
     # the permissive extreme generates at least as many candidates
     # as the strict extreme, and verification never exceeds candidates
-    assert rows[(16, 1)]["n_candidates"] >= rows[(2, 8)]["n_candidates"]
+    assert rows[(8, 2)]["n_candidates"] >= rows[(2, 8)]["n_candidates"]
     for r in rows.values():
         assert r["n_verified"] <= r["n_candidates"]
 

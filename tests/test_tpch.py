@@ -182,6 +182,8 @@ BNLJ_ALLOWED = {
                                  # avgdl) corpus-stats broadcast
                                  # (bm25_search's shape at chunk
                                  # grain)
+    "trending_events_decay",     # r7 w2: one-row max-ts scalar
+                                 # broadcast (the decay anchor)
 }
 
 

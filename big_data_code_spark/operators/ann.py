@@ -565,6 +565,36 @@ def ivf_ann_topk(
     )
 
 
+def lsh_base(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    arrow_sig: bool = False,
+) -> DataFrame:
+    """The (id, v, nrm, sig) signature frame both LSH pair operators
+    consume — exposed so callers running SEVERAL pair passes over
+    the same side (`knn_graph_incremental`: master self-join +
+    batch x master cross + batch self-join) compute and persist each
+    side's signatures ONCE (in production this IS the stored
+    signature table; r7 review — the inline build paid a full extra
+    Arrow signature pass per leg)."""
+    planes = hyperplanes(dim, n_planes)
+    dv = _as_double(F.col(vec_col))
+    sig_col = (
+        lsh_signature_arrow(planes)(F.col(vec_col))
+        if arrow_sig
+        else lsh_signature(F.col(vec_col), planes)
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        dv.alias("v"),
+        norm(dv).alias("nrm"),
+        sig_col.alias("sig"),
+    )
+
+
 def cosine_dup_pairs_lsh(
     vectors: DataFrame,
     threshold: float,
@@ -574,6 +604,8 @@ def cosine_dup_pairs_lsh(
     n_planes: int = 32,
     n_bands: int = 4,
     arrow_sig: bool = False,
+    base: DataFrame | None = None,
+    arrow_dot: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (cos ≥ threshold) via banded hyperplane LSH —
     the 100 TB plan: candidates come from an equi-join on
@@ -598,23 +630,14 @@ def cosine_dup_pairs_lsh(
     the same schema and, at near-dup thresholds, the same rows as
     the brute-force baseline.
     """
-    planes = hyperplanes(dim, n_planes)
     rows = n_planes // n_bands
-    dv = _as_double(F.col(vec_col))
     # arrow_sig: bit-identical Arrow-vectorized signature (see
     # `lsh_signature_arrow`) for plans where the interpreted HOF
-    # signature dominates (many planes × many vectors).
-    sig_col = (
-        lsh_signature_arrow(planes)(F.col(vec_col))
-        if arrow_sig
-        else lsh_signature(F.col(vec_col), planes)
-    )
-    base = vectors.select(
-        F.col(id_col).alias("id"),
-        dv.alias("v"),
-        norm(dv).alias("nrm"),
-        sig_col.alias("sig"),
-    )
+    # signature dominates (many planes × many vectors). ``base``:
+    # a precomputed `lsh_base` frame (same params) — the stored
+    # signature table, shared across pair passes.
+    if base is None:
+        base = lsh_base(vectors, id_col, vec_col, dim, n_planes, arrow_sig)
     slices = F.array(
         *[F.substring(F.col("sig"), b * rows + 1, rows) for b in range(n_bands)]
     )
@@ -645,7 +668,11 @@ def cosine_dup_pairs_lsh(
         ]
     )
     first_shared = cand.where(F.col("band") == F.array_position(band_eq, F.lit(True)) - 1)
-    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # arrow_dot: the bit-identical pair-grain Arrow fold (`dot_arrow`)
+    # for plans that keep EVERY candidate (threshold = -1, the kNN
+    # graph family) — the interpreted HOF costs ~30 us/pair there.
+    dot_fn = dot_arrow() if arrow_dot else dot
+    cos = dot_fn(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return first_shared.select(
         F.col("id_a").alias("vec_id_a"),
         F.col("id_b").alias("vec_id_b"),
@@ -663,6 +690,9 @@ def cosine_pairs_lsh_cross(
     n_planes: int = 32,
     n_bands: int = 4,
     arrow_sig: bool = False,
+    left_base: DataFrame | None = None,
+    right_base: DataFrame | None = None,
+    arrow_dot: bool = False,
 ) -> DataFrame:
     """`cosine_dup_pairs_lsh` between two DISJOINT vector sets — the
     incremental-maintenance shape: a new BATCH joins the (stored, in
@@ -676,21 +706,19 @@ def cosine_pairs_lsh_cross(
     Returns (vec_id_a, vec_id_b, cos) with vec_id_a from ``left``
     and vec_id_b from ``right`` (ids must be disjoint across sides).
     """
-    planes = hyperplanes(dim, n_planes)
     rows = n_planes // n_bands
 
-    def banded(df: DataFrame, suffix: str) -> DataFrame:
-        dv = _as_double(F.col(vec_col))
-        sig_col = (
-            lsh_signature_arrow(planes)(F.col(vec_col))
-            if arrow_sig
-            else lsh_signature(F.col(vec_col), planes)
+    def banded(df: DataFrame, pre: DataFrame | None, suffix: str) -> DataFrame:
+        base = (
+            lsh_base(df, id_col, vec_col, dim, n_planes, arrow_sig)
+            if pre is None
+            else pre
         )
-        base = df.select(
-            F.col(id_col).alias(f"id{suffix}"),
-            dv.alias(f"v{suffix}"),
-            norm(dv).alias(f"nrm{suffix}"),
-            sig_col.alias(f"sig{suffix}"),
+        base = base.select(
+            *[
+                F.col(c).alias(f"{c}{suffix}")
+                for c in ("id", "v", "nrm", "sig")
+            ]
         )
         slices = F.array(
             *[
@@ -703,7 +731,9 @@ def cosine_pairs_lsh_cross(
             F.posexplode(slices).alias("band", "slice"),
         )
 
-    cand = banded(left, "_a").join(banded(right, "_b"), ["band", "slice"])
+    cand = banded(left, left_base, "_a").join(
+        banded(right, right_base, "_b"), ["band", "slice"]
+    )
     band_eq = F.array(
         *[
             F.substring(F.col("sig_a"), b * rows + 1, rows)
@@ -714,7 +744,11 @@ def cosine_pairs_lsh_cross(
     first_shared = cand.where(
         F.col("band") == F.array_position(band_eq, F.lit(True)) - 1
     )
-    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # arrow_dot: the bit-identical pair-grain Arrow fold (`dot_arrow`)
+    # for plans that keep EVERY candidate (threshold = -1, the kNN
+    # graph family) — the interpreted HOF costs ~30 us/pair there.
+    dot_fn = dot_arrow() if arrow_dot else dot
+    cos = dot_fn(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return first_shared.select(
         F.col("id_a").alias("vec_id_a"),
         F.col("id_b").alias("vec_id_b"),

@@ -3863,11 +3863,17 @@ def exact_substring_dedup(
         # windows), each silently fabricating a shared-window pair;
         # the second 8-byte column costs ~half the md5-string volume
         # saved by r6 while pushing the collision expectation back
-        # below 1e-14 (ADVICE r6).
+        # below 1e-14 (ADVICE r6). The SALT COLUMN COMES FIRST:
+        # xxhash64 folds left-to-right with the running hash as the
+        # next column's seed, so xxhash64(w, 1) is a pure function
+        # of xxhash64(w) (an h-collision is automatically an
+        # h2-collision — verified bit-exactly on Spark 4.1.2);
+        # xxhash64(1, w) hashes the window under a genuinely
+        # different effective seed (r7 review fix).
         .select(
             "doc_id",
             F.xxhash64("w").alias("h"),
-            F.xxhash64("w", F.lit(1)).alias("h2"),
+            F.xxhash64(F.lit(1), "w").alias("h2"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -4009,9 +4015,11 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             # seed-distinct hashes = a 128-bit composite, md5-strength
             # (one 64-bit key expects thousands of collisions at
             # ~1e11-1e12 windows, each silently removing a
-            # non-duplicate span; ADVICE r6).
+            # non-duplicate span; ADVICE r6). Salt FIRST — see
+            # exact_substring_dedup: xxhash64(w, 1) would be a pure
+            # function of xxhash64(w), adding no independence.
             F.xxhash64("w").alias("h"),
-            F.xxhash64("w", F.lit(1)).alias("h2"),
+            F.xxhash64(F.lit(1), "w").alias("h2"),
         )
     )
     firsts = win.groupBy("h", "h2").agg(F.min(F.struct("doc_id", "i")).alias("f"))
@@ -4311,6 +4319,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_planes=KNN_BANDS * rows,
             n_bands=KNN_BANDS,
             arrow_sig=True,
+            arrow_dot=True,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     # materialize before fan-out (cold-cache branch races)
@@ -4426,12 +4435,31 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(F.col("vec_id") % KNN_INC_BATCH_MOD == 0)
     master = emb.where(F.col("vec_id") % KNN_INC_BATCH_MOD != 0)
 
+    # each side's signature table is computed ONCE and shared by all
+    # three pair legs below (master self-join, batch x master cross,
+    # batch self-join) — in production these ARE the stored
+    # signature tables; the r7 review measured the inline builds
+    # paying a full extra Arrow signature pass per leg.
+    base_master = track_persisted(
+        ann.lsh_base(master, n_planes=n_planes, arrow_sig=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    base_batch = track_persisted(
+        ann.lsh_base(batch, n_planes=n_planes, arrow_sig=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    base_master.count()
+    base_batch.count()
+
     # stored state stand-in: the master's own top-K graph (one
     # banded self-join; in production this is a table read)
     master_pairs = track_persisted(
         ann.cosine_dup_pairs_lsh(
             master, threshold=-1.0, n_planes=n_planes,
-            n_bands=KNN_BANDS, arrow_sig=True,
+            n_bands=KNN_BANDS, arrow_sig=True, base=base_master,
+            arrow_dot=True,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     master_pairs.count()
@@ -4454,11 +4482,12 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.cosine_pairs_lsh_cross(
             batch, master, threshold=-1.0, n_planes=n_planes,
             n_bands=KNN_BANDS, arrow_sig=True,
+            left_base=base_batch, right_base=base_master, arrow_dot=True,
         )
         .unionByName(
             ann.cosine_dup_pairs_lsh(
                 batch, threshold=-1.0, n_planes=n_planes,
-                n_bands=KNN_BANDS, arrow_sig=True,
+                n_bands=KNN_BANDS, arrow_sig=True, base=base_batch, arrow_dot=True,
             )
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4862,7 +4891,25 @@ def _qlt_labeled_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast stat rows — the `quality_logit_train` scalar
     broadcast shape, allowlisted in the plan audit. The oracle
     restates both passes with the identical expression text."""
-    labeled = _qlt_labeled(spark, sf_dir)
+    consts, z4, consts2 = _qlt_std_frames(_qlt_labeled(spark, sf_dir))
+    return z4.crossJoin(F.broadcast(consts2)).select(
+        "doc_id",
+        "y",
+        "zs",
+        "zp",
+        "zm",
+        "zt",
+        F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+    )
+
+
+def _qlt_std_frames(labeled: DataFrame):
+    """(consts, z4, consts2) — the two fixed-point stat passes and
+    the standardized frame. ONE definition consumed by BOTH the
+    training path (`_qlt_labeled_std`) and the freeze/linkage helper
+    (`_qlt_std_consts`), so the frozen serving constants can never
+    diverge from what training standardizes with (r7 review — the
+    helper previously re-implemented this derivation verbatim)."""
     stats1 = labeled.agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -4900,15 +4947,7 @@ def _qlt_labeled_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts2 = stats2.select(
         "*", F.expr(_qlt_mu_sql("u")).alias("mu_u")
     ).select("*", F.expr(_qlt_sd_sql("u")).alias("sd_u"))
-    return z4.crossJoin(F.broadcast(consts2)).select(
-        "doc_id",
-        "y",
-        "zs",
-        "zp",
-        "zm",
-        "zt",
-        F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
-    )
+    return consts, z4, consts2
 
 
 def _qlt_std_consts(spark: SparkSession, sf_dir: str) -> dict[str, tuple[float, float]]:
@@ -4917,51 +4956,12 @@ def _qlt_std_consts(spark: SparkSession, sf_dir: str) -> dict[str, tuple[float, 
     `QL_STD` (used by tests to prove the frozen serving constants
     ARE the in-plan derivation's output; never in a registered
     plan's hot path)."""
-    labeled = _qlt_labeled(spark, sf_dir)
-    stats1 = labeled.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.expr(f"CAST(round({col} * 1e6) AS BIGINT)")).alias(f"ss_{t}")
-            for t, col in _QLT_RAW
-        ],
-        *[
-            F.sum(
-                F.expr(f"CAST(round({col} * {col} * 1e6) AS BIGINT)")
-            ).alias(f"qq_{t}")
-            for t, col in _QLT_RAW
-        ],
-    )
-    row = (
-        stats1.select(
-            "*", *[F.expr(_qlt_mu_sql(t)).alias(f"mu_{t}") for t, _ in _QLT_RAW]
-        )
-        .select(
-            "*", *[F.expr(_qlt_sd_sql(t)).alias(f"sd_{t}") for t, _ in _QLT_RAW]
-        )
-        .collect()[0]
-    )
+    consts, _z4, consts2 = _qlt_std_frames(_qlt_labeled(spark, sf_dir))
+    row = consts.collect()[0]
     name_of = {"s": "stop", "p": "punct", "m": "mtl", "t": "sat"}
     out = {name_of[t]: (row[f"mu_{t}"], row[f"sd_{t}"]) for t, _ in _QLT_RAW}
-    mu_t, sd_t = out["sat"]
-    z2 = (
-        _qlt_labeled(spark, sf_dir)
-        .select(
-            F.expr(
-                f"(sat - {_dlit(mu_t)}) / {_dlit(sd_t)}"
-            ).alias("zt")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr("CAST(round(zt * zt * 1e6) AS BIGINT)")).alias("ss_u"),
-            F.sum(
-                F.expr("CAST(round(zt * zt * zt * zt * 1e6) AS BIGINT)")
-            ).alias("qq_u"),
-        )
-        .select("*", F.expr(_qlt_mu_sql("u")).alias("mu_u"))
-        .select("*", F.expr(_qlt_sd_sql("u")).alias("sd_u"))
-        .collect()[0]
-    )
-    out["sat2"] = (z2["mu_u"], z2["sd_u"])
+    row2 = consts2.collect()[0]
+    out["sat2"] = (row2["mu_u"], row2["sd_u"])
     return out
 
 
@@ -8244,6 +8244,18 @@ FROM corpus c LEFT JOIN per p ON c.doc_id = p.doc_id
 """
 
 
+#: Ceiling on `topic_cluster_mix`'s derived cell count: a
+#: composition REPORT has a bounded topic vocabulary (unlike
+#: SemDeDup's dedup cells, which must stay small so within-cell
+#: pair work is linear), so past TOPIC_MAX_CELLS x target docs the
+#: derivation saturates — this also bounds the broadcast-argmin
+#: assignment at n x 256 x dim (LINEAR in corpus size) where the
+#: uncapped n/64 derivation made assignment n^2 x dim/64: the r7
+#: sf10 probe measured the uncapped report at 19.6x per decade
+#: (27s min at 200k vectors), the one super-linear row among the
+#: wave-2 operators after the band-sweep re-contract.
+TOPIC_MAX_CELLS = 256
+
 #: (embeddings fingerprint) → (derived n_cells, centroids) for the
 #: RAW embeddings table (no dup seeding) — `topic_cluster_mix`'s
 #: index, cached under the same invalidation rule as
@@ -8256,7 +8268,12 @@ def topic_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what is in my corpus" table (WIMBD-style audit; the cluster
     axis of SemDeDup/DSIR curation): k-means the RAW embeddings into
     corpus-derived cells (same deterministic md5-init Lloyd trainer
-    and n = count/target derivation as `semdedup_kmeans`), join each
+    and count/target derivation as `semdedup_kmeans`, SATURATING at
+    TOPIC_MAX_CELLS — a report's topic vocabulary is bounded, and
+    the cap keeps the broadcast-argmin assignment LINEAR in corpus
+    size where the uncapped derivation measured 19.6x per decade at
+    the r7 sf10 probe — the flat-assignment n·k·dim term with
+    nothing else to hide behind), join each
     vector to its document, and report per (cell, source) document
     counts, the cell's total, and the source's share within the
     cell vs its share of the whole corpus — the lift table that
@@ -8282,7 +8299,10 @@ def topic_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         n_cells, centroids = cached
     else:
-        n_cells = max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CELL))
+        n_cells = min(
+            TOPIC_MAX_CELLS,
+            max(1, math.ceil(emb.count() / SEMDEDUP_TARGET_CELL)),
+        )
         centroids = ann.ivf_train(emb, n_cells=n_cells)
         _TOPIC_INDEX_CACHE[key] = (n_cells, centroids)
     asg = ann.ivf_assign(emb, centroids, "vec_id", "embedding").select(
@@ -8312,9 +8332,14 @@ def topic_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPIC_K_SQL = (
+    f"least({TOPIC_MAX_CELLS}, greatest(1,"
+    f" CAST(ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0) AS INT)))"
+)
+
 TOPIC_CLUSTER_MIX_SQL = f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-{_kmeans_cells_cte()},
+{_kmeans_cells_cte(_TOPIC_K_SQL)},
 tagged AS (
   SELECT cells.cell, d.source
   FROM cells JOIN documents d ON cells.c_id = d.doc_id),

@@ -239,6 +239,16 @@ BENCH_QUERIES = (
     "top_event_transitions",
     "trending_events_decay",
     "abtest_value_ztest",
+    # r7 wave 3:
+    "sessionize_events",
+    "session_paths_topk",
+    "market_basket_lift",
+    "rfm_segments",
+    "value_mad_outliers",
+    "mmr_select",
+    "kcenter_select",
+    "term_pmi_pairs",
+    "knn_label_agreement",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -1469,3 +1469,541 @@ FROM counts
 
 
 ABTEST_VALUE_ZTEST_SQL = _abtest_sql()
+
+
+# ---------------------------------------------------------- r7 wave 3
+
+
+#: Session inactivity gap, microseconds (30 minutes) — the industry
+#: default the reference's pageview analytics imply but never
+#: materialize as an operator (BatchWorkflow.java builds hour
+#: buckets; a session is the gap-delimited refinement).
+SESSION_GAP_US = 1_800 * 1_000_000
+
+
+def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level frame with a per-user session index: a session
+    breaks after SESSION_GAP_US of inactivity. Order is total —
+    (ts, event_id) — so both engines see identical sequences.
+
+    100 TB shape: ONE shuffle on user_id serves both windows (lag
+    and the running sum share the partitioning and sort), then
+    everything is per-user local. Heavy users are bounded by their
+    own event volume, never user×user.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id", F.sum("new_s").over(w).cast("long")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (r7 w3) — the gap-based session roll-up
+    `streaming_sessions` maintains incrementally, as a batch view
+    over the master dataset (lambda-architecture symmetry: batch
+    recomputes what the speed layer approximates). Per session:
+    event count, start/end, duration.
+
+    Exactness: boundaries are integer epoch-microsecond arithmetic
+    (`epoch_us`, the NTZ contract); duration is BIGINT integer
+    division — no float anywhere.
+
+    Returns (user_id, session_id, n_events, session_start,
+    session_end, duration_s).
+    """
+    sess = _sessionized_events(spark, sf_dir)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            F.expr("(max_us - min_us) DIV 1000000").alias("duration_s"),
+        )
+    )
+
+
+_SESSIONIZED_CTE = f"""
+e AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, event_type, us,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
+  FROM flagged)
+"""
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+WITH {_SESSIONIZED_CTE}
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (max(us) - min(us)) // 1000000 AS duration_s
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+#: How many top paths the path report keeps.
+SESSION_PATHS_TOPK = 20
+
+
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths (r7 w3): the first three event types
+    of every session, joined '>' (shorter sessions keep their
+    shorter prefix — concat_ws skips NULLs identically in both
+    engines), counted and ranked. The "how do visits start" report
+    that sits next to `funnel_conversion` (did the ordered steps
+    ever happen) and `top_event_transitions` (memoryless next-step
+    matrix): this one keeps short ordered prefixes.
+
+    100 TB shape: the sessionization shuffle, then a per-session
+    map-side-combinable first-3 agg (min over rn-tagged values — no
+    collect_list, no per-session arrays), then an agg over a small
+    path vocabulary (≤5³ prefixes here) and a constant-size rank
+    window on the TOPK rows.
+
+    Returns (path, n_sessions, rank).
+    """
+    from pyspark.sql.window import Window
+
+    sess = _sessionized_events(spark, sf_dir)
+    wrn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = sess.withColumn("rn", F.row_number().over(wrn)).where(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.min(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.min(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        agg.select(
+            "path",
+            "n_sessions",
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= SESSION_PATHS_TOPK)
+    )
+
+
+SESSION_PATHS_TOPK_SQL = f"""
+WITH {_SESSIONIZED_CTE},
+first3 AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_id
+           ORDER BY ts, event_id) AS rn
+  FROM sess
+  QUALIFY rn <= 3),
+paths AS (
+  SELECT user_id, session_id,
+         concat_ws('>',
+           min(CASE WHEN rn = 1 THEN event_type END),
+           min(CASE WHEN rn = 2 THEN event_type END),
+           min(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM first3
+  GROUP BY 1, 2),
+agg AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY 1)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (
+         ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+FROM agg
+QUALIFY rank <= {SESSION_PATHS_TOPK}
+"""
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (r7 w3): within-order brand
+    co-occurrence with support and lift — the classic retail
+    analysis over the TPC-H fact tables (which brands sell
+    together, and is the pairing more common than independence
+    predicts?).
+
+    100 TB shape: lineitem⋈part is a plain equi-join (Catalyst
+    broadcasts part when it fits, shuffles otherwise); the
+    per-order distinct brand set has bounded fan-out (≤7 lineitems
+    per order at every TPC-H SF), so the orderkey self-join emits
+    ≤21 pairs per order — pair generation is corpus-LINEAR, never
+    basket×basket; pair/brand counts are map-side combinable over a
+    fixed ≤|brands|² key space; the one-row order-count broadcast
+    is the allowlisted scalar shape. Lift is computed in doubles as
+    ((n_pair·N)/cnt_a)/cnt_b — no BIGINT·BIGINT overflow at any SF.
+
+    Returns (brand_a, brand_b, n_pair, support, lift, rank).
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    brand_cnt = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(brand_cnt.withColumnRenamed("cnt", "cnt_a")),
+            F.col("brand_a") == F.col("brand"),
+        )
+        .drop("brand")
+        .join(
+            F.broadcast(brand_cnt.withColumnRenamed("cnt", "cnt_b")),
+            F.col("brand_b") == F.col("brand"),
+        )
+        .drop("brand")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    wr = Window.orderBy(F.desc("n_pair"), "brand_a", "brand_b")
+    return joined.select(
+        "brand_a",
+        "brand_b",
+        "n_pair",
+        (F.col("n_pair") / F.col("n_orders")).alias("support"),
+        (
+            F.col("n_pair").cast("double")
+            * F.col("n_orders")
+            / F.col("cnt_a")
+            / F.col("cnt_b")
+        ).alias("lift"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+MARKET_BASKET_LIFT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+brand_cnt AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2)
+SELECT p.brand_a, p.brand_b, p.n_pair,
+       p.n_pair / n.n_orders AS support,
+       CAST(p.n_pair AS DOUBLE) * n.n_orders / ca.cnt / cb.cnt AS lift,
+       CAST(row_number() OVER (
+         ORDER BY p.n_pair DESC, p.brand_a, p.brand_b) AS BIGINT) AS rank
+FROM pairs p
+JOIN brand_cnt ca ON p.brand_a = ca.brand
+JOIN brand_cnt cb ON p.brand_b = cb.brand
+CROSS JOIN n
+"""
+
+
+#: Microseconds per day — integer recency arithmetic, no date casts.
+_US_PER_DAY = 86_400_000_000
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r7 w3): per customer, recency
+    (days since last order, measured from the corpus max order
+    date), frequency (order count) and monetary (lifetime spend on
+    the exact 1e-6 fixed-point grid); each metric is scored 1–4
+    against its own exact quartiles, and the (r,f,m) cells are
+    rolled up into the marketing segments a CRM serves.
+
+    Quartiles come from the driver-proven `percentile ≡
+    quantile_cont` contract (`value_percentiles`), rounded to the
+    1e-6 grid before any comparison; every compared value is an
+    integer (days, counts, fixed-point spend), so score assignment
+    is a deterministic integer-vs-bit-identical-double comparison.
+    NO global NTILE window: scores come from comparisons against a
+    broadcast 1-row threshold frame — the single-partition sort an
+    ntile(4) would force is exactly what dies at 100 TB. Exact
+    percentiles buffer per-group values; at production scale the
+    thresholds swap to `approx_percentile` (the
+    `value_percentiles_approx` tolerance contract) with the same
+    downstream plan.
+
+    Returns (r_score, f_score, m_score, segment, n_customers,
+    avg_monetary).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        epoch_us("o_orderdate").alias("d_us"),
+        F.expr("CAST(round(o_totalprice * 1e6) AS BIGINT)").alias("p_fp"),
+    )
+    maxd = o.agg(F.max("d_us").alias("max_us"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d_us").alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("p_fp").alias("m_fp"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.expr(f"(max_us - last_us) DIV {_US_PER_DAY}").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "m_fp",
+        )
+    )
+    thr = per_cust.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{tag}{int(q * 100)}")
+            for tag, c in (
+                ("r", "recency_days"),
+                ("f", "frequency"),
+                ("m", "m_fp"),
+            )
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = per_cust.crossJoin(F.broadcast(thr)).select(
+        "m_fp",
+        (
+            1
+            + (F.col("recency_days") <= F.col("r75")).cast("int")
+            + (F.col("recency_days") <= F.col("r50")).cast("int")
+            + (F.col("recency_days") <= F.col("r25")).cast("int")
+        )
+        .cast("long")
+        .alias("r_score"),
+        (
+            1
+            + (F.col("frequency") > F.col("f25")).cast("int")
+            + (F.col("frequency") > F.col("f50")).cast("int")
+            + (F.col("frequency") > F.col("f75")).cast("int")
+        )
+        .cast("long")
+        .alias("f_score"),
+        (
+            1
+            + (F.col("m_fp") > F.col("m25")).cast("int")
+            + (F.col("m_fp") > F.col("m50")).cast("int")
+            + (F.col("m_fp") > F.col("m75")).cast("int")
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+    seg = F.expr(
+        "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion' "
+        "WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal' "
+        "WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk' "
+        "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' "
+        "ELSE 'other' END"
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_fp").alias("sum_fp"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            seg.alias("segment"),
+            "n_customers",
+            (
+                F.col("sum_fp").cast("double") / F.col("n_customers") / F.lit(1e6)
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS d_us,
+         CAST(round(o_totalprice * 1e6) AS BIGINT) AS p_fp
+  FROM orders),
+maxd AS (SELECT max(d_us) AS max_us FROM o),
+per_cust AS (
+  SELECT o_custkey,
+         (max_us - max(d_us)) // {_US_PER_DAY} AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(p_fp) AS BIGINT) AS m_fp
+  FROM o CROSS JOIN maxd
+  GROUP BY o_custkey, max_us),
+thr AS (
+  SELECT round(quantile_cont(recency_days, 0.25), 6) AS r25,
+         round(quantile_cont(recency_days, 0.50), 6) AS r50,
+         round(quantile_cont(recency_days, 0.75), 6) AS r75,
+         round(quantile_cont(frequency, 0.25), 6) AS f25,
+         round(quantile_cont(frequency, 0.50), 6) AS f50,
+         round(quantile_cont(frequency, 0.75), 6) AS f75,
+         round(quantile_cont(m_fp, 0.25), 6) AS m25,
+         round(quantile_cont(m_fp, 0.50), 6) AS m50,
+         round(quantile_cont(m_fp, 0.75), 6) AS m75
+  FROM per_cust),
+scored AS (
+  SELECT m_fp,
+         CAST(1 + CASE WHEN recency_days <= r75 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days <= r50 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days <= r25 THEN 1 ELSE 0 END
+              AS BIGINT) AS r_score,
+         CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > f75 THEN 1 ELSE 0 END
+              AS BIGINT) AS f_score,
+         CAST(1 + CASE WHEN m_fp > m25 THEN 1 ELSE 0 END
+                + CASE WHEN m_fp > m50 THEN 1 ELSE 0 END
+                + CASE WHEN m_fp > m75 THEN 1 ELSE 0 END
+              AS BIGINT) AS m_score
+  FROM per_cust CROSS JOIN thr)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'other' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(m_fp) AS DOUBLE) / count(*) / 1e6 AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+#: 3 × 1.4826 — the normal-consistency MAD multiplier at the usual
+#: 3σ cut, shared verbatim by the Spark plan and the oracle.
+MAD_OUTLIER_K = 4.4478
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event type (r7 w3): median/MAD
+    take the role mean/stddev play in `hourly_anomalies` — a single
+    wild value moves a mean but not a median, so this is the
+    screen that still works when the contamination IS what you're
+    hunting. Flags |v − median| > 3·1.4826·MAD (the normal-
+    consistent 3σ equivalent).
+
+    Two exact-median passes (the `percentile ≡ quantile_cont`
+    contract, 1e-6-rounded before any comparison), each a per-type
+    aggregation; the 5-row median/MAD frames broadcast back onto
+    the scan, and the flag comparison is a deterministic IEEE chain
+    over bit-identical inputs. At production scale the medians swap
+    to `approx_percentile` under the `value_percentiles_approx`
+    tolerance contract — the downstream plan is unchanged.
+
+    Returns (event_type, med, mad, n_events, n_outliers,
+    outlier_share).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                (F.col("adev") > F.lit(MAD_OUTLIER_K) * F.col("mad")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n_events",
+            "n_outliers",
+            (F.col("n_outliers") / F.col("n_events")).alias("outlier_share"),
+        )
+    )
+
+
+VALUE_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1),
+agg AS (
+  SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN d.adev > {MAD_OUTLIER_K} * m.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (event_type)
+  GROUP BY 1)
+SELECT event_type, med, mad, n_events, n_outliers,
+       n_outliers / n_events AS outlier_share
+FROM agg
+"""

@@ -9162,3 +9162,484 @@ SELECT c.doc_id,
 FROM (SELECT doc_id FROM corpus WHERE doc_id >= {DUP_SEED_OFFSET}) c
 LEFT JOIN per p ON c.doc_id = p.doc_id
 """
+
+
+# ----------------------------------------------- r7 w3: diverse selection
+
+#: Selection budget for the greedy diverse-selection operators.
+SELECT_K = 8
+#: MMR relevance/diversity trade-off (λ).
+MMR_LAMBDA = 0.7
+#: The query / seed vector: the corpus anchors selection on vec 0;
+#: candidates are everything else.
+SELECT_QUERY_ID = 0
+
+
+def _sel_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(candidates, anchor): candidate vectors and the 1-row anchor
+    frame (vec_id = SELECT_QUERY_ID), both as DOUBLE[]."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cand = emb.where(F.col("vec_id") > SELECT_QUERY_ID)
+    anchor = emb.where(F.col("vec_id") == SELECT_QUERY_ID).select(
+        F.col("vec").alias("a_vec")
+    )
+    return cand, anchor
+
+
+def _sel_argmax(state: DataFrame, score_col: str) -> DataFrame:
+    """1-row argmax (score DESC, vec_id ASC) carrying the picked
+    vector — struct-max, so the reduction is map-side combinable
+    and never sorts the corpus."""
+    return state.agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("vec").alias("v"),
+            )
+        ).alias("m")
+    ).select(
+        F.col("m.s").alias("p_score"),
+        (-F.col("m.nid")).cast("long").alias("p_id"),
+        F.col("m.v").alias("p_vec"),
+    )
+
+
+def _mmr_state0(cand: DataFrame, anchor: DataFrame) -> DataFrame:
+    return cand.crossJoin(F.broadcast(anchor)).select(
+        "vec_id",
+        "vec",
+        ann.cosine(F.col("vec"), F.col("a_vec")).alias("rel"),
+        F.lit(0.0).alias("maxsim"),
+    )
+
+
+def _mmr_score(state: DataFrame) -> DataFrame:
+    return state.withColumn(
+        "score",
+        F.lit(MMR_LAMBDA) * F.col("rel")
+        - F.lit(round(1 - MMR_LAMBDA, 12)) * F.col("maxsim"),
+    )
+
+
+def _mmr_update(state: DataFrame, pick: DataFrame) -> DataFrame:
+    return (
+        state.crossJoin(F.broadcast(pick))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "vec_id",
+            "vec",
+            "rel",
+            F.greatest(
+                F.col("maxsim"), ann.cosine(F.col("vec"), F.col("p_vec"))
+            ).alias("maxsim"),
+        )
+    )
+
+
+def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (r7 w3) — the diverse
+    top-k a retrieval-augmented pipeline wants where `ann_cosine_topk`
+    returns near-duplicates of each other: greedily pick the vector
+    maximizing λ·sim(anchor) − (1−λ)·max-sim-to-already-picked
+    (Carbonell-Goldstein MMR), k = SELECT_K rounds, anchored on
+    vec SELECT_QUERY_ID.
+
+    100 TB shape: the classic distributed greedy — per round ONE
+    shuffle-free map over the candidates (update `maxsim` against
+    the broadcast 1-row pick) and ONE map-side-combinable struct-max
+    argmax; state is per-candidate (rel, maxsim), materialized per
+    round (localCheckpoint here; persist on a cluster), total cost
+    k·n·dim with NO candidate×candidate pass and no global sort.
+
+    Float contract: cosine is the `ann.dot` sequential fold ≡
+    `list_dot_product` (bit-identical), so scores, greatest() and
+    the argmax ordering are deterministic IEEE chains over
+    bit-identical inputs; ties break by vec_id.
+
+    Returns (round, vec_id, score) — the pick per round.
+    """
+    cand, anchor = _sel_base(spark, sf_dir)
+    state = _mmr_state0(cand, anchor).localCheckpoint(eager=True)
+    out = []
+    for rnd in range(1, SELECT_K + 1):
+        pick = _sel_argmax(_mmr_score(state), "score").localCheckpoint(
+            eager=True
+        )
+        out.append(
+            pick.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("p_id").alias("vec_id"),
+                F.col("p_score").alias("score"),
+            )
+        )
+        if rnd < SELECT_K:
+            state = _mmr_update(state, pick).localCheckpoint(eager=True)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res
+
+
+def mmr_select_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook: the registered frame is a union of checkpointed
+    1-row picks; this returns the UNEXECUTED round-1 argmax and
+    state-update plans (every later round is plan-identical over a
+    fresh 1-row pick)."""
+    cand, anchor = _sel_base(spark, sf_dir)
+    state = _mmr_state0(cand, anchor)
+    pick = _sel_argmax(_mmr_score(state), "score")
+    return [pick, _mmr_update(state, pick)]
+
+
+def _kc_state0(cand: DataFrame, anchor: DataFrame) -> DataFrame:
+    return cand.crossJoin(F.broadcast(anchor)).select(
+        "vec_id",
+        "vec",
+        (F.lit(1.0) - ann.cosine(F.col("vec"), F.col("a_vec"))).alias("dmin"),
+    )
+
+
+def _kc_update(state: DataFrame, pick: DataFrame) -> DataFrame:
+    return (
+        state.crossJoin(F.broadcast(pick))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "vec_id",
+            "vec",
+            F.least(
+                F.col("dmin"),
+                F.lit(1.0) - ann.cosine(F.col("vec"), F.col("p_vec")),
+            ).alias("dmin"),
+        )
+    )
+
+
+def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset seeding (r7 w3) — farthest-point
+    traversal in cosine distance (Gonzalez 2-approximation; the
+    kmeans++-style seed pass `semdedup_kmeans`'s md5 centroids
+    stand in for, and the coreset selector a data-curation pipeline
+    uses to cover embedding space): start from the anchor vec,
+    repeatedly pick the candidate FARTHEST from every center chosen
+    so far.
+
+    Same distributed-greedy shape as `mmr_select` (one map + one
+    struct-max per round over an incrementally-maintained per-
+    candidate `dmin`, k·n·dim total), same bit-identical cosine
+    contract. The emitted `dist_to_centers` is each pick's distance
+    to its nearest prior center — non-increasing by construction
+    (asserted in tests; it is the classic k-center radius curve).
+
+    Returns (round, vec_id, dist_to_centers).
+    """
+    cand, anchor = _sel_base(spark, sf_dir)
+    state = _kc_state0(cand, anchor).localCheckpoint(eager=True)
+    out = []
+    for rnd in range(1, SELECT_K + 1):
+        pick = _sel_argmax(state, "dmin").localCheckpoint(eager=True)
+        out.append(
+            pick.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("p_id").alias("vec_id"),
+                F.col("p_score").alias("dist_to_centers"),
+            )
+        )
+        if rnd < SELECT_K:
+            state = _kc_update(state, pick).localCheckpoint(eager=True)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res
+
+
+def kcenter_select_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook: unexecuted round-1 argmax + dmin-update plans."""
+    cand, anchor = _sel_base(spark, sf_dir)
+    state = _kc_state0(cand, anchor)
+    pick = _sel_argmax(state, "dmin")
+    return [pick, _kc_update(state, pick)]
+
+
+def _sel_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _mmr_sql() -> str:
+    lam = _dlit(MMR_LAMBDA)
+    mu = _dlit(round(1 - MMR_LAMBDA, 12))
+    parts = [
+        f"c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings"
+        f" WHERE vec_id > {SELECT_QUERY_ID})",
+        f"q AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings"
+        f" WHERE vec_id = {SELECT_QUERY_ID})",
+        "s0 AS MATERIALIZED (SELECT c.vec_id, c.vec, "
+        + _sel_cos_sql("c.vec", "q.vec")
+        + " AS rel, CAST(0 AS DOUBLE) AS maxsim FROM c CROSS JOIN q)",
+    ]
+    unions = []
+    for t in range(1, SELECT_K + 1):
+        prev = f"s{t - 1}"
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT vec_id, vec, "
+            f"{lam} * rel - {mu} * maxsim AS score "
+            f"FROM {prev} ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        if t < SELECT_K:
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT s.vec_id, s.vec, s.rel, "
+                f"greatest(s.maxsim, {_sel_cos_sql('s.vec', 'p.vec')}) AS maxsim "
+                f"FROM {prev} s CROSS JOIN p{t} p WHERE s.vec_id <> p.vec_id)"
+            )
+        unions.append(
+            f"SELECT CAST({t} AS BIGINT) AS round, vec_id, score FROM p{t}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+MMR_SELECT_SQL = _mmr_sql()
+
+
+def _kcenter_sql() -> str:
+    parts = [
+        f"c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings"
+        f" WHERE vec_id > {SELECT_QUERY_ID})",
+        f"q AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings"
+        f" WHERE vec_id = {SELECT_QUERY_ID})",
+        "s0 AS MATERIALIZED (SELECT c.vec_id, c.vec, "
+        f"CAST(1 AS DOUBLE) - {_sel_cos_sql('c.vec', 'q.vec')}"
+        " AS dmin FROM c CROSS JOIN q)",
+    ]
+    unions = []
+    for t in range(1, SELECT_K + 1):
+        prev = f"s{t - 1}"
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT vec_id, vec, dmin "
+            f"FROM {prev} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if t < SELECT_K:
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT s.vec_id, s.vec, "
+                f"least(s.dmin, CAST(1 AS DOUBLE) - "
+                f"{_sel_cos_sql('s.vec', 'p.vec')}) AS dmin "
+                f"FROM {prev} s CROSS JOIN p{t} p WHERE s.vec_id <> p.vec_id)"
+            )
+        unions.append(
+            f"SELECT CAST({t} AS BIGINT) AS round, vec_id, "
+            f"dmin AS dist_to_centers FROM p{t}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+KCENTER_SELECT_SQL = _kcenter_sql()
+
+
+# ------------------------------------- r7 w3: collocations + embedding eval
+
+#: Sliding co-occurrence window (each token pairs with the next
+#: PMI_WINDOW tokens) and report thresholds.
+PMI_WINDOW = 4
+PMI_MIN_PAIR = 5
+PMI_TOPK = 50
+
+#: The PMI value as ONE literal expression string both engines parse
+#: into the identical double chain (ln quantized on the 1e-6 grid —
+#: the `tfidf` ln contract).
+_PMI_EXPR = (
+    "round(ln(CAST(n_pair AS DOUBLE) * n_tok * n_tok"
+    " / n_pairs / c_x / c_y), 6)"
+)
+
+
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed collocation mining (r7 w3): pointwise mutual
+    information of token pairs co-occurring within PMI_WINDOW
+    positions — the phrase-detection pass (Mikolov-style
+    collocations / PMI association scores) a tokenizer-prep
+    pipeline runs before vocabulary decisions. p(x,y) from
+    unordered window pairs, p(x) from token occurrences;
+    PMI = ln(c_xy·N_tok²/(N_pairs·c_x·c_y)), reported for pairs
+    seen ≥ PMI_MIN_PAIR times, top PMI_TOPK by (pmi, x, y).
+
+    100 TB shape: pair generation is a pure JVM per-row expression
+    (nested transform over the token array — each token pairs with
+    its next W tokens IN-ROW; no posexplode self-join, no shuffle
+    before aggregation), corpus-linear at n·W fan-out; both count
+    aggs are map-side combinable over bounded key spaces (|V|,
+    |V|²∩observed); the two corpus totals are the allowlisted
+    one-row scalar broadcast; the final rank window sees only the
+    thresholded pair report.
+
+    Returns (term_x, term_y, n_pair, pmi, rank).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(toks, (t, i) -> "
+                f"transform(slice(toks, i + 2, {PMI_WINDOW}), "
+                "u -> struct(least(t, u) AS x, greatest(t, u) AS y))))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    cxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    cx = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scal = toks.agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tok")
+    ).crossJoin(
+        F.broadcast(
+            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+    )
+    j = (
+        cxy.join(
+            F.broadcast(cx.select(F.col("tok"), F.col("c").alias("c_x"))),
+            F.col("x") == F.col("tok"),
+        )
+        .drop("tok")
+        .join(
+            F.broadcast(cx.select(F.col("tok"), F.col("c").alias("c_y"))),
+            F.col("y") == F.col("tok"),
+        )
+        .drop("tok")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("pmi", F.expr(_PMI_EXPR))
+    )
+    wr = Window.orderBy(F.desc("pmi"), "x", "y")
+    return (
+        j.select(
+            F.col("x").alias("term_x"),
+            F.col("y").alias("term_y"),
+            "n_pair",
+            "pmi",
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= PMI_TOPK)
+    )
+
+
+TERM_PMI_PAIRS_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+pos AS (
+  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS i
+  FROM tok),
+pr AS (
+  SELECT least(tokens[i], tokens[i + d]) AS x,
+         greatest(tokens[i], tokens[i + d]) AS y
+  FROM (SELECT doc_id, tokens, i,
+               unnest(range(1, {PMI_WINDOW} + 1)) AS d
+        FROM pos)
+  WHERE i + d <= len(tokens)),
+cxy AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pr GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_PAIR}),
+cx AS (
+  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY 1),
+scal AS (
+  SELECT (SELECT CAST(sum(len(tokens)) AS BIGINT) FROM tok) AS n_tok,
+         (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs),
+j AS (
+  SELECT c.x, c.y, c.n_pair, cx1.c AS c_x, cx2.c AS c_y,
+         s.n_tok, s.n_pairs
+  FROM cxy c
+  JOIN cx cx1 ON c.x = cx1.tok
+  JOIN cx cx2 ON c.y = cx2.tok
+  CROSS JOIN scal s)
+SELECT x AS term_x, y AS term_y, n_pair, {_PMI_EXPR} AS pmi,
+       CAST(row_number() OVER (
+         ORDER BY {_PMI_EXPR} DESC, x, y) AS BIGINT) AS rank
+FROM j
+QUALIFY rank <= {PMI_TOPK}
+"""
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval via kNN label agreement (r7 w3): for
+    every edge of the derived-banding `knn_graph`, does the
+    neighbor share the source's label? Reported per label — the
+    leave-one-out kNN-classifier scorecard that tells a curation
+    pipeline whether its embedding space separates the classes the
+    downstream mixture (`topic_cluster_mix`, `label_propagation_knn`)
+    assumes. Pure integer ratios — the one float is the final
+    BIGINT/BIGINT agreement division.
+
+    100 TB shape: inherits `knn_graph`'s corpus-linear banded
+    construction, then two broadcast-able equi-joins of the tiny
+    (vec_id, label) projection onto the edge list and one
+    combinable per-label agg.
+
+    Returns (label, n_vecs, n_edges, n_same, agreement).
+    """
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    lab = _embeddings(spark, sf_dir).select("vec_id", "label")
+    e = (
+        edges.join(
+            lab.select(
+                F.col("vec_id").alias("src"), F.col("label").alias("l_src")
+            ),
+            "src",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("l_dst")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum((F.col("l_src") == F.col("l_dst")).cast("int"))
+            .cast("long")
+            .alias("n_same"),
+        )
+    )
+    nv = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return nv.join(e, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce("n_same", F.lit(0)).cast("long").alias("n_same"),
+        F.when(
+            F.col("n_edges") > 0, F.col("n_same") / F.col("n_edges")
+        ).alias("agreement"),
+    )
+
+
+KNN_LABEL_AGREEMENT_SQL = f"""
+WITH g AS ({KNN_GRAPH_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+e AS (
+  SELECT ls.label,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same
+  FROM g
+  JOIN lab ls ON g.src = ls.vec_id
+  JOIN lab ld ON g.dst = ld.vec_id
+  GROUP BY 1),
+nv AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM lab GROUP BY 1)
+SELECT nv.label, nv.n_vecs,
+       coalesce(e.n_edges, 0) AS n_edges,
+       coalesce(e.n_same, 0) AS n_same,
+       CASE WHEN e.n_edges > 0 THEN e.n_same / e.n_edges END AS agreement
+FROM nv LEFT JOIN e USING (label)
+"""

@@ -122,6 +122,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("top_event_transitions", advanced.top_event_transitions, advanced.TOP_EVENT_TRANSITIONS_SQL),
     ("trending_events_decay", advanced.trending_events_decay, advanced.TRENDING_EVENTS_DECAY_SQL),
     ("abtest_value_ztest", advanced.abtest_value_ztest, advanced.ABTEST_VALUE_ZTEST_SQL),
+    # -- r7 wave 3 (added after the 50-entry prefix froze; they carry
+    #    this round's local driver-mimic evidence at sf0.001+sf0.01
+    #    and rotate into the prefix next round): batch sessionization
+    #    + session-path report, market-basket lift, RFM segmentation,
+    #    MAD outliers, and the two greedy diverse-selection ops.
+    ("sessionize_events", advanced.sessionize_events, advanced.SESSIONIZE_EVENTS_SQL),
+    ("session_paths_topk", advanced.session_paths_topk, advanced.SESSION_PATHS_TOPK_SQL),
+    ("market_basket_lift", advanced.market_basket_lift, advanced.MARKET_BASKET_LIFT_SQL),
+    ("rfm_segments", advanced.rfm_segments, advanced.RFM_SEGMENTS_SQL),
+    ("value_mad_outliers", advanced.value_mad_outliers, advanced.VALUE_MAD_OUTLIERS_SQL),
+    ("mmr_select", llm.mmr_select, llm.MMR_SELECT_SQL),
+    ("kcenter_select", llm.kcenter_select, llm.KCENTER_SELECT_SQL),
+    ("term_pmi_pairs", llm.term_pmi_pairs, llm.TERM_PMI_PAIRS_SQL),
+    ("knn_label_agreement", llm.knn_label_agreement, llm.KNN_LABEL_AGREEMENT_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
@@ -269,6 +283,8 @@ QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
 AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "quality_logit_train": llm.quality_logit_train_audit_plans,
     "doremi_mixture_weights": llm.doremi_mixture_weights_audit_plans,
+    "mmr_select": llm.mmr_select_audit_plans,
+    "kcenter_select": llm.kcenter_select_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

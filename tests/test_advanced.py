@@ -386,3 +386,148 @@ def test_abtest_value_ztest_oracle_and_recompute(spark):
     vb = sum(sb) / 1e6 / len(b) - mb * mb
     z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
     assert abs(row["z_score"] - z) < 1e-9
+
+
+# ------------------------------------------------- r7 wave 3
+
+
+def test_sessionize_events_oracle_and_recount(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "sessionize_events", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        SESSION_GAP_US,
+        sessionize_events,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sessionize_events(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert all(r["duration_s"] >= 0 for r in rows)
+    # pure-Python resession of the busiest user
+    busiest = max(
+        ((r["user_id"], r["n_events"]) for r in rows), key=lambda t: t[1]
+    )[0]
+    evs = sorted(
+        (
+            (r["ts"], r["event_id"])
+            for r in ev.where(F.col("user_id") == busiest).collect()
+        ),
+    )
+    n_sessions, prev = 0, None
+    for ts, _eid in evs:
+        us = int(ts.timestamp() * 1_000_000)
+        if prev is None or us - prev > SESSION_GAP_US:
+            n_sessions += 1
+        prev = us
+    assert n_sessions == sum(1 for r in rows if r["user_id"] == busiest)
+
+
+def test_session_paths_topk_oracle_and_bounds(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "session_paths_topk", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        EVENT_TYPES,
+        session_paths_topk,
+        sessionize_events,
+    )
+
+    rows = sorted(
+        session_paths_topk(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_sessions = sessionize_events(spark, SF_SMOKE).count()
+    assert sum(counts) <= n_sessions
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 3
+        assert all(s in EVENT_TYPES for s in steps)
+
+
+def test_market_basket_lift_oracle_and_recount(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "market_basket_lift", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import market_basket_lift
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = market_basket_lift(spark, SF_SMOKE).collect()
+    assert all(0 < r["support"] <= 1 for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
+    assert all(r["brand_a"] < r["brand_b"] for r in rows)
+    # independent recount of the top pair
+    top = min(rows, key=lambda r: r["rank"])
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    baskets = {}
+    for r in (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .collect()
+    ):
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
+    n_pair = sum(
+        1
+        for b in baskets.values()
+        if top["brand_a"] in b and top["brand_b"] in b
+    )
+    assert n_pair == top["n_pair"]
+    assert max(
+        (
+            sum(1 for b in baskets.values() if x in b and y in b)
+            for x in {v for s in baskets.values() for v in s}
+            for y in {v for s in baskets.values() for v in s}
+            if x < y
+        )
+    ) == top["n_pair"]
+
+
+def test_rfm_segments_oracle_and_partition(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "rfm_segments", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import rfm_segments
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = rfm_segments(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    assert sum(r["n_customers"] for r in rows) == (
+        orders.select("o_custkey").distinct().count()
+    )
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["segment"] in {
+            "champion",
+            "loyal",
+            "at_risk",
+            "hibernating",
+            "other",
+        }
+        assert r["avg_monetary"] > 0
+
+
+def test_value_mad_outliers_oracle_and_median(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "value_mad_outliers", SF_SMOKE)
+    import statistics
+
+    from big_data_code_spark.plans.advanced import value_mad_outliers
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in value_mad_outliers(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    vals = [r["value"] for r in ev if r["event_type"] == "click"]
+    r = rows["click"]
+    assert abs(r["med"] - statistics.median(vals)) < 1e-6
+    devs = [abs(v - r["med"]) for v in vals]
+    assert abs(r["mad"] - statistics.median(devs)) < 1e-6
+    assert r["n_events"] == len(vals)
+    assert 0 <= r["outlier_share"] <= 1

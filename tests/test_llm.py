@@ -2709,3 +2709,155 @@ def test_streaming_ngram_novelty_oracle_and_masters(spark):
     # -> at most a handful of novel shingles, never the whole doc
     near = [r for r in rows if r["doc_id"] >= 2 * DUP_SEED_OFFSET and r["n_shingles"] > 3]
     assert near and all(r["n_novel"] <= 3 for r in near)
+
+
+# ------------------------------------------------- r7 w3: diverse selection
+
+
+def _seq_cos(a, b):
+    """Sequential-fold cosine — bit-identical to `ann.dot` / DuckDB
+    list_dot_product (numpy's pairwise SIMD summation is NOT)."""
+    dot = nn = mm = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        nn += x * x
+        mm += y * y
+    return dot / (nn**0.5 * mm**0.5)
+
+
+def _sel_vectors(spark):
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def test_mmr_select_oracle_and_greedy_recompute(spark):
+    assert_matches_oracle(spark, "mmr_select", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        MMR_LAMBDA,
+        SELECT_K,
+        SELECT_QUERY_ID,
+        mmr_select,
+    )
+
+    rows = sorted(mmr_select(spark, SF_SMOKE).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(1, SELECT_K + 1))
+    picked = [r["vec_id"] for r in rows]
+    assert len(set(picked)) == SELECT_K  # no re-picks
+    # full greedy recompute with the bit-identical sequential fold
+    vecs = _sel_vectors(spark)
+    q = vecs[SELECT_QUERY_ID]
+    cand = {i: v for i, v in vecs.items() if i > SELECT_QUERY_ID}
+    rel = {i: _seq_cos(v, q) for i, v in cand.items()}
+    maxsim = {i: 0.0 for i in cand}
+    mu = round(1 - MMR_LAMBDA, 12)
+    for r in rows:
+        scores = {i: MMR_LAMBDA * rel[i] - mu * maxsim[i] for i in cand}
+        best = min(cand, key=lambda i: (-scores[i], i))
+        assert (best, scores[best]) == (r["vec_id"], r["score"])
+        del cand[best]
+        for i in cand:
+            maxsim[i] = max(maxsim[i], _seq_cos(vecs[i], vecs[best]))
+
+
+def test_kcenter_select_oracle_and_radius_curve(spark):
+    assert_matches_oracle(spark, "kcenter_select", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        SELECT_K,
+        SELECT_QUERY_ID,
+        kcenter_select,
+    )
+
+    rows = sorted(
+        kcenter_select(spark, SF_SMOKE).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, SELECT_K + 1))
+    dists = [r["dist_to_centers"] for r in rows]
+    # the k-center radius curve is non-increasing by construction
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    # greedy farthest-point recompute
+    vecs = _sel_vectors(spark)
+    cand = {i: v for i, v in vecs.items() if i > SELECT_QUERY_ID}
+    dmin = {i: 1.0 - _seq_cos(v, vecs[SELECT_QUERY_ID]) for i, v in cand.items()}
+    for r in rows:
+        best = min(cand, key=lambda i: (-dmin[i], i))
+        assert (best, dmin[best]) == (r["vec_id"], r["dist_to_centers"])
+        del cand[best], dmin[best]
+        for i in cand:
+            dmin[i] = min(dmin[i], 1.0 - _seq_cos(vecs[i], vecs[best]))
+
+
+def test_term_pmi_pairs_oracle_and_recount(spark):
+    assert_matches_oracle(spark, "term_pmi_pairs", SF_SMOKE)
+    import math
+    from collections import Counter
+
+    from big_data_code_spark.functions.text import tokenize
+    from big_data_code_spark.plans.llm import (
+        PMI_MIN_PAIR,
+        PMI_TOPK,
+        PMI_WINDOW,
+        term_pmi_pairs,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sorted(
+        term_pmi_pairs(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    assert 0 < len(rows) <= PMI_TOPK
+    assert all(r["n_pair"] >= PMI_MIN_PAIR for r in rows)
+    assert all(r["term_x"] <= r["term_y"] for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    # pure-Python recount of counts + PMI for the top pair
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        tokenize(F.col("text")).alias("toks")
+    ).collect()
+    cx, cxy, n_tok, n_pairs = Counter(), Counter(), 0, 0
+    for d in docs:
+        t = d["toks"]
+        n_tok += len(t)
+        cx.update(t)
+        for i in range(len(t)):
+            for j in range(i + 1, min(i + PMI_WINDOW, len(t) - 1) + 1):
+                cxy[tuple(sorted((t[i], t[j])))] += 1
+                n_pairs += 1
+    top = rows[0]
+    key = (top["term_x"], top["term_y"])
+    assert cxy[key] == top["n_pair"]
+    expect = round(
+        math.log(
+            cxy[key] * n_tok * n_tok / n_pairs / cx[key[0]] / cx[key[1]]
+        ),
+        6,
+    )
+    assert abs(top["pmi"] - expect) < 1e-9
+
+
+def test_knn_label_agreement_oracle_and_recount(spark):
+    assert_matches_oracle(spark, "knn_label_agreement", SF_SMOKE)
+    from collections import Counter
+
+    from big_data_code_spark.plans.llm import knn_graph, knn_label_agreement
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {r["label"]: r for r in knn_label_agreement(spark, SF_SMOKE).collect()}
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    # per-label vector counts partition the corpus
+    assert sum(r["n_vecs"] for r in rows.values()) == len(lab)
+    # independent recount straight off the edge list
+    edges = knn_graph(spark, SF_SMOKE).select("src", "dst").collect()
+    n_edges, n_same = Counter(), Counter()
+    for e in edges:
+        l = lab[e["src"]]
+        n_edges[l] += 1
+        n_same[l] += int(lab[e["dst"]] == l)
+    for l, r in rows.items():
+        assert r["n_edges"] == n_edges.get(l, 0)
+        assert r["n_same"] == n_same.get(l, 0)
+        if r["n_edges"]:
+            assert r["agreement"] == r["n_same"] / r["n_edges"]

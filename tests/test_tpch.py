@@ -184,6 +184,21 @@ BNLJ_ALLOWED = {
                                  # grain)
     "trending_events_decay",     # r7 w2: one-row max-ts scalar
                                  # broadcast (the decay anchor)
+    "market_basket_lift",        # r7 w3: one-row order-count total
+                                 # broadcast (support/lift divisor)
+    "rfm_segments",              # r7 w3: one-row max-date anchor +
+                                 # one-row quartile-threshold frame
+                                 # broadcasts — the explicit
+                                 # replacement for a global NTILE
+    "mmr_select",                # r7 w3: one-row anchor vector +
+                                 # one-row per-round pick broadcasts
+                                 # (pre-checkpoint plans exposed via
+                                 # AUDIT_PLAN_HOOKS)
+    "kcenter_select",            # r7 w3: same greedy-selection
+                                 # shape as mmr_select
+    "term_pmi_pairs",            # r7 w3: one-row (n_tok, n_pairs)
+                                 # corpus-totals broadcast (the
+                                 # PMI normalizing constants)
 }
 
 

@@ -249,6 +249,10 @@ BENCH_QUERIES = (
     "kcenter_select",
     "term_pmi_pairs",
     "knn_label_agreement",
+    # r7 wave 4:
+    "sessionize_incremental",
+    "shipping_latency_percentiles",
+    "dim_truncation_eval",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

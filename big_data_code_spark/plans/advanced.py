@@ -1491,11 +1491,17 @@ def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is per-user local. Heavy users are bounded by their
     own event volume, never user×user.
     """
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", epoch_us("ts").alias("us")
     )
+    return _sessionize_frame(ev)
+
+
+def _sessionize_frame(ev: DataFrame) -> DataFrame:
+    """The gap-split window logic over any (user_id, ts, event_id,
+    us, ...) frame — shared by the full and incremental plans."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "new_s",
@@ -1524,7 +1530,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (user_id, session_id, n_events, session_start,
     session_end, duration_s).
     """
-    sess = _sessionized_events(spark, sf_dir)
+    return _session_rollup(_sessionized_events(spark, sf_dir))
+
+
+def _session_rollup(sess: DataFrame) -> DataFrame:
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
@@ -2006,4 +2015,130 @@ agg AS (
 SELECT event_type, med, mad, n_events, n_outliers,
        n_outliers / n_events AS outlier_share
 FROM agg
+"""
+
+
+#: The incremental-ingest window: events in the last 24 h (from the
+#: corpus max timestamp) play the incoming batch; everything older
+#: is the stored master — the `dedup_incremental` split, on time
+#: instead of the dup-seed key.
+SESSION_INCR_WINDOW_US = 86_400_000_000
+
+
+def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental session maintenance (r7 w4): when a new event
+    batch lands, only users WITH events in the batch can have
+    changed sessions (a session is per-user local) — so recompute
+    exactly those users' histories and pass every other user's
+    stored sessions through untouched. The batch-layer analog of
+    `streaming_sessions`' state updates, and the session-table
+    absorb step the reference's append-only master implies
+    (`dedup_incremental` is the same shape on content keys).
+
+    100 TB shape: per-ingest cost ∝ the touched users' event
+    volume — ONE distinct over the batch window, one semi/anti
+    split on user_id (co-partitioned with the session shuffle;
+    with the master bucketed by user_id the untouched side is a
+    stored-table passthrough, recomputed here only as the local
+    stand-in), then the standard sessionization windows on the
+    touched slice only. No user×user, no full-corpus re-sort.
+
+    Output ≡ `sessionize_events` plus a `recomputed` flag marking
+    the incrementally-rebuilt rows (equality asserted in tests —
+    the batch ∪ master ≡ full-rebuild contract).
+
+    Returns (user_id, session_id, n_events, session_start,
+    session_end, duration_s, recomputed).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    maxr = ev.agg(F.max("us").alias("max_us"))
+    touched = (
+        ev.crossJoin(F.broadcast(maxr))
+        .where(F.col("us") > F.col("max_us") - SESSION_INCR_WINDOW_US)
+        .select("user_id")
+        .distinct()
+    )
+    rec = _session_rollup(
+        _sessionize_frame(ev.join(touched, "user_id", "left_semi"))
+    ).withColumn("recomputed", F.lit(True))
+    unt = _session_rollup(
+        _sessionize_frame(ev.join(touched, "user_id", "left_anti"))
+    ).withColumn("recomputed", F.lit(False))
+    return rec.unionByName(unt)
+
+
+SESSIONIZE_INCREMENTAL_SQL = f"""
+WITH {_SESSIONIZED_CTE},
+roll AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         (max(us) - min(us)) // 1000000 AS duration_s
+  FROM sess
+  GROUP BY 1, 2),
+mx AS (SELECT max(us) AS max_us FROM e),
+touched AS (
+  SELECT DISTINCT user_id
+  FROM e CROSS JOIN mx
+  WHERE us > max_us - {SESSION_INCR_WINDOW_US})
+SELECT r.user_id, r.session_id, r.n_events, r.session_start,
+       r.session_end, r.duration_s,
+       (t.user_id IS NOT NULL) AS recomputed
+FROM roll r LEFT JOIN touched t USING (user_id)
+"""
+
+
+def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per order priority (r7 w4) —
+    the operational-SLA report next to the TPC-H revenue views: did
+    'URGENT' actually ship faster? Latency is exact integer days
+    (epoch-µs arithmetic, BIGINT division — no date-cast
+    semantics), percentiles via the driver-proven `percentile ≡
+    quantile_cont` contract.
+
+    100 TB shape: one lineitem⋈orders equi-join (the Q4/Q12 shape —
+    shuffle on orderkey, AQE-broadcastable if orders is filtered),
+    then a 5-group aggregation; exact percentiles buffer per-group
+    values, so at production scale they swap to `approx_percentile`
+    under the `value_percentiles_approx` tolerance contract.
+
+    Returns (o_orderpriority, n_lineitems, p50_days, p95_days,
+    min_days, max_days).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", epoch_us("l_shipdate").alias("ship_us")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", epoch_us("o_orderdate").alias("ord_us")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(f"(ship_us - ord_us) DIV {_US_PER_DAY}").alias("lat_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(F.percentile("lat_days", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("lat_days", F.lit(0.95)), 6).alias("p95_days"),
+        F.min("lat_days").alias("min_days"),
+        F.max("lat_days").alias("max_days"),
+    )
+
+
+SHIPPING_LATENCY_SQL = f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // {_US_PER_DAY} AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(quantile_cont(lat_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lat_days, 0.95), 6) AS p95_days,
+       min(lat_days) AS min_days,
+       max(lat_days) AS max_days
+FROM j
+GROUP BY 1
 """

@@ -9643,3 +9643,82 @@ SELECT nv.label, nv.n_vecs,
        CASE WHEN e.n_edges > 0 THEN e.n_same / e.n_edges END AS agreement
 FROM nv LEFT JOIN e USING (label)
 """
+
+
+#: Matryoshka-style truncation: score on the first TRUNC_DIM of the
+#: 64 dims and measure how much of the exact top-k survives.
+TRUNC_DIM = 16
+
+
+def dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension truncation eval (r7 w4): brute-force
+    top-k by full 64-dim cosine vs top-k using only the first
+    TRUNC_DIM dims (the Matryoshka/dimension-pruning question: how
+    much retrieval quality does a 4× cheaper index keep?), reported
+    as overlap@k per query. The storage/recall counterpart of
+    `ann_recall_eval` (which varies the INDEX, not the vector
+    width) — together they span the two axes an embedding-serving
+    cost review actually tunes.
+
+    100 TB shape: two allowlisted brute-force scans (tiny query set
+    broadcast over the corpus — the `ann_cosine_topk` baseline
+    shape; the production path applies the same truncation inside
+    `ann_ivf`/`ann_pq` cells), one (q_id, vec_id) equi-join of two
+    k-row-per-query sets, one combinable count. Overlap is pure
+    integers; the one float is the final count/k division.
+
+    Returns (q_id, n_overlap, overlap_at_k).
+    """
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    full = ann.cosine_topk(emb, queries, k=ANN_K).select("q_id", "vec_id")
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding"))
+    queries_t = emb_t.where(F.col("vec_id") < ANN_N_QUERIES)
+    trunc = ann.cosine_topk(emb_t, queries_t, k=ANN_K).select("q_id", "vec_id")
+    return (
+        full.join(trunc, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "q_id",
+            "n_overlap",
+            (F.col("n_overlap") / F.lit(ANN_K)).alias("overlap_at_k"),
+        )
+    )
+
+
+DIM_TRUNCATION_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+fullr AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_sel_cos_sql('c.vec', 'q.q_vec')} DESC, c.vec_id
+           ) AS rank
+    FROM c CROSS JOIN q)
+  WHERE rank <= {ANN_K}),
+tq AS (SELECT q_id, q_vec[1:{TRUNC_DIM}] AS q_vec FROM q),
+tc AS (SELECT vec_id, vec[1:{TRUNC_DIM}] AS vec FROM c),
+truncr AS (
+  SELECT q_id, vec_id FROM (
+    SELECT tq.q_id, tc.vec_id,
+           row_number() OVER (
+             PARTITION BY tq.q_id
+             ORDER BY {_sel_cos_sql('tc.vec', 'tq.q_vec')} DESC, tc.vec_id
+           ) AS rank
+    FROM tc CROSS JOIN tq)
+  WHERE rank <= {ANN_K})
+SELECT f.q_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) AS BIGINT) / {ANN_K} AS overlap_at_k
+FROM fullr f
+JOIN truncr t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+GROUP BY 1
+"""

@@ -136,6 +136,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("kcenter_select", llm.kcenter_select, llm.KCENTER_SELECT_SQL),
     ("term_pmi_pairs", llm.term_pmi_pairs, llm.TERM_PMI_PAIRS_SQL),
     ("knn_label_agreement", llm.knn_label_agreement, llm.KNN_LABEL_AGREEMENT_SQL),
+    ("sessionize_incremental", advanced.sessionize_incremental, advanced.SESSIONIZE_INCREMENTAL_SQL),
+    ("shipping_latency_percentiles", advanced.shipping_latency_percentiles, advanced.SHIPPING_LATENCY_SQL),
+    ("dim_truncation_eval", llm.dim_truncation_eval, llm.DIM_TRUNCATION_EVAL_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

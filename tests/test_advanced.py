@@ -531,3 +531,60 @@ def test_value_mad_outliers_oracle_and_median(spark):
     assert abs(r["mad"] - statistics.median(devs)) < 1e-6
     assert r["n_events"] == len(vals)
     assert 0 <= r["outlier_share"] <= 1
+
+
+def test_sessionize_incremental_equals_full_rebuild(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "sessionize_incremental", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        sessionize_events,
+        sessionize_incremental,
+    )
+
+    inc = sessionize_incremental(spark, SF_SMOKE)
+    full = sessionize_events(spark, SF_SMOKE)
+    # batch ∪ master ≡ full rebuild (minus the provenance flag)
+    cols = full.columns
+    assert sorted(
+        tuple(r[c] for c in cols) for r in inc.select(*cols).collect()
+    ) == sorted(tuple(r[c] for c in cols) for r in full.collect())
+    rows = inc.collect()
+    # the 24 h window touches SOME but not ALL users
+    n_rec = sum(1 for r in rows if r["recomputed"])
+    assert 0 < n_rec < len(rows)
+
+
+def test_shipping_latency_percentiles_oracle_and_recompute(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "shipping_latency_percentiles", SF_SMOKE)
+    import statistics
+
+    from big_data_code_spark.plans.advanced import (
+        shipping_latency_percentiles,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in shipping_latency_percentiles(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    by_prio = {}
+    for r in j:
+        lat = (r["l_shipdate"] - r["o_orderdate"]).days
+        by_prio.setdefault(r["o_orderpriority"], []).append(lat)
+    for prio, lats in by_prio.items():
+        row = rows[prio]
+        assert row["n_lineitems"] == len(lats)
+        assert row["min_days"] == min(lats)
+        assert row["max_days"] == max(lats)
+        assert abs(row["p50_days"] - statistics.median(lats)) < 1e-6
+        assert row["min_days"] <= row["p50_days"] <= row["max_days"]

@@ -2861,3 +2861,20 @@ def test_knn_label_agreement_oracle_and_recount(spark):
         assert r["n_same"] == n_same.get(l, 0)
         if r["n_edges"]:
             assert r["agreement"] == r["n_same"] / r["n_edges"]
+
+
+def test_dim_truncation_eval_oracle_and_bounds(spark):
+    assert_matches_oracle(spark, "dim_truncation_eval", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        ANN_K,
+        ANN_N_QUERIES,
+        dim_truncation_eval,
+    )
+
+    rows = dim_truncation_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == ANN_N_QUERIES
+    for r in rows:
+        # the query vector itself survives truncation (sim 1.0 in
+        # both spaces), so overlap is at least 1, at most k
+        assert 1 <= r["n_overlap"] <= ANN_K
+        assert r["overlap_at_k"] == r["n_overlap"] / ANN_K

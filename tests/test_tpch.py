@@ -199,6 +199,12 @@ BNLJ_ALLOWED = {
     "term_pmi_pairs",            # r7 w3: one-row (n_tok, n_pairs)
                                  # corpus-totals broadcast (the
                                  # PMI normalizing constants)
+    "sessionize_incremental",    # r7 w4: one-row max-ts broadcast
+                                 # (the ingest-window anchor —
+                                 # trending_events_decay's shape)
+    "dim_truncation_eval",       # r7 w4: two brute-force baseline
+                                 # scans (ann_cosine_topk's
+                                 # allowlisted query broadcast)
 }
 
 

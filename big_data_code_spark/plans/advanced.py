@@ -1685,12 +1685,21 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    # items feeds FOUR consumers (order total, brand counts, both
+    # self-join sides) — persist or the lineitem⋈part join and the
+    # distinct re-run once per consumer (the knn_graph lesson;
+    # measured 113.8s → 21.5s at sf10).
+    items = track_persisted(
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_orders = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")

@@ -9722,3 +9722,125 @@ FROM fullr f
 JOIN truncr t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
 GROUP BY 1
 """
+
+
+#: Link-prediction report thresholds.
+LINKPRED_MIN_COMMON = 2
+LINKPRED_TOPK = 50
+
+#: Adamic-Adar contribution of a shared neighbor with degree d, as
+#: ONE shared literal chain quantized straight onto the 1e-6
+#: fixed-point grid (so the per-pair sum is an order-free BIGINT
+#: sum — the `pca_power_iteration` contract; wedges only exist
+#: through nodes with d ≥ 2, so ln(d) > 0).
+_AA_FP_EXPR = "CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT)"
+
+
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the kNN graph (r7 w4) —
+    "which unconnected vector pairs share many rare neighbors?":
+    the missing-edge recommender that completes the graph family
+    (components → PageRank → triangles → communities → label
+    agreement → link prediction). Score(a,b) = Σ_w 1/ln(deg w) over
+    common neighbors w, pairs already joined by an edge excluded,
+    reported for pairs with ≥ LINKPRED_MIN_COMMON common neighbors,
+    top LINKPRED_TOPK.
+
+    100 TB shape: the `triangle_count_knn` wedge machinery — ONE
+    persisted undirected edge list (tracked), a degree agg, a wedge
+    self-join whose fan-out is Σdeg² — bounded here by the kNN
+    construction itself (out-degree = k; band-capped candidate
+    in-degree), never node×node — one combinable fixed-point pair
+    agg, one anti-join against the edge list, and a rank window
+    over the thresholded report only. Contributions quantize to
+    BIGINT BEFORE the sum (order-free under any partitioning).
+
+    Returns (node_a, node_b, n_common, aa_score, rank).
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    g = knn_graph(spark, sf_dir)
+    edges = track_persisted(
+        g.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize before fan-out (parallel consumers of a cold lazy
+    # cache each recompute the banded kNN build — the triangle_count
+    # lesson)
+    edges.count()
+    nbr = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = nbr.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = nbr.select("w", F.col("n").alias("node_a"))
+    b = nbr.select("w", F.col("n").alias("node_b"))
+    wedges = (
+        a.join(b, "w")
+        .where(F.col("node_a") < F.col("node_b"))
+        .join(deg, "w")
+        .select("node_a", "node_b", F.expr(_AA_FP_EXPR).alias("aa_fp"))
+    )
+    cand = (
+        wedges.groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("aa_fp").alias("sum_fp"),
+        )
+        .where(F.col("n_common") >= LINKPRED_MIN_COMMON)
+        .join(
+            edges,
+            (F.col("node_a") == F.col("u")) & (F.col("node_b") == F.col("v")),
+            "left_anti",
+        )
+    )
+    wr = Window.orderBy(F.desc("sum_fp"), "node_a", "node_b")
+    return (
+        cand.select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (F.col("sum_fp") / F.lit(1e6)).alias("aa_score"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= LINKPRED_TOPK)
+    )
+
+
+LINK_PREDICTION_AA_SQL = f"""
+WITH g AS ({KNN_GRAPH_SQL}),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+nbr AS (
+  SELECT u AS w, v AS n FROM edges
+  UNION ALL
+  SELECT v AS w, u AS n FROM edges),
+deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+wedges AS (
+  SELECT a.n AS node_a, b.n AS node_b, {_AA_FP_EXPR} AS aa_fp
+  FROM nbr a
+  JOIN nbr b ON a.w = b.w AND a.n < b.n
+  JOIN deg ON deg.w = a.w),
+cand AS (
+  SELECT node_a, node_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(aa_fp) AS BIGINT) AS sum_fp
+  FROM wedges
+  GROUP BY 1, 2
+  HAVING count(*) >= {LINKPRED_MIN_COMMON}),
+anti AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e
+    WHERE e.u = c.node_a AND e.v = c.node_b))
+SELECT node_a, node_b, n_common,
+       sum_fp / 1e6 AS aa_score,
+       CAST(row_number() OVER (
+         ORDER BY sum_fp DESC, node_a, node_b) AS BIGINT) AS rank
+FROM anti
+QUALIFY rank <= {LINKPRED_TOPK}
+"""

@@ -253,6 +253,7 @@ BENCH_QUERIES = (
     "sessionize_incremental",
     "shipping_latency_percentiles",
     "dim_truncation_eval",
+    "link_prediction_aa",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -9832,7 +9832,7 @@ cand AS (
   FROM wedges
   GROUP BY 1, 2
   HAVING count(*) >= {LINKPRED_MIN_COMMON}),
-anti AS (
+nonedge AS (
   SELECT c.* FROM cand c
   WHERE NOT EXISTS (
     SELECT 1 FROM edges e
@@ -9841,6 +9841,6 @@ SELECT node_a, node_b, n_common,
        sum_fp / 1e6 AS aa_score,
        CAST(row_number() OVER (
          ORDER BY sum_fp DESC, node_a, node_b) AS BIGINT) AS rank
-FROM anti
+FROM nonedge
 QUALIFY rank <= {LINKPRED_TOPK}
 """

@@ -2878,3 +2878,46 @@ def test_dim_truncation_eval_oracle_and_bounds(spark):
         # both spaces), so overlap is at least 1, at most k
         assert 1 <= r["n_overlap"] <= ANN_K
         assert r["overlap_at_k"] == r["n_overlap"] / ANN_K
+
+
+def test_link_prediction_aa_oracle_and_recompute(spark):
+    assert_matches_oracle(spark, "link_prediction_aa", SF_SMOKE)
+    import math
+    from collections import Counter, defaultdict
+
+    from big_data_code_spark.plans.llm import (
+        LINKPRED_MIN_COMMON,
+        LINKPRED_TOPK,
+        knn_graph,
+        link_prediction_aa,
+    )
+
+    rows = sorted(
+        link_prediction_aa(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    assert 0 < len(rows) <= LINKPRED_TOPK
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in knn_graph(spark, SF_SMOKE).select("src", "dst").collect()
+    }
+    # pure-Python Adamic-Adar recount over the same edge set
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    scores, common = Counter(), Counter()
+    for w, ns in nbrs.items():
+        d = len(ns)
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                key = (sn[i], sn[j])
+                common[key] += 1
+                scores[key] += round(1e6 / math.log(d))
+    for r in rows:
+        key = (r["node_a"], r["node_b"])
+        assert key not in edges  # predicted links are NON-edges
+        assert common[key] == r["n_common"] >= LINKPRED_MIN_COMMON
+        assert abs(scores[key] / 1e6 - r["aa_score"]) < 1e-9
+    aas = [r["aa_score"] for r in rows]
+    assert aas == sorted(aas, reverse=True)

@@ -254,6 +254,7 @@ BENCH_QUERIES = (
     "shipping_latency_percentiles",
     "dim_truncation_eval",
     "link_prediction_aa",
+    "lambda_merged_sessions",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

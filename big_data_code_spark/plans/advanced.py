@@ -1533,25 +1533,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_rollup(_sessionized_events(spark, sf_dir))
 
 
-def _session_rollup(sess: DataFrame) -> DataFrame:
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.min("us").alias("min_us"),
-            F.max("us").alias("max_us"),
-        )
-        .select(
-            "user_id",
-            "session_id",
-            "n_events",
-            "session_start",
-            "session_end",
-            F.expr("(max_us - min_us) DIV 1000000").alias("duration_s"),
-        )
+def _session_rollup_us(sess: DataFrame) -> DataFrame:
+    """Per-session aggregate KEEPING the epoch-µs bounds (the
+    lambda merge stitches sessions on exact event-gap arithmetic)."""
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
     )
+
+
+def _session_finalize(roll: DataFrame) -> DataFrame:
+    return roll.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.expr("(max_us - min_us) DIV 1000000").alias("duration_s"),
+    )
+
+
+def _session_rollup(sess: DataFrame) -> DataFrame:
+    return _session_finalize(_session_rollup_us(sess))
 
 
 _SESSIONIZED_CTE = f"""
@@ -2151,3 +2157,126 @@ SELECT o_orderpriority,
 FROM j
 GROUP BY 1
 """
+
+
+def lambda_merged_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture session merge (r7 w4) — the HARD lambda
+    case the pageview/unique merges (`lambda_merged_pageviews`,
+    `lambda_merged_uniques_hll`) don't exercise: sessions SPAN the
+    batch/speed boundary. The batch layer serves sessions over the
+    master slice (ts ≤ max−24h), the speed layer over the live
+    slice, and the merge STITCHES them: splitting a user's timeline
+    at the cutoff can cut at most ONE session (the one containing
+    the boundary), so per user only the LAST batch session and the
+    FIRST speed session can fuse — they do iff their boundary gap ≤
+    SESSION_GAP_US, exactly the full rebuild's split rule. Speed
+    session ids then shift by (batch count − merged), so the output
+    is row-identical to `sessionize_events` — the oracle IS the
+    full-rebuild SQL (plan equivalence, the `knn_graph_incremental`
+    contract), asserted frame-exact in tests.
+
+    100 TB shape: both layers sessionize their own slice (one
+    user-partitioned window each — in production the batch side is
+    a STORED view, recomputed here as the local stand-in), the
+    stitch itself is per-user 1-vs-1: a max-id agg, two equi-joins
+    on user_id, a boundary-gap comparison in exact integer µs.
+    Never user×user; the only broadcast is the one-row max-ts
+    anchor.
+
+    Returns (user_id, session_id, n_events, session_start,
+    session_end, duration_s) ≡ the full rebuild.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    return _lambda_sessions_from_events(ev)
+
+
+def _lambda_sessions_from_events(ev: DataFrame) -> DataFrame:
+    """The layer-split + stitch over any event frame — separated so
+    tests can force a session that SPANS the boundary (the driver
+    corpora only produce spanning sessions at sf0.1+)."""
+    maxr = ev.agg(F.max("us").alias("max_us"))
+    ev2 = ev.crossJoin(F.broadcast(maxr))
+    batch_ev = ev2.where(
+        F.col("us") <= F.col("max_us") - SESSION_INCR_WINDOW_US
+    ).drop("max_us")
+    speed_ev = ev2.where(
+        F.col("us") > F.col("max_us") - SESSION_INCR_WINDOW_US
+    ).drop("max_us")
+    b = _session_rollup_us(_sessionize_frame(batch_ev))
+    s = _session_rollup_us(_sessionize_frame(speed_ev))
+
+    b_cnt = b.groupBy("user_id").agg(F.max("session_id").alias("b_cnt"))
+    b_last = b.join(b_cnt, "user_id").where(F.col("session_id") == F.col("b_cnt"))
+    s_first = s.where(F.col("session_id") == 1)
+    merged = (
+        b_last.select(
+            "user_id",
+            F.col("n_events").alias("bn"),
+            F.col("session_start").alias("bstart"),
+            F.col("min_us").alias("bmin"),
+            F.col("max_us").alias("bmax"),
+            F.col("b_cnt"),
+        )
+        .join(
+            s_first.select(
+                "user_id",
+                F.col("n_events").alias("sn"),
+                F.col("session_end").alias("send"),
+                F.col("max_us").alias("smax"),
+                F.col("min_us").alias("smin"),
+            ),
+            "user_id",
+        )
+        .where(F.col("smin") - F.col("bmax") <= SESSION_GAP_US)
+    )
+    merged_users = merged.select("user_id", F.lit(True).alias("is_merged"))
+
+    merged_rows = merged.select(
+        "user_id",
+        F.col("b_cnt").alias("session_id"),
+        (F.col("bn") + F.col("sn")).cast("long").alias("n_events"),
+        F.col("bstart").alias("session_start"),
+        F.col("send").alias("session_end"),
+        F.col("bmin").alias("min_us"),
+        F.col("smax").alias("max_us"),
+    )
+    batch_keep = (
+        b.join(b_cnt, "user_id")
+        .join(merged_users, "user_id", "left")
+        .where(
+            ~(
+                F.coalesce(F.col("is_merged"), F.lit(False))
+                & (F.col("session_id") == F.col("b_cnt"))
+            )
+        )
+        .select(
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end", "min_us", "max_us",
+        )
+    )
+    speed_shift = (
+        s.join(b_cnt, "user_id", "left")
+        .join(merged_users, "user_id", "left")
+        .where(
+            ~(
+                F.coalesce(F.col("is_merged"), F.lit(False))
+                & (F.col("session_id") == 1)
+            )
+        )
+        .select(
+            "user_id",
+            (
+                F.col("session_id")
+                + F.coalesce(F.col("b_cnt"), F.lit(0))
+                - F.coalesce(F.col("is_merged"), F.lit(False)).cast("long")
+            )
+            .cast("long")
+            .alias("session_id"),
+            "n_events", "session_start", "session_end", "min_us", "max_us",
+        )
+    )
+    return _session_finalize(
+        batch_keep.unionByName(merged_rows).unionByName(speed_shift)
+    )

@@ -140,6 +140,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("shipping_latency_percentiles", advanced.shipping_latency_percentiles, advanced.SHIPPING_LATENCY_SQL),
     ("dim_truncation_eval", llm.dim_truncation_eval, llm.DIM_TRUNCATION_EVAL_SQL),
     ("link_prediction_aa", llm.link_prediction_aa, llm.LINK_PREDICTION_AA_SQL),
+    # lambda session stitch: the oracle IS the full-rebuild SQL
+    # (plan equivalence — the knn_graph_incremental contract)
+    ("lambda_merged_sessions", advanced.lambda_merged_sessions, advanced.SESSIONIZE_EVENTS_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

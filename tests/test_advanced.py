@@ -588,3 +588,72 @@ def test_shipping_latency_percentiles_oracle_and_recompute(spark):
         assert row["max_days"] == max(lats)
         assert abs(row["p50_days"] - statistics.median(lats)) < 1e-6
         assert row["min_days"] <= row["p50_days"] <= row["max_days"]
+
+
+def test_lambda_merged_sessions_equals_full_and_stitches(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    # the oracle IS the full-rebuild SQL - this assert is the
+    # batch + speed = rebuild proof
+    assert_matches_oracle(spark, "lambda_merged_sessions", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        lambda_merged_sessions,
+        sessionize_events,
+    )
+
+    full = sessionize_events(spark, SF_SMOKE)
+    merged = lambda_merged_sessions(spark, SF_SMOKE)
+    cols = full.columns
+    assert sorted(
+        tuple(r[c] for c in cols) for r in merged.collect()
+    ) == sorted(tuple(r[c] for c in cols) for r in full.collect())
+
+
+def test_lambda_merged_sessions_stitches_spanning_session(spark):
+    """Force a session that SPANS the batch/speed boundary and
+    check the stitch fuses it into one full-rebuild-identical row
+    (at sf0.001/sf0.01 the 24 h cutoff happens to fall in a gap for
+    every user, so this path needs a constructed frame; sf0.1 DOES
+    exercise it end-to-end - 2 fused sessions, see the probe)."""
+    import datetime as dt
+
+    from big_data_code_spark.plans.advanced import (
+        SESSION_INCR_WINDOW_US,
+        _lambda_sessions_from_events,
+        _session_rollup,
+        _sessionize_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    day_us = SESSION_INCR_WINDOW_US
+
+    def ev(eid, uid, off_us):
+        return (eid, uid, t0 + dt.timedelta(microseconds=off_us), off_us)
+
+    # max ts at offset 2*day -> cutoff at offset day. User 1 has
+    # events 10 min either side of the cutoff (gap 20 min < 30 min:
+    # MUST fuse) plus an older separate session; user 2 only speed.
+    rows = [
+        ev(1, 1, day_us - 7_200_000_000),   # separate batch session
+        ev(2, 1, day_us - 600_000_000),
+        ev(3, 1, day_us + 600_000_000),     # fuses with event 2
+        ev(4, 2, 2 * day_us),               # speed-only user, max ts
+    ]
+    frame = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, us long"
+    ).select("user_id", "ts", "event_id", "us")
+    out = sorted(
+        (
+            (r["user_id"], r["session_id"], r["n_events"], r["duration_s"])
+            for r in _lambda_sessions_from_events(frame).collect()
+        )
+    )
+    full = sorted(
+        (
+            (r["user_id"], r["session_id"], r["n_events"], r["duration_s"])
+            for r in _session_rollup(_sessionize_frame(frame)).collect()
+        )
+    )
+    assert out == full
+    # user 1: two sessions, the second FUSED across the boundary
+    assert out == [(1, 1, 1, 0), (1, 2, 2, 1200), (2, 1, 1, 0)]

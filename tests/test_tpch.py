@@ -202,6 +202,9 @@ BNLJ_ALLOWED = {
     "sessionize_incremental",    # r7 w4: one-row max-ts broadcast
                                  # (the ingest-window anchor —
                                  # trending_events_decay's shape)
+    "lambda_merged_sessions",    # r7 w4: the same one-row max-ts
+                                 # anchor broadcast on both layer
+                                 # slices
     "dim_truncation_eval",       # r7 w4: two brute-force baseline
                                  # scans (ann_cosine_topk's
                                  # allowlisted query broadcast)

@@ -1815,7 +1815,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(o_totalprice * 1e6) AS BIGINT)").alias("p_fp"),
     )
     maxd = o.agg(F.max("d_us").alias("max_us"))
-    per_cust = (
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # two consumers (threshold agg + scoring) — persist or the
+    # orders scan and customer roll-up run twice.
+    per_cust = track_persisted(
         o.groupBy("o_custkey")
         .agg(
             F.max("d_us").alias("last_us"),
@@ -1831,6 +1837,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "m_fp",
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thr = per_cust.agg(
         *[

@@ -9477,8 +9477,19 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (term_x, term_y, n_pair, pmi, rank).
     """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokenize(F.col("text")).alias("toks"))
+    # one tokenize pass feeds THREE consumers (pair explode, unigram
+    # counts, corpus totals) — persist it or each re-scans and
+    # re-tokenizes the corpus (the market_basket_lift lesson).
+    toks = track_persisted(
+        docs.select(tokenize(F.col("text")).alias("toks")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     pairs = toks.select(
         F.explode(
             F.expr(
@@ -9498,12 +9509,22 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # n_pairs in CLOSED FORM from per-doc token counts — a doc with
+    # L tokens emits Σ_{k=0}^{L-1} min(W, k) window pairs — so the
+    # heavy pair explode runs exactly once (for cxy), never re-run
+    # for the totals; the oracle keeps count(*) over its pair CTE,
+    # which equals this by construction.
+    w = PMI_WINDOW
+    n_pairs_doc = F.when(
+        F.size("toks") - 1 <= w,
+        (F.size("toks") * (F.size("toks") - 1) / 2).cast("long"),
+    ).otherwise(
+        F.lit(w * (w + 1) // 2)
+        + (F.size("toks") - 1 - w).cast("long") * F.lit(w)
+    )
     scal = toks.agg(
-        F.sum(F.size("toks")).cast("long").alias("n_tok")
-    ).crossJoin(
-        F.broadcast(
-            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        )
+        F.sum(F.size("toks")).cast("long").alias("n_tok"),
+        F.sum(n_pairs_doc).cast("long").alias("n_pairs"),
     )
     j = (
         cxy.join(

@@ -606,3 +606,122 @@ def test_chunk_dedup_matches_python_model(spark, texts):
     finally:
         llm_mod._corpus = orig
     assert got == want
+
+
+# ------------------------------------------------ r7 w3: sessionization
+
+session_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # user_id
+        st.integers(0, 400_000),      # offset seconds over ~4.6 days
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(**SETTINGS)
+@given(events=session_events_strategy)
+def test_sessionize_frame_matches_python_reference(spark, events):
+    """Gap-split sessionization vs a sequential Python scan: same
+    session count per user, every within-session gap ≤ GAP, every
+    cross-session gap > GAP, counts partition the events."""
+    import datetime as dt
+
+    from big_data_code_spark.plans.advanced import (
+        SESSION_GAP_US,
+        _session_rollup,
+        _sessionize_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=off), off * 1_000_000)
+        for i, (u, off) in enumerate(events)
+    ]
+    frame = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, us long"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in _session_rollup(_sessionize_frame(frame)).collect()
+    }
+    # python reference
+    per_user = defaultdict(list)
+    for _i, (u, off) in enumerate(events):
+        per_user[u].append(off * 1_000_000)
+    expect = {}
+    for u, offs in per_user.items():
+        offs.sort()
+        sid, start, prev, n = 0, None, None, 0
+        for us in offs:
+            if prev is None or us - prev > SESSION_GAP_US:
+                if sid:
+                    expect[(u, sid)] = (n, (prev - start) // 1_000_000)
+                sid += 1
+                start, n = us, 0
+            n += 1
+            prev = us
+        expect[(u, sid)] = (n, (prev - start) // 1_000_000)
+    assert got == expect
+
+
+# ------------------------------------------------ r7 w3: greedy selection
+
+vectors_strategy = st.lists(
+    st.tuples(
+        st.floats(-4, 4, allow_nan=False, width=32),
+        st.floats(-4, 4, allow_nan=False, width=32),
+        st.floats(-4, 4, allow_nan=False, width=32),
+    ),
+    min_size=4,
+    max_size=16,
+).filter(lambda vs: all(any(abs(x) > 1e-3 for x in v) for v in vs))
+
+
+@settings(**SETTINGS)
+@given(vecs=vectors_strategy)
+def test_kcenter_greedy_matches_python_on_random_vectors(spark, vecs):
+    """Farthest-point traversal on random 3-d vectors: the picked
+    ids and radii match a sequential-fold Python greedy exactly
+    (bit-identical cosine chain), and the radius curve never
+    increases."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import _kc_state0, _kc_update, _sel_argmax
+
+    k = min(3, len(vecs) - 1)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    frame = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cand = frame.where(F.col("vec_id") > 0)
+    anchor = frame.where(F.col("vec_id") == 0).select(
+        F.col("vec").alias("a_vec")
+    )
+    state = _kc_state0(cand, anchor).localCheckpoint(eager=True)
+    got = []
+    for _ in range(k):
+        pick = _sel_argmax(state, "dmin").localCheckpoint(eager=True)
+        prow = pick.collect()[0]
+        got.append((prow["p_id"], prow["p_score"]))
+        state = _kc_update(state, pick).localCheckpoint(eager=True)
+
+    def cos(a, b):
+        d = n = m = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n += x * x
+            m += y * y
+        return d / (n**0.5 * m**0.5)
+
+    pool = {i: [float(x) for x in v] for i, v in enumerate(vecs) if i > 0}
+    dmin = {i: 1.0 - cos(v, [float(x) for x in vecs[0]]) for i, v in pool.items()}
+    expect = []
+    for _ in range(k):
+        best = min(pool, key=lambda i: (-dmin[i], i))
+        expect.append((best, dmin[best]))
+        bv = pool.pop(best)
+        del dmin[best]
+        for i, v in pool.items():
+            dmin[i] = min(dmin[i], 1.0 - cos(v, bv))
+    assert got == expect
+    radii = [d for _, d in got]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

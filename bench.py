@@ -255,6 +255,8 @@ BENCH_QUERIES = (
     "dim_truncation_eval",
     "link_prediction_aa",
     "lambda_merged_sessions",
+    "cross_source_dedup_matrix",
+    "time_to_first_purchase",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

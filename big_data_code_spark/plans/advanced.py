@@ -2287,3 +2287,82 @@ def _lambda_sessions_from_events(ev: DataFrame) -> DataFrame:
     return _session_finalize(
         batch_keep.unionByName(merged_rows).unionByName(speed_shift)
     )
+
+
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion timing (r7 w4): per signed-up
+    user, days from FIRST signup to the first purchase at-or-after
+    it; one summary row with conversion rate and the latency
+    distribution — the activation-funnel report next to
+    `funnel_conversion` (did steps happen) and `cohort_retention`
+    (did users come back): this one asks HOW LONG activation took.
+
+    100 TB shape: one per-user min-signup agg, one equi-join back
+    onto the purchase slice (filter pushed to the scan), one
+    per-user min, one global 1-row aggregate; latencies are exact
+    integer days (epoch-µs DIV), percentiles via the driver-proven
+    `percentile ≡ quantile_cont` contract.
+
+    Returns (n_signups, n_converted, conversion_rate, p50_days,
+    p90_days).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"), F.min("signup_us").alias("signup_us"))
+        .select(
+            "user_id",
+            F.expr(f"(purchase_us - signup_us) DIV {_US_PER_DAY}").alias(
+                "lat_days"
+            ),
+        )
+    )
+    return (
+        su.join(pu, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.count("lat_days").cast("long").alias("n_converted"),
+            F.round(F.percentile("lat_days", F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile("lat_days", F.lit(0.9)), 6).alias("p90_days"),
+        )
+        .select(
+            "n_signups",
+            "n_converted",
+            (F.col("n_converted") / F.col("n_signups")).alias(
+                "conversion_rate"
+            ),
+            "p50_days",
+            "p90_days",
+        )
+    )
+
+
+TIME_TO_FIRST_PURCHASE_SQL = f"""
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+pu AS (
+  SELECT e.user_id,
+         (min(epoch_us(e.ts)) - min(su.signup_us)) // {_US_PER_DAY}
+           AS lat_days
+  FROM events e
+  JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.signup_us
+  GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(count(pu.lat_days) AS BIGINT) AS n_converted,
+       count(pu.lat_days) / count(*) AS conversion_rate,
+       round(quantile_cont(pu.lat_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(pu.lat_days, 0.9), 6) AS p90_days
+FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+"""

@@ -9865,3 +9865,93 @@ SELECT node_a, node_b, n_common,
 FROM nonedge
 QUALIFY rank <= {LINKPRED_TOPK}
 """
+
+
+def cross_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (r7 w4) — WHICH sources copy
+    from which: every MinHash-LSH near-dup pair mapped back to its
+    endpoints' source labels (seeded ids map to their base doc via
+    `% DUP_SEED_OFFSET` — the shared-constant contract), counted per
+    unordered source pair. The provenance report a curation team
+    reads before deciding which feed to de-prioritize; the dedup
+    family's find→apply→evaluate loop gains its attribute-rollup
+    axis (`source_quality_report` does the same for quality).
+
+    100 TB shape: inherits the banded-LSH pair generation (never
+    all-pairs), two broadcast-able equi-joins of the tiny (doc_id,
+    source) projection, one agg over the ≤|sources|² key space, and
+    a share window over that same tiny report — no scalar
+    broadcast, no new shuffle shape.
+
+    Returns (source_x, source_y, n_pairs, share, rank).
+    """
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=MINHASH_LSH_THRESHOLD)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.select(
+            (F.col("doc_id_a") % DUP_SEED_OFFSET).alias("base_a"),
+            (F.col("doc_id_b") % DUP_SEED_OFFSET).alias("base_b"),
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("base_a"),
+                    F.col("source").alias("source_a"),
+                )
+            ),
+            "base_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("base_b"),
+                    F.col("source").alias("source_b"),
+                )
+            ),
+            "base_b",
+        )
+    )
+    agg = j.groupBy(
+        F.least("source_a", "source_b").alias("source_x"),
+        F.greatest("source_a", "source_b").alias("source_y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    wall = Window.partitionBy()
+    wr = Window.orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    return agg.select(
+        "source_x",
+        "source_y",
+        "n_pairs",
+        (F.col("n_pairs") / F.sum("n_pairs").over(wall)).alias("share"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+CROSS_SOURCE_DEDUP_MATRIX_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}),
+lab AS (
+  SELECT p.doc_id_a, p.doc_id_b, da.source AS source_a, db.source AS source_b
+  FROM pairs p
+  JOIN documents da ON p.doc_id_a % {DUP_SEED_OFFSET} = da.doc_id
+  JOIN documents db ON p.doc_id_b % {DUP_SEED_OFFSET} = db.doc_id),
+agg AS (
+  SELECT least(source_a, source_b) AS source_x,
+         greatest(source_a, source_b) AS source_y,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lab GROUP BY 1, 2)
+SELECT source_x, source_y, n_pairs,
+       n_pairs / sum(n_pairs) OVER () AS share,
+       CAST(row_number() OVER (
+         ORDER BY n_pairs DESC, source_x, source_y) AS BIGINT) AS rank
+FROM agg
+"""

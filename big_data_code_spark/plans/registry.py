@@ -143,6 +143,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # lambda session stitch: the oracle IS the full-rebuild SQL
     # (plan equivalence — the knn_graph_incremental contract)
     ("lambda_merged_sessions", advanced.lambda_merged_sessions, advanced.SESSIONIZE_EVENTS_SQL),
+    ("cross_source_dedup_matrix", llm.cross_source_dedup_matrix, llm.CROSS_SOURCE_DEDUP_MATRIX_SQL),
+    ("time_to_first_purchase", advanced.time_to_first_purchase, advanced.TIME_TO_FIRST_PURCHASE_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

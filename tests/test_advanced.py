@@ -657,3 +657,33 @@ def test_lambda_merged_sessions_stitches_spanning_session(spark):
     assert out == full
     # user 1: two sessions, the second FUSED across the boundary
     assert out == [(1, 1, 1, 0), (1, 2, 2, 1200), (2, 1, 1, 0)]
+
+
+def test_time_to_first_purchase_oracle_and_recompute(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "time_to_first_purchase", SF_SMOKE)
+    import statistics
+
+    from big_data_code_spark.plans.advanced import time_to_first_purchase
+    from big_data_code_spark.sources.tables import load_table
+
+    row = time_to_first_purchase(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    signup, purch = {}, {}
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        if r["event_type"] == "signup":
+            signup[r["user_id"]] = min(signup.get(r["user_id"], us), us)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        u = r["user_id"]
+        if r["event_type"] == "purchase" and u in signup and us >= signup[u]:
+            purch[u] = min(purch.get(u, us), us)
+    lats = [
+        (purch[u] - signup[u]) // 86_400_000_000 for u in purch
+    ]
+    assert row["n_signups"] == len(signup)
+    assert row["n_converted"] == len(lats)
+    assert row["conversion_rate"] == len(lats) / len(signup)
+    assert abs(row["p50_days"] - statistics.median(lats)) < 1e-6

@@ -2921,3 +2921,23 @@ def test_link_prediction_aa_oracle_and_recompute(spark):
         assert abs(scores[key] / 1e6 - r["aa_score"]) < 1e-9
     aas = [r["aa_score"] for r in rows]
     assert aas == sorted(aas, reverse=True)
+
+
+def test_cross_source_dedup_matrix_oracle_and_partition(spark):
+    assert_matches_oracle(spark, "cross_source_dedup_matrix", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        MINHASH_LSH_THRESHOLD,
+        _corpus,
+        cross_source_dedup_matrix,
+    )
+    from big_data_code_spark.operators import dedup
+
+    rows = cross_source_dedup_matrix(spark, SF_SMOKE).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert all(r["source_x"] <= r["source_y"] for r in rows)
+    # pair mass equals the LSH pair count (every pair maps to
+    # exactly one source cell)
+    n_pairs = dedup.minhash_lsh_pairs(
+        _corpus(spark, SF_SMOKE), threshold=MINHASH_LSH_THRESHOLD
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs

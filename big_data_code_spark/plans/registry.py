@@ -122,11 +122,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("top_event_transitions", advanced.top_event_transitions, advanced.TOP_EVENT_TRANSITIONS_SQL),
     ("trending_events_decay", advanced.trending_events_decay, advanced.TRENDING_EVENTS_DECAY_SQL),
     ("abtest_value_ztest", advanced.abtest_value_ztest, advanced.ABTEST_VALUE_ZTEST_SQL),
-    # -- r7 wave 3 (added after the 50-entry prefix froze; they carry
-    #    this round's local driver-mimic evidence at sf0.001+sf0.01
-    #    and rotate into the prefix next round): batch sessionization
-    #    + session-path report, market-basket lift, RFM segmentation,
-    #    MAD outliers, and the two greedy diverse-selection ops.
+    # -- r7 waves 3-4 (added after the 50-entry prefix froze; every
+    #    one carries this round's local driver-mimic evidence at
+    #    sf0.001 AND sf0.01, decade probes in PROBE_r7_wave3.json,
+    #    and rotates into the prefix next round): sessionization
+    #    family (batch, incremental, lambda stitch, path report),
+    #    market-basket lift, RFM segmentation, MAD outliers,
+    #    shipping-latency SLA, signup→purchase timing, the greedy
+    #    diverse-selection pair (MMR, k-center), PMI collocations,
+    #    kNN label agreement, dimension-truncation eval, Adamic-Adar
+    #    link prediction, and the cross-source duplication matrix.
     ("sessionize_events", advanced.sessionize_events, advanced.SESSIONIZE_EVENTS_SQL),
     ("session_paths_topk", advanced.session_paths_topk, advanced.SESSION_PATHS_TOPK_SQL),
     ("market_basket_lift", advanced.market_basket_lift, advanced.MARKET_BASKET_LIFT_SQL),

@@ -725,3 +725,94 @@ def test_kcenter_greedy_matches_python_on_random_vectors(spark, vecs):
     assert got == expect
     radii = [d for _, d in got]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+@settings(**SETTINGS)
+@given(vecs=vectors_strategy)
+def test_mmr_greedy_matches_python_on_random_vectors(spark, vecs):
+    """MMR greedy selection on random 3-d vectors: picks and scores
+    match a sequential-fold Python reference exactly."""
+    from big_data_code_spark.plans.llm import (
+        MMR_LAMBDA,
+        _mmr_score,
+        _mmr_state0,
+        _mmr_update,
+        _sel_argmax,
+    )
+
+    k = min(3, len(vecs) - 1)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    frame = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cand = frame.where(F.col("vec_id") > 0)
+    anchor = frame.where(F.col("vec_id") == 0).select(
+        F.col("vec").alias("a_vec")
+    )
+    state = _mmr_state0(cand, anchor).localCheckpoint(eager=True)
+    got = []
+    for _ in range(k):
+        pick = _sel_argmax(_mmr_score(state), "score").localCheckpoint(
+            eager=True
+        )
+        prow = pick.collect()[0]
+        got.append((prow["p_id"], prow["p_score"]))
+        state = _mmr_update(state, pick).localCheckpoint(eager=True)
+
+    def cos(a, b):
+        d = n = m = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n += x * x
+            m += y * y
+        return d / (n**0.5 * m**0.5)
+
+    q = [float(x) for x in vecs[0]]
+    pool = {i: [float(x) for x in v] for i, v in enumerate(vecs) if i > 0}
+    rel = {i: cos(v, q) for i, v in pool.items()}
+    maxsim = {i: 0.0 for i in pool}
+    mu = round(1 - MMR_LAMBDA, 12)
+    expect = []
+    for _ in range(k):
+        scores = {i: MMR_LAMBDA * rel[i] - mu * maxsim[i] for i in pool}
+        best = min(pool, key=lambda i: (-scores[i], i))
+        expect.append((best, scores[best]))
+        bv = pool.pop(best)
+        del maxsim[best]
+        for i in pool:
+            maxsim[i] = max(maxsim[i], cos(pool[i], bv))
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(events=session_events_strategy)
+def test_lambda_session_stitch_equals_full_rebuild(spark, events):
+    """For ANY event set, layer-split sessionization + the boundary
+    stitch is row-identical to the full rebuild (the offsets span
+    ~4.6 days vs the 24 h cutoff window, so examples cover spanning
+    and non-spanning boundaries, speed-only and batch-only users)."""
+    import datetime as dt
+
+    from big_data_code_spark.plans.advanced import (
+        _lambda_sessions_from_events,
+        _session_rollup,
+        _sessionize_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=off), off * 1_000_000)
+        for i, (u, off) in enumerate(events)
+    ]
+    frame = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, us long"
+    )
+    cols = ("user_id", "session_id", "n_events", "session_start",
+            "session_end", "duration_s")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in _lambda_sessions_from_events(frame).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in _session_rollup(_sessionize_frame(frame)).collect()
+    )
+    assert got == want

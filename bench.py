@@ -257,6 +257,7 @@ BENCH_QUERIES = (
     "lambda_merged_sessions",
     "cross_source_dedup_matrix",
     "time_to_first_purchase",
+    "fuzzy_name_match",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

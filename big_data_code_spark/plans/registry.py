@@ -150,6 +150,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("lambda_merged_sessions", advanced.lambda_merged_sessions, advanced.SESSIONIZE_EVENTS_SQL),
     ("cross_source_dedup_matrix", llm.cross_source_dedup_matrix, llm.CROSS_SOURCE_DEDUP_MATRIX_SQL),
     ("time_to_first_purchase", advanced.time_to_first_purchase, advanced.TIME_TO_FIRST_PURCHASE_SQL),
+    ("fuzzy_name_match", advanced.fuzzy_name_match, advanced.FUZZY_NAME_MATCH_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

@@ -687,3 +687,50 @@ def test_time_to_first_purchase_oracle_and_recompute(spark):
     assert row["n_converted"] == len(lats)
     assert row["conversion_rate"] == len(lats) / len(signup)
     assert abs(row["p50_days"] - statistics.median(lats)) < 1e-6
+
+
+def test_fuzzy_name_match_oracle_and_recall(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "fuzzy_name_match", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        FUZZY_MAX_DIST,
+        fuzzy_name_match,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = fuzzy_name_match(spark, SF_SMOKE).collect()
+    assert rows, "the 8x8 name grid must contain near matches"
+    assert all(0 < r["dist"] <= FUZZY_MAX_DIST for r in rows)
+    assert all(r["name_a"] < r["name_b"] for r in rows)
+    # blocking recall vs naive all-pairs: every true lev<=2 pair
+    # SHARING a first or last token is found (the documented recall
+    # contract of the two blocking passes)
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        r["name"]
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .collect()
+    )
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in rows}
+    for na, nb in itertools.combinations(names, 2):
+        shares_block = (
+            na.split(" ")[0] == nb.split(" ")[0]
+            or na.split(" ")[-1] == nb.split(" ")[-1]
+        )
+        d = lev(na, nb)
+        if shares_block and 0 < d <= FUZZY_MAX_DIST:
+            assert got[(na, nb)] == d

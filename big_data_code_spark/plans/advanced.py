@@ -2452,3 +2452,319 @@ SELECT name_a, name_b,
 FROM cand
 WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
 """
+
+
+# -- wave 5 (r7 continuation): privacy / engagement / concentration
+#    / seasonal-baseline analytics ---------------------------------
+
+K_ANON = 5
+SEASONAL_Z = 2.0
+SEASONAL_MIN_OBS = 3
+
+
+def kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder over the customer table —
+    the privacy audit a data-release pipeline runs before exporting
+    a quasi-identifier projection (reference analog: the person-
+    level views the batch layer serves; the audit asks whether the
+    served grain re-identifies anyone).
+
+    Three generalization levels of the quasi-identifier tuple:
+    level 2 = (nation, segment, acctbal sign), level 1 =
+    (nation, segment), level 0 = (segment). For each level:
+    equivalence-class count, the smallest class, how many customers
+    sit in classes below k=5 (``K_ANON``), and the suppression
+    share a k-anonymous release would need at that grain.
+
+    100 TB shape: three map-side-combinable aggs over tiny key
+    spaces (|nation|x|segment|x2 at the finest) — one shuffle each,
+    then constant-size rollups. Never row x row.
+
+    Returns (level, n_classes, min_class, n_below_k, suppressed_share).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+
+    def level(cols: list, lvl: int) -> DataFrame:
+        classes = cust.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return classes.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+            (
+                F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+                / F.sum("n")
+            ).alias("suppressed_share"),
+        )
+
+    neg = (F.col("c_acctbal") < 0).alias("bal_neg")
+    return (
+        level([F.col("c_nationkey"), F.col("c_mktsegment"), neg], 2)
+        .unionByName(level([F.col("c_nationkey"), F.col("c_mktsegment")], 1))
+        .unionByName(level([F.col("c_mktsegment")], 0))
+    )
+
+
+KANONYMITY_REPORT_SQL = f"""
+WITH l2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+  GROUP BY c_nationkey, c_mktsegment, c_acctbal < 0),
+l1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+  GROUP BY c_nationkey, c_mktsegment),
+l0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+  GROUP BY c_mktsegment)
+SELECT CAST(2 AS INTEGER) AS level, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_below_k,
+       sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) / sum(n) AS suppressed_share
+FROM l2
+UNION ALL
+SELECT CAST(1 AS INTEGER), CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) / sum(n)
+FROM l1
+UNION ALL
+SELECT CAST(0 AS INTEGER), CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) / sum(n)
+FROM l0
+"""
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (avg DAU / WAU) per Monday-aligned
+    week — the product-analytics headline next to
+    `uniques_over_time` (which serves raw uniques; this serves the
+    ratio product teams actually watch).
+
+    Calendar-free integer bucketing so both engines agree exactly:
+    day = floor(epoch/86400); week = (day+3) div 7 (epoch day 0 was
+    a Thursday, +3 aligns week starts to Monday). avg_dau is an
+    exact int/int division (sum of daily distincts / observed
+    days), stickiness one further IEEE division.
+
+    100 TB shape: two distinct-aggregations — (day, user) and
+    (week, user) de-dup shuffles with map-side partials — then a
+    tiny per-week rollup. Never user x user; no global sort.
+
+    Returns (week_start_day, days_observed, wau, avg_dau, stickiness).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    base = ev.select(
+        day.alias("day"),
+        ((day + F.lit(3)) / 7).cast("long").alias("week"),
+        "user_id",
+    )
+    dau = (
+        base.select("day", "week", "user_id")
+        .distinct()
+        .groupBy("week", "day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    daily = dau.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("days_observed"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    wau = (
+        base.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        daily.join(wau, "week")
+        .select(
+            (F.col("week") * 7 - 3).cast("long").alias("week_start_day"),
+            "days_observed",
+            "wau",
+            (F.col("sum_dau") / F.col("days_observed")).alias("avg_dau"),
+            (
+                (F.col("sum_dau") / F.col("days_observed")) / F.col("wau")
+            ).alias("stickiness"),
+        )
+    )
+
+
+DAU_MAU_STICKINESS_SQL = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) // 7 AS BIGINT) AS week,
+         user_id
+  FROM events),
+dau AS (
+  SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM base GROUP BY 1, 2),
+daily AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS days_observed,
+         sum(dau) AS sum_dau
+  FROM dau GROUP BY 1),
+wau AS (
+  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM base GROUP BY 1)
+SELECT CAST(daily.week * 7 - 3 AS BIGINT) AS week_start_day,
+       days_observed, wau,
+       sum_dau / days_observed AS avg_dau,
+       (sum_dau / days_observed) / wau AS stickiness
+FROM daily JOIN wau ON daily.week = wau.week
+"""
+
+
+def pareto_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto / "80-20") report: users
+    ranked by event volume, cut into 10 explicit decile bands, each
+    band's share and cumulative share of all events — the answer to
+    "how top-heavy is our traffic" that sizing a serving tier (and
+    salting a skewed shuffle) both start from.
+
+    Decile assignment is explicit integer math — band =
+    ((rank-1)*10) div n_users over a (events desc, user_id) total
+    order — not NTILE, so both engines derive identical bands from
+    identical positions. Shares are exact-integer sums divided once.
+
+    100 TB shape: one combinable per-user count shuffle, then a
+    rank over the user-grain rollup (TakeOrdered-scale; at
+    production grain a two-pass range-partitioned rank), then a
+    10-row rollup + running sum over 10 rows.
+
+    Returns (decile, n_users, n_events, events_share, cum_share).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    wr = Window.orderBy(F.desc("n_ev"), "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n_ev",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_users_total"),
+    )
+    bands = ranked.select(
+        F.expr("((rn - 1) * 10) div n_users_total").cast("int").alias("decile"),
+        "n_ev",
+    )
+    agg = bands.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum("n_events").over(wall)
+    return agg.select(
+        "decile",
+        "n_users",
+        "n_events",
+        (F.col("n_events") / total).alias("events_share"),
+        (F.sum("n_events").over(wcum) / total).alias("cum_share"),
+    )
+
+
+PARETO_USER_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT n_ev,
+         row_number() OVER (ORDER BY n_ev DESC, user_id) AS rn,
+         count(*) OVER () AS n_users_total
+  FROM per_user),
+agg AS (
+  SELECT CAST(((rn - 1) * 10) // n_users_total AS INTEGER) AS decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_ev) AS BIGINT) AS n_events
+  FROM ranked GROUP BY 1)
+SELECT decile, n_users, n_events,
+       n_events / sum(n_events) OVER () AS events_share,
+       sum(n_events) OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / sum(n_events) OVER () AS cum_share
+FROM agg
+"""
+
+
+def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the hour-of-week
+    profile complement to `hourly_anomalies` (trailing window).
+    Each (event_type, epoch-hour) count is scored against the OTHER
+    observations of the same weekly slot (slot = hour_bucket mod
+    168 — pure integer arithmetic, no calendar functions, so both
+    engines bucket identically): leave-one-out mean and variance
+    from integer-exact (n, Σx, Σx²) per slot, |z| > 2 (SEASONAL_Z)
+    flagged once a slot has ≥ 3 other samples (SEASONAL_MIN_OBS).
+
+    Leave-one-out keeps the target hour out of its own baseline
+    without a second pass: mu_rest = (S1-x)/(n-1),
+    var_rest = ((S2-x²) - (S1-x)²/(n-1)) / (n-2).
+
+    100 TB shape: one hourly-rollup shuffle (combinable), one
+    |types|x168-key slot agg (tiny, broadcast back via equi-join).
+    Never row x row.
+
+    Returns (event_type, hour_bucket, cnt, zscore, is_anomaly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    hourly = hourly.withColumn("slot", F.col("hour_bucket") % 168)
+    slots = hourly.groupBy("event_type", "slot").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(slots), ["event_type", "slot"])
+    n1 = F.col("n") - 1
+    mu = (F.col("s1") - F.col("cnt")) / n1
+    var = (
+        (F.col("s2") - F.col("cnt") * F.col("cnt"))
+        - (F.col("s1") - F.col("cnt")) * (F.col("s1") - F.col("cnt")) / n1
+    ) / (F.col("n") - 2)
+    z = (F.col("cnt") - mu) / F.sqrt(var)
+    guarded = F.when((n1 >= SEASONAL_MIN_OBS) & (var > 0), z)
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(guarded, 6).alias("zscore"),
+        F.coalesce(F.abs(guarded) > SEASONAL_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SEASONAL_HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+slotted AS (
+  SELECT *, hour_bucket % 168 AS slot FROM hourly),
+slots AS (
+  SELECT event_type, slot, CAST(count(*) AS BIGINT) AS n,
+         sum(cnt) AS s1, sum(cnt * cnt) AS s2
+  FROM slotted GROUP BY 1, 2),
+j AS (
+  SELECT h.event_type, h.hour_bucket, h.cnt, s.n, s.s1, s.s2
+  FROM slotted h JOIN slots s
+    ON h.event_type = s.event_type AND h.slot = s.slot)
+SELECT event_type, hour_bucket, cnt,
+       round(CASE WHEN n - 1 >= {SEASONAL_MIN_OBS}
+                   AND ((s2 - cnt * cnt)
+                        - (s1 - cnt) * (s1 - cnt) / (n - 1)) / (n - 2) > 0
+                  THEN (cnt - (s1 - cnt) / (n - 1))
+                       / sqrt(((s2 - cnt * cnt)
+                               - (s1 - cnt) * (s1 - cnt) / (n - 1)) / (n - 2))
+             END, 6) AS zscore,
+       coalesce(abs(CASE WHEN n - 1 >= {SEASONAL_MIN_OBS}
+                          AND ((s2 - cnt * cnt)
+                               - (s1 - cnt) * (s1 - cnt) / (n - 1)) / (n - 2) > 0
+                         THEN (cnt - (s1 - cnt) / (n - 1))
+                              / sqrt(((s2 - cnt * cnt)
+                                      - (s1 - cnt) * (s1 - cnt) / (n - 1)) / (n - 2))
+                    END) > {SEASONAL_Z}, FALSE) AS is_anomaly
+FROM j
+"""

@@ -151,6 +151,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("cross_source_dedup_matrix", llm.cross_source_dedup_matrix, llm.CROSS_SOURCE_DEDUP_MATRIX_SQL),
     ("time_to_first_purchase", advanced.time_to_first_purchase, advanced.TIME_TO_FIRST_PURCHASE_SQL),
     ("fuzzy_name_match", advanced.fuzzy_name_match, advanced.FUZZY_NAME_MATCH_SQL),
+    # -- r7 wave 5 (continuation session): privacy audit, engagement
+    #    / concentration / seasonal-baseline analytics. Added after
+    #    the 50-entry prefix froze; rotate into the r8 prefix.
+    ("kanonymity_report", advanced.kanonymity_report, advanced.KANONYMITY_REPORT_SQL),
+    ("dau_mau_stickiness", advanced.dau_mau_stickiness, advanced.DAU_MAU_STICKINESS_SQL),
+    ("pareto_user_concentration", advanced.pareto_user_concentration, advanced.PARETO_USER_CONCENTRATION_SQL),
+    ("seasonal_hourly_anomalies", advanced.seasonal_hourly_anomalies, advanced.SEASONAL_HOURLY_ANOMALIES_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

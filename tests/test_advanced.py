@@ -734,3 +734,93 @@ def test_fuzzy_name_match_oracle_and_recall(spark):
         d = lev(na, nb)
         if shares_block and 0 < d <= FUZZY_MAX_DIST:
             assert got[(na, nb)] == d
+
+
+def test_kanonymity_report_oracle_and_ladder(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "kanonymity_report", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import kanonymity_report
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {r["level"]: r for r in kanonymity_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1, 2}
+    # coarsening can only merge classes: fewer classes, bigger min,
+    # no more suppression
+    assert rows[0]["n_classes"] <= rows[1]["n_classes"] <= rows[2]["n_classes"]
+    assert rows[0]["min_class"] >= rows[1]["min_class"]
+    assert rows[1]["min_class"] >= rows[2]["min_class"]
+    assert rows[0]["n_below_k"] <= rows[1]["n_below_k"] <= rows[2]["n_below_k"]
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    for r in rows.values():
+        assert 0 <= r["suppressed_share"] <= 1
+        assert r["n_below_k"] <= n_cust
+
+
+def test_dau_mau_stickiness_oracle_and_bounds(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "dau_mau_stickiness", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import dau_mau_stickiness
+
+    rows = dau_mau_stickiness(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # avg daily uniques can never exceed weekly uniques
+        assert 0 < r["stickiness"] <= 1
+        assert r["avg_dau"] <= r["wau"]
+        assert 1 <= r["days_observed"] <= 7
+        # Monday-aligned: epoch day 4 (1970-01-05) was a Monday
+        assert (r["week_start_day"] - 4) % 7 == 0
+
+
+def test_pareto_user_concentration_oracle_and_monotone(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "pareto_user_concentration", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import pareto_user_concentration
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sorted(
+        pareto_user_concentration(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    # decile 0 holds the heaviest users: per-user mean share decreasing
+    means = [r["n_events"] / r["n_users"] for r in rows]
+    assert all(a >= b for a, b in zip(means, means[1:]))
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+
+
+def test_seasonal_hourly_anomalies_oracle_and_loo(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "seasonal_hourly_anomalies", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        SEASONAL_MIN_OBS,
+        seasonal_hourly_anomalies,
+    )
+
+    rows = seasonal_hourly_anomalies(spark, SF_SMOKE).collect()
+    assert rows
+    # pure-Python leave-one-out recheck of one populated slot
+    import math
+    from collections import defaultdict
+
+    slots = defaultdict(list)
+    for r in rows:
+        slots[(r["event_type"], r["hour_bucket"] % 168)].append(r)
+    key, members = max(slots.items(), key=lambda kv: len(kv[1]))
+    assert len(members) - 1 >= SEASONAL_MIN_OBS
+    for target in members:
+        rest = [m["cnt"] for m in members if m is not target]
+        mu = sum(rest) / len(rest)
+        var = sum((x - mu) ** 2 for x in rest) / (len(rest) - 1)
+        if var > 0:
+            z = (target["cnt"] - mu) / math.sqrt(var)
+            assert abs(target["zscore"] - z) < 1e-4

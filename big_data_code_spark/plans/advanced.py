@@ -2768,3 +2768,122 @@ SELECT event_type, hour_bucket, cnt,
                     END) > {SEASONAL_Z}, FALSE) AS is_anomaly
 FROM j
 """
+
+
+#: Period split for the numeric-drift report: epoch day of
+#: 1998-01-01 — mid-corpus for the 1995..2001 order dates, so both
+#: periods are populated at every SF.
+PSI_SPLIT_DAY = 10227
+PSI_N_BINS = 10
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report over the order-value
+    distribution — the numeric-distribution complement to
+    `corpus_drift` (token JSD): orders before/after PSI_SPLIT_DAY
+    are histogrammed into 10 equi-width bins over the GLOBAL
+    [min, max] value range, and each bin contributes
+    (p2-p1)·ln(p2/p1) with Laplace +1 smoothing (so empty bins
+    don't blow up). Σ psi_contrib < 0.1 is the classic "stable"
+    gate; the per-bin rows say WHERE the mass moved.
+
+    Float contract: bin = least(9, floor((v-vmin)·10/(vmax-vmin)))
+    — one shared double expression; p's are exact int/int
+    divisions; ln on the 1e-6 grid (the `corpus_drift` contract).
+
+    100 TB shape: one pass for the four scalars (min/max/two
+    counts, map-side combinable), a one-row broadcast onto the fact
+    scan (allowlisted), one 10-key combinable agg, and a 10-row
+    join against a literal bin frame. Never row x row.
+
+    Returns (bin, n_p1, n_p2, p1, p2, psi_contrib).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    base = orders.select(
+        (day < PSI_SPLIT_DAY).alias("is_p1"), F.col("o_totalprice").alias("v")
+    )
+    scal = base.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum(F.when(F.col("is_p1"), 1).otherwise(0)).alias("n1_tot"),
+        F.sum(F.when(F.col("is_p1"), 0).otherwise(1)).alias("n2_tot"),
+    )
+    binned = base.crossJoin(F.broadcast(scal)).select(
+        F.least(
+            F.lit(PSI_N_BINS - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                * PSI_N_BINS
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+        "is_p1",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_p1"), 1).otherwise(0)).alias("n_p1"),
+        F.sum(F.when(F.col("is_p1"), 0).otherwise(1)).alias("n_p2"),
+    )
+    bins = spark.range(PSI_N_BINS).select(F.col("id").cast("long").alias("bin"))
+    full = (
+        bins.join(agg, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_p1", F.lit(0)).cast("long").alias("n_p1"),
+            F.coalesce("n_p2", F.lit(0)).cast("long").alias("n_p2"),
+        )
+        .crossJoin(F.broadcast(scal.select("n1_tot", "n2_tot")))
+    )
+    p1 = (F.col("n_p1") + 1) / (F.col("n1_tot") + PSI_N_BINS)
+    p2 = (F.col("n_p2") + 1) / (F.col("n2_tot") + PSI_N_BINS)
+    return full.select(
+        "bin",
+        "n_p1",
+        "n_p2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        ((p2 - p1) * F.round(F.ln(p2 / p1), 6)).alias("psi_contrib"),
+    )
+
+
+PSI_VALUE_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) < {PSI_SPLIT_DAY}
+           AS is_p1,
+         o_totalprice AS v
+  FROM orders),
+scal AS (
+  SELECT min(v) AS vmin, max(v) AS vmax,
+         sum(CASE WHEN is_p1 THEN 1 ELSE 0 END) AS n1_tot,
+         sum(CASE WHEN is_p1 THEN 0 ELSE 1 END) AS n2_tot
+  FROM base),
+binned AS (
+  SELECT CAST(least({PSI_N_BINS - 1},
+                    floor((v - vmin) * {PSI_N_BINS} / (vmax - vmin)))
+              AS BIGINT) AS bin,
+         is_p1
+  FROM base, scal),
+agg AS (
+  SELECT bin,
+         sum(CASE WHEN is_p1 THEN 1 ELSE 0 END) AS n_p1,
+         sum(CASE WHEN is_p1 THEN 0 ELSE 1 END) AS n_p2
+  FROM binned GROUP BY 1),
+filled AS (
+  SELECT CAST(r.range AS BIGINT) AS bin,
+         CAST(coalesce(a.n_p1, 0) AS BIGINT) AS n_p1,
+         CAST(coalesce(a.n_p2, 0) AS BIGINT) AS n_p2,
+         s.n1_tot, s.n2_tot
+  FROM range(0, {PSI_N_BINS}) r
+  LEFT JOIN agg a ON r.range = a.bin
+  CROSS JOIN scal s)
+SELECT bin, n_p1, n_p2,
+       (n_p1 + 1) / (n1_tot + {PSI_N_BINS}) AS p1,
+       (n_p2 + 1) / (n2_tot + {PSI_N_BINS}) AS p2,
+       ((n_p2 + 1) / (n2_tot + {PSI_N_BINS})
+        - (n_p1 + 1) / (n1_tot + {PSI_N_BINS}))
+       * round(ln(((n_p2 + 1) / (n2_tot + {PSI_N_BINS}))
+                  / ((n_p1 + 1) / (n1_tot + {PSI_N_BINS}))), 6) AS psi_contrib
+FROM filled
+"""

@@ -4760,28 +4760,13 @@ QUALITY_LOGIT_EXPR = _quality_logit_expr()
 QUALITY_LOGIT_THRESHOLD = 0.3621238200943576
 
 
-def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-weight quality classifier over per-row features
-    (stop-word ratio, punctuation ratio, mean token length, a
-    saturating length feature n/(n+100)): score = w·x + b, keep =
-    logit > QUALITY_LOGIT_THRESHOLD. This is the standard
-    learned-quality-filter serving shape — weights trained offline
-    (`quality_logit_train` at the pinned sf0.01 corpus, r6) and
-    frozen into the pipeline; at serve time it's a shuffle-free map
-    pass, whole-stage codegen, no shuffle at any scale.
-
-    Float contract: the logit is a fixed left-to-right chain of
-    double +/*, identical text in both engines (`QUALITY_LOGIT_EXPR`),
-    over operands that are exact integer ratios — bit-identical
-    cross-engine, so `keep` needs no tolerance.
-
-    Returns (doc_id, n_tokens, logit, keep).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "text", tokenize(F.col("text")).alias("toks")
-    )
-    feats = toks.select(
+def _quality_feats(docs: DataFrame) -> DataFrame:
+    """Per-doc serving features for the quality classifier —
+    shuffle-free map pass shared by `quality_logit` and
+    `source_score_quantile_norm` (one definition, one float
+    contract; SQL twin: `_QL_FEATS_CTE`)."""
+    toks = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    return toks.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.when(
@@ -4805,7 +4790,27 @@ def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mtl"),
         (F.size("toks") / (F.size("toks") + F.lit(100.0))).alias("sat"),
     )
-    scored = feats.withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
+
+
+def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-weight quality classifier over per-row features
+    (stop-word ratio, punctuation ratio, mean token length, a
+    saturating length feature n/(n+100)): score = w·x + b, keep =
+    logit > QUALITY_LOGIT_THRESHOLD. This is the standard
+    learned-quality-filter serving shape — weights trained offline
+    (`quality_logit_train` at the pinned sf0.01 corpus, r6) and
+    frozen into the pipeline; at serve time it's a shuffle-free map
+    pass, whole-stage codegen, no shuffle at any scale.
+
+    Float contract: the logit is a fixed left-to-right chain of
+    double +/*, identical text in both engines (`QUALITY_LOGIT_EXPR`),
+    over operands that are exact integer ratios — bit-identical
+    cross-engine, so `keep` needs no tolerance.
+
+    Returns (doc_id, n_tokens, logit, keep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _quality_feats(docs).withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -4814,8 +4819,9 @@ def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_LOGIT_SQL = f"""
-WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+#: SQL twin of `_quality_feats` — the shared serving-feature CTEs
+#: (tok, feats), spliced into every oracle that scores documents.
+_QL_FEATS_CTE = f"""tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
 feats AS (
   SELECT doc_id,
          len(tokens)::BIGINT AS n_tokens,
@@ -4833,7 +4839,10 @@ feats AS (
               THEN list_sum(list_transform(tokens, t -> length(t))) / len(tokens)
               ELSE 0.0 END AS mtl,
          len(tokens) / (len(tokens) + 100.0) AS sat
-  FROM tok),
+  FROM tok)"""
+
+QUALITY_LOGIT_SQL = f"""
+WITH {_QL_FEATS_CTE},
 scored AS (SELECT *, {QUALITY_LOGIT_EXPR} AS logit FROM feats)
 SELECT doc_id, n_tokens, round(logit, 6) AS logit,
        logit > {_dlit(QUALITY_LOGIT_THRESHOLD)} AS keep
@@ -9954,4 +9963,81 @@ SELECT source_x, source_y, n_pairs,
        CAST(row_number() OVER (
          ORDER BY n_pairs DESC, source_x, source_y) AS BIGINT) AS rank
 FROM agg
+"""
+
+
+def source_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the trained quality
+    score — the curation step that makes keep-thresholds comparable
+    across sources whose raw score distributions differ (a web
+    crawl scores systematically lower than a books source; ranking
+    WITHIN source before mixing is the Lee-et-al/CCNet-style fix).
+    Serves (raw logit, source-local quantile, global quantile) per
+    doc; downstream mixing keeps the top q of EACH source rather
+    than the top q of the pool.
+
+    Ranks are total orders on (logit, doc_id) — the logit is
+    bit-identical cross-engine (`QUALITY_LOGIT_EXPR` contract), the
+    tiebreak makes positions unique — and quantiles are exact
+    int/int divisions (rank-1)/(n-1), guarded for single-doc
+    sources.
+
+    100 TB shape: the scoring is the shuffle-free `_quality_feats`
+    map pass; source-local ranks partition by source (each source
+    sorts independently); the global rank is one range-partitioned
+    sort (expressed as a global window here — production swaps in
+    the two-pass partition-offset rank, same contract).
+
+    Returns (doc_id, source, logit, pct_source, pct_global).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        _quality_feats(docs)
+        .withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w_src = Window.partitionBy("source").orderBy("logit", "doc_id")
+    w_src_all = Window.partitionBy("source")
+    w_glob = Window.orderBy("logit", "doc_id")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "logit",
+        F.row_number().over(w_src).alias("rn_s"),
+        F.count(F.lit(1)).over(w_src_all).alias("n_s"),
+        F.row_number().over(w_glob).alias("rn_g"),
+        F.count(F.lit(1)).over(w_all).alias("n_g"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.round("logit", 6).alias("logit"),
+        F.when(
+            F.col("n_s") > 1, (F.col("rn_s") - 1) / (F.col("n_s") - 1)
+        ).alias("pct_source"),
+        F.when(
+            F.col("n_g") > 1, (F.col("rn_g") - 1) / (F.col("n_g") - 1)
+        ).alias("pct_global"),
+    )
+
+
+SOURCE_SCORE_QUANTILE_NORM_SQL = f"""
+WITH {_QL_FEATS_CTE},
+scored AS (
+  SELECT f.doc_id, d.source, {QUALITY_LOGIT_EXPR} AS logit
+  FROM feats f JOIN documents d ON f.doc_id = d.doc_id),
+ranked AS (
+  SELECT doc_id, source, logit,
+         row_number() OVER (PARTITION BY source ORDER BY logit, doc_id) AS rn_s,
+         count(*) OVER (PARTITION BY source) AS n_s,
+         row_number() OVER (ORDER BY logit, doc_id) AS rn_g,
+         count(*) OVER () AS n_g
+  FROM scored)
+SELECT doc_id, source, round(logit, 6) AS logit,
+       CASE WHEN n_s > 1 THEN (rn_s - 1) / (n_s - 1) END AS pct_source,
+       CASE WHEN n_g > 1 THEN (rn_g - 1) / (n_g - 1) END AS pct_global
+FROM ranked
 """

@@ -158,6 +158,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dau_mau_stickiness", advanced.dau_mau_stickiness, advanced.DAU_MAU_STICKINESS_SQL),
     ("pareto_user_concentration", advanced.pareto_user_concentration, advanced.PARETO_USER_CONCENTRATION_SQL),
     ("seasonal_hourly_anomalies", advanced.seasonal_hourly_anomalies, advanced.SEASONAL_HOURLY_ANOMALIES_SQL),
+    ("psi_value_drift", advanced.psi_value_drift, advanced.PSI_VALUE_DRIFT_SQL),
+    ("source_score_quantile_norm", llm.source_score_quantile_norm, llm.SOURCE_SCORE_QUANTILE_NORM_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

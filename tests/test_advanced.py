@@ -824,3 +824,26 @@ def test_seasonal_hourly_anomalies_oracle_and_loo(spark):
         if var > 0:
             z = (target["cnt"] - mu) / math.sqrt(var)
             assert abs(target["zscore"] - z) < 1e-4
+
+
+def test_psi_value_drift_oracle_and_mass(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "psi_value_drift", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        PSI_N_BINS,
+        psi_value_drift,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sorted(psi_value_drift(spark, SF_SMOKE).collect(), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(PSI_N_BINS))
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_p1"] + r["n_p2"] for r in rows) == n_orders
+    # smoothed probabilities are distributions
+    assert abs(sum(r["p1"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["p2"] for r in rows) - 1.0) < 1e-9
+    # identical-distribution sanity: PSI of a period against itself is 0
+    for r in rows:
+        if r["n_p1"] == r["n_p2"] and r["p1"] == r["p2"]:
+            assert r["psi_contrib"] == 0.0

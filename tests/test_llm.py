@@ -2941,3 +2941,27 @@ def test_cross_source_dedup_matrix_oracle_and_partition(spark):
         _corpus(spark, SF_SMOKE), threshold=MINHASH_LSH_THRESHOLD
     ).count()
     assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+def test_source_score_quantile_norm_oracle_and_ranks(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "source_score_quantile_norm", SF_SMOKE)
+    from big_data_code_spark.plans.llm import source_score_quantile_norm
+
+    rows = source_score_quantile_norm(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, members in by_src.items():
+        pcts = sorted(r["pct_source"] for r in members)
+        n = len(members)
+        # quantile normalization: within each source the pcts are
+        # exactly the uniform grid 0, 1/(n-1), ..., 1
+        assert pcts[0] == 0.0 and pcts[-1] == 1.0
+        for i, p in enumerate(pcts):
+            assert abs(p - i / (n - 1)) < 1e-12
+    # global pct ordering agrees with the logit ordering
+    srt = sorted(rows, key=lambda r: (r["logit"], r["doc_id"]))
+    gl = [r["pct_global"] for r in srt]
+    assert all(a <= b for a, b in zip(gl, gl[1:]))

@@ -532,7 +532,9 @@ def test_simhash_band_pairs_matches_bruteforce(spark, fps, flips):
 
     from big_data_code_spark.operators.dedup import simhash_band_pairs
 
-    near = fps[0]
+    # flip in unsigned space: XOR on a negative Python int can leave
+    # the signed range (bit 63 of -2**63 has infinite sign copies)
+    near = fps[0] & 0xFFFFFFFFFFFFFFFF
     for b in flips:
         near ^= 1 << b
     near = near - 2**64 if near >= 2**63 else near

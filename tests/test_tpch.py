@@ -208,6 +208,9 @@ BNLJ_ALLOWED = {
     "dim_truncation_eval",       # r7 w4: two brute-force baseline
                                  # scans (ann_cosine_topk's
                                  # allowlisted query broadcast)
+    "psi_value_drift",           # r7 w5: one-row (vmin, vmax,
+                                 # period totals) scalar broadcast —
+                                 # the corpus_drift totals shape
 }
 
 

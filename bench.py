@@ -258,6 +258,15 @@ BENCH_QUERIES = (
     "cross_source_dedup_matrix",
     "time_to_first_purchase",
     "fuzzy_name_match",
+    # r7 wave 5 (continuation session):
+    "kanonymity_report",
+    "dau_mau_stickiness",
+    "pareto_user_concentration",
+    "seasonal_hourly_anomalies",
+    "psi_value_drift",
+    "source_score_quantile_norm",
+    "rrf_hybrid_search",
+    "markov_attribution",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -2887,3 +2887,296 @@ SELECT bin, n_p1, n_p2,
                   / ((n_p1 + 1) / (n1_tot + {PSI_N_BINS}))), 6) AS psi_contrib
 FROM filled
 """
+
+
+#: Removal-effect attribution: the four non-converting event types
+#: act as channels; 'purchase' triggers absorption into CONV. The
+#: channel list is pinned (the synthetic schema's event_type
+#: domain) so the oracle's unrolled chains match the plan's.
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+MARKOV_STEPS = 8
+
+
+def _markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cnt) first-order transitions over sessionized
+    paths: START → first event, adjacent kept events, 'purchase'
+    absorbs into CONV (path truncated at the first purchase), and
+    sessions that never convert emit a terminal → NULL edge."""
+    from pyspark.sql.window import Window
+
+    sess = _sessionized_events(spark, sf_dir)
+    wk = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id", "session_id")
+    pos1 = sess.select(
+        "user_id", "session_id", "ts", "event_id", "event_type",
+        F.row_number().over(wk).alias("pos"),
+    )
+    pos2 = pos1.select(
+        "*",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).over(wp).alias("first_p"),
+        F.max("pos").over(wp).alias("last_pos"),
+    )
+    kept = pos2.where(
+        F.col("first_p").isNull() | (F.col("pos") <= F.col("first_p"))
+    ).select(
+        "user_id", "session_id", "ts", "event_id", "pos", "first_p", "last_pos",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    trans = kept.select(
+        F.coalesce(F.lag("dst").over(wk), F.lit("START")).alias("src"), "dst"
+    )
+    terminal = kept.where(
+        F.col("first_p").isNull() & (F.col("pos") == F.col("last_pos"))
+    ).select(F.col("dst").alias("src"), F.lit("NULL").alias("dst"))
+    return (
+        trans.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _markov_prob(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(chain, src, dst, p): the base chain plus one removal chain
+    per channel (transitions INTO the removed channel redirect to
+    NULL — counts transformed BEFORE the divide, so every p stays
+    an exact int/int ratio), absorbing self-loops on CONV/NULL."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    parts = [counts.select(F.lit("base").alias("chain"), "src", "dst", "cnt")]
+    for c in MARKOV_CHANNELS:
+        parts.append(
+            counts.select(
+                F.lit(c).alias("chain"),
+                "src",
+                F.when(F.col("dst") == c, F.lit("NULL"))
+                .otherwise(F.col("dst"))
+                .alias("dst"),
+                "cnt",
+            )
+        )
+    loops = counts.sparkSession.createDataFrame(
+        [
+            (chain, s, s, 1)
+            for chain in ("base", *MARKOV_CHANNELS)
+            for s in ("CONV", "NULL")
+        ],
+        "chain string, src string, dst string, cnt long",
+    )
+    mat = reduce(lambda a, b: a.unionByName(b), parts + [loops])
+    matg = mat.groupBy("chain", "src", "dst").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    wsrc = Window.partitionBy("chain", "src")
+    return matg.select(
+        "chain", "src", "dst", (F.col("cnt") / F.sum("cnt").over(wsrc)).alias("p")
+    )
+
+
+def _markov_step(v: DataFrame, prob: DataFrame) -> DataFrame:
+    """One synchronous probability-propagation step, contributions
+    on the 1e-12 BIGINT grid (the `pagerank_knn_graph` order-free
+    sum contract — all masses ≤ 1, so the grid sum stays < 2^53)."""
+    return (
+        v.withColumnRenamed("state", "src")
+        .join(prob, ["chain", "src"])
+        .select(
+            "chain",
+            F.col("dst").alias("state"),
+            F.expr("CAST(round(v * p * 1e12) AS BIGINT)").alias("c"),
+        )
+        .groupBy("chain", "state")
+        .agg(F.expr("sum(c) / 1e12").alias("v"))
+    )
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.'s chain
+    model, the data-driven alternative to last-touch): sessionized
+    event paths feed a first-order transition matrix with absorbing
+    CONV ('purchase' reached) / NULL (session ends) states;
+    conversion probability is MARKOV_STEPS unrolled propagation
+    steps from START, and each channel's removal effect is how much
+    of it vanishes when transitions into that channel are redirected
+    to NULL. Shares normalize the (clamped-at-0) effects.
+
+    100 TB shape: the data-scale work is ONE sessionization window
+    pass + one |states|²-key count agg; everything after runs on a
+    ≤ (5 chains × 7 × 7)-row matrix — per-step joins on tiny
+    checkpointed frames (cluster: the matrix fits in one partition;
+    the iteration costs nothing at any corpus size). The two
+    one-row final broadcasts are allowlisted; the per-step plan is
+    exposed via AUDIT_PLAN_HOOKS.
+
+    Returns (channel, p_conv_base, p_conv_removed, removal_effect,
+    attribution_share).
+    """
+    prob = _markov_prob(
+        spark, _markov_transition_counts(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    v = spark.createDataFrame(
+        [(chain, "START", 1.0) for chain in ("base", *MARKOV_CHANNELS)],
+        "chain string, state string, v double",
+    )
+    # MARKOV_STEPS is small and every frame is ≤ 5·|states| rows:
+    # the steps chain lazily into ONE job over the checkpointed
+    # matrix (no per-step materialization needed — contrast the
+    # corpus-sized iterates in quality_logit_train/mmr_select).
+    for _ in range(MARKOV_STEPS):
+        v = _markov_step(v, F.broadcast(prob))
+    pcs = v.where(F.col("state") == "CONV").select(
+        "chain", F.col("v").alias("pc")
+    )
+    basef = pcs.where(F.col("chain") == "base").agg(
+        F.coalesce(F.max("pc"), F.lit(0.0)).alias("p_base")
+    )
+    chanf = spark.createDataFrame(
+        [(c,) for c in MARKOV_CHANNELS], "channel string"
+    )
+    eff = (
+        chanf.join(pcs, chanf.channel == pcs.chain, "left")
+        .crossJoin(F.broadcast(basef))
+        .select(
+            "channel",
+            F.col("p_base").alias("p_conv_base"),
+            F.expr("coalesce(pc, 0e0)").alias("p_conv_removed"),
+            F.expr(
+                "CASE WHEN p_base > 0 THEN"
+                " greatest(0e0, 1e0 - coalesce(pc, 0e0) / p_base) END"
+            ).alias("removal_effect"),
+        )
+    )
+    tot = eff.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "channel",
+                        F.expr("coalesce(removal_effect, 0e0)").alias("e"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, s: a + s["e"],
+        ).alias("te")
+    )
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "p_conv_base",
+        "p_conv_removed",
+        "removal_effect",
+        F.expr(
+            "CASE WHEN te > 0 THEN removal_effect / te END"
+        ).alias("attribution_share"),
+    )
+
+
+def markov_attribution_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook: `markov_attribution` checkpoints its transition
+    matrix and every propagation step, so the registry-wide scale
+    audit would only see tiny materialized scans. Expose the two
+    UNEXECUTED shapes every run executes: the sessionize-and-count
+    plan (the data-scale pass) and one propagation step over the
+    un-checkpointed matrix (all steps are plan-identical)."""
+    counts = _markov_transition_counts(spark, sf_dir)
+    prob = _markov_prob(spark, counts)
+    v0 = spark.createDataFrame(
+        [(chain, "START", 1.0) for chain in ("base", *MARKOV_CHANNELS)],
+        "chain string, state string, v double",
+    )
+    return [counts, _markov_step(v0, prob)]
+
+
+def _markov_attribution_sql() -> str:
+    """Oracle builder: the full chain set unrolled — counts →
+    5 transition matrices → MARKOV_STEPS propagation CTEs per the
+    shared 1e-12 grid contract → removal effects."""
+    mat_parts = ["  SELECT 'base' AS chain, src, dst, cnt FROM counts"]
+    for c in MARKOV_CHANNELS:
+        mat_parts.append(
+            f"  SELECT '{c}', src,"
+            f" CASE WHEN dst = '{c}' THEN 'NULL' ELSE dst END, cnt"
+            " FROM counts"
+        )
+    for chain in ("base", *MARKOV_CHANNELS):
+        for s in ("CONV", "NULL"):
+            mat_parts.append(f"  SELECT '{chain}', '{s}', '{s}', 1")
+    mat_sql = "\n  UNION ALL\n".join(mat_parts)
+    body = f"""WITH {_SESSIONIZED_CTE},
+pos1 AS (
+  SELECT user_id, session_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS pos
+  FROM sess),
+pos2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' THEN pos END)
+           OVER (PARTITION BY user_id, session_id) AS first_p,
+         max(pos) OVER (PARTITION BY user_id, session_id) AS last_pos
+  FROM pos1),
+kept AS (
+  SELECT user_id, session_id, ts, event_id, pos, first_p, last_pos,
+         CASE WHEN event_type = 'purchase' THEN 'CONV'
+              ELSE event_type END AS dst
+  FROM pos2
+  WHERE first_p IS NULL OR pos <= first_p),
+trans AS (
+  SELECT coalesce(lag(dst) OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts, event_id), 'START') AS src,
+         dst
+  FROM kept
+  UNION ALL
+  SELECT dst AS src, 'NULL' AS dst
+  FROM kept WHERE first_p IS NULL AND pos = last_pos),
+counts AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM trans GROUP BY 1, 2),
+mat AS (
+{mat_sql}),
+matg AS (
+  SELECT chain, src, dst, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM mat GROUP BY 1, 2, 3),
+prob AS MATERIALIZED (
+  SELECT chain, src, dst,
+         cnt / sum(cnt) OVER (PARTITION BY chain, src) AS p
+  FROM matg),
+v0 AS (SELECT DISTINCT chain, 'START' AS state, 1e0 AS v FROM prob),"""
+    prev = "v0"
+    for t in range(1, MARKOV_STEPS + 1):
+        body += f"""
+v{t} AS (
+  SELECT p.chain, p.dst AS state,
+         sum(CAST(round(v.v * p.p * 1e12) AS BIGINT)) / 1e12 AS v
+  FROM {prev} v JOIN prob p ON v.chain = p.chain AND v.state = p.src
+  GROUP BY 1, 2),"""
+        prev = f"v{t}"
+    values = ", ".join(f"('{c}')" for c in MARKOV_CHANNELS)
+    body += f"""
+pcs AS (SELECT chain, v AS pc FROM {prev} WHERE state = 'CONV'),
+base AS (
+  SELECT coalesce(max(pc), 0e0) AS p_base FROM pcs WHERE chain = 'base'),
+eff AS (
+  SELECT c.channel,
+         b.p_base AS p_conv_base,
+         coalesce(p.pc, 0e0) AS p_conv_removed,
+         CASE WHEN b.p_base > 0
+              THEN greatest(0e0, 1e0 - coalesce(p.pc, 0e0) / b.p_base) END
+           AS removal_effect
+  FROM (VALUES {values}) c(channel)
+  LEFT JOIN pcs p ON p.chain = c.channel
+  CROSS JOIN base b),
+tot AS (
+  SELECT list_sum(list(coalesce(removal_effect, 0e0) ORDER BY channel)) AS te
+  FROM eff)
+SELECT channel, p_conv_base, p_conv_removed, removal_effect,
+       CASE WHEN te > 0 THEN removal_effect / te END AS attribution_share
+FROM eff CROSS JOIN tot"""
+    return body
+
+
+MARKOV_ATTRIBUTION_SQL = _markov_attribution_sql()

@@ -10041,3 +10041,177 @@ SELECT doc_id, source, round(logit, 6) AS logit,
        CASE WHEN n_g > 1 THEN (rn_g - 1) / (n_g - 1) END AS pct_global
 FROM ranked
 """
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al.'s k=60) — large
+#: enough that rank differences deep in the lists still move the
+#: fused score smoothly.
+RRF_K = 60
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 ranker
+    (`bm25_search`) and a tf-idf-cosine ranker score the same
+    BM25_N_QUERIES query documents, each contributes
+    1/(RRF_K + rank) for its top-K, and the fused top-K per query
+    is served — the standard lexical+vector fusion shape (here the
+    second ranker is the tf-idf vector-space model, so the whole
+    stack stays oracle-exact; swapping in an embedding ranker
+    changes only the second leg).
+
+    Float contract: both legs inherit their rankers' contracts
+    (1e-6-grid idf/BM25 terms folded in sorted term order →
+    bit-identical scores → identical ranks with doc_id tiebreaks);
+    the fused score is a fixed two-term sum of exact int/int
+    divisions.
+
+    100 TB shape: both legs join the (tiny) query vocabulary
+    against term-posting lists — cost ∝ postings of queried terms,
+    never corpus x corpus; corpus stats are one-row broadcasts
+    (allowlisted); fusion joins two K-row-per-query lists.
+
+    Returns (q_id, rank, doc_id, rrf_score, bm25_rank, cos_rank).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_search(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", F.expr("tf * round(ln(n_docs / df), 6)").alias("w")
+        )
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("term"), F.expr("round(w * w, 6)").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("norm2")
+    )
+    wq = w.where(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("w").alias("qw")
+    )
+    num = (
+        wq.join(w, "term")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("term"), F.expr("round(qw * w, 6)").alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("num")
+        )
+    )
+    nq = norm.select(F.col("doc_id").alias("q_id"), F.col("norm2").alias("norm2_q"))
+    cos = (
+        num.join(nq, "q_id")
+        .join(norm, "doc_id")
+        .select(
+            "q_id",
+            "doc_id",
+            F.expr("num / (sqrt(norm2_q) * sqrt(norm2))").alias("cos"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        cos.select(
+            "q_id", "doc_id", F.row_number().over(wc).cast("long").alias("cos_rank")
+        )
+        .where(F.col("cos_rank") <= BM25_TOP_K)
+    )
+    fused = (
+        lex.join(vec, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            (
+                F.coalesce(1 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1 / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.select(
+            "q_id",
+            F.row_number().over(wf).cast("long").alias("rank"),
+            "doc_id",
+            "rrf_score",
+            "bm25_rank",
+            "cos_rank",
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+    )
+
+
+RRF_HYBRID_SEARCH_SQL = f"""
+WITH lex AS (
+  SELECT q_id, doc_id, rank AS bm25_rank FROM ({BM25_SEARCH_SQL})),
+ctok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+ctf AS (SELECT doc_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
+cnd AS (SELECT count(*) AS n_docs FROM documents),
+cdfreq AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+cw AS (
+  SELECT ctf.doc_id, ctf.term,
+         ctf.tf * round(ln(cnd.n_docs / cdfreq.df), 6) AS w
+  FROM ctf JOIN cdfreq ON ctf.term = cdfreq.term CROSS JOIN cnd),
+cnorm AS (
+  SELECT doc_id, list_sum(list(round(w * w, 6) ORDER BY term)) AS norm2
+  FROM cw GROUP BY 1),
+cwq AS (
+  SELECT doc_id AS q_id, term, w AS qw FROM cw
+  WHERE doc_id < {BM25_N_QUERIES}),
+cnum AS (
+  SELECT cwq.q_id, cw.doc_id,
+         list_sum(list(round(cwq.qw * cw.w, 6) ORDER BY cwq.term)) AS num
+  FROM cwq JOIN cw ON cwq.term = cw.term
+  GROUP BY 1, 2),
+ccos AS (
+  SELECT n.q_id, n.doc_id,
+         n.num / (sqrt(nq.norm2) * sqrt(nd2.norm2)) AS cos
+  FROM cnum n
+  JOIN cnorm nq ON n.q_id = nq.doc_id
+  JOIN cnorm nd2 ON n.doc_id = nd2.doc_id),
+vec AS (
+  SELECT q_id, doc_id, cos_rank FROM (
+    SELECT q_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT)
+             AS cos_rank
+    FROM ccos)
+  WHERE cos_rank <= {BM25_TOP_K}),
+fused AS (
+  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.bm25_rank, v.cos_rank,
+         coalesce(1 / ({RRF_K} + l.bm25_rank), 0.0)
+           + coalesce(1 / ({RRF_K} + v.cos_rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+SELECT q_id, rank, doc_id, rrf_score, bm25_rank, cos_rank FROM (
+  SELECT q_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rank,
+         doc_id, rrf_score, bm25_rank, cos_rank
+  FROM fused)
+WHERE rank <= {BM25_TOP_K}
+"""

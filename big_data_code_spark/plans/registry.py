@@ -160,6 +160,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("seasonal_hourly_anomalies", advanced.seasonal_hourly_anomalies, advanced.SEASONAL_HOURLY_ANOMALIES_SQL),
     ("psi_value_drift", advanced.psi_value_drift, advanced.PSI_VALUE_DRIFT_SQL),
     ("source_score_quantile_norm", llm.source_score_quantile_norm, llm.SOURCE_SCORE_QUANTILE_NORM_SQL),
+    ("rrf_hybrid_search", llm.rrf_hybrid_search, llm.RRF_HYBRID_SEARCH_SQL),
+    ("markov_attribution", advanced.markov_attribution, advanced.MARKOV_ATTRIBUTION_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
@@ -309,6 +311,7 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "doremi_mixture_weights": llm.doremi_mixture_weights_audit_plans,
     "mmr_select": llm.mmr_select_audit_plans,
     "kcenter_select": llm.kcenter_select_audit_plans,
+    "markov_attribution": advanced.markov_attribution_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

@@ -847,3 +847,59 @@ def test_psi_value_drift_oracle_and_mass(spark):
     for r in rows:
         if r["n_p1"] == r["n_p2"] and r["p1"] == r["p2"]:
             assert r["psi_contrib"] == 0.0
+
+
+def test_markov_attribution_oracle_and_recompute(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "markov_attribution", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        MARKOV_CHANNELS,
+        MARKOV_STEPS,
+        _markov_transition_counts,
+        markov_attribution,
+    )
+
+    rows = {r["channel"]: r for r in markov_attribution(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(MARKOV_CHANNELS)
+    p_base = next(iter(rows.values()))["p_conv_base"]
+    assert 0 < p_base <= 1
+    shares = [r["attribution_share"] for r in rows.values() if r["attribution_share"] is not None]
+    if shares:
+        assert abs(sum(shares) - 1.0) < 1e-9
+    for r in rows.values():
+        # removal can only destroy conversion paths, never create them
+        assert r["p_conv_removed"] <= r["p_conv_base"] + 1e-12
+        assert r["removal_effect"] is None or r["removal_effect"] >= 0
+
+    # pure-Python propagation over the same transition counts
+    counts = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in _markov_transition_counts(spark, SF_SMOKE).collect()
+    }
+
+    def p_conv(counts, removed=None):
+        cnt = dict(counts)
+        if removed is not None:
+            red = {}
+            for (s, d), c in cnt.items():
+                d2 = "NULL" if d == removed else d
+                red[(s, d2)] = red.get((s, d2), 0) + c
+            cnt = red
+        cnt[("CONV", "CONV")] = cnt.get(("CONV", "CONV"), 0) + 1
+        cnt[("NULL", "NULL")] = cnt.get(("NULL", "NULL"), 0) + 1
+        tot = {}
+        for (s, d), c in cnt.items():
+            tot[s] = tot.get(s, 0) + c
+        v = {"START": 1.0}
+        for _ in range(MARKOV_STEPS):
+            nv = {}
+            for (s, d), c in cnt.items():
+                if s in v:
+                    nv[d] = nv.get(d, 0.0) + v[s] * (c / tot[s])
+            v = nv
+        return v.get("CONV", 0.0)
+
+    assert abs(p_conv(counts) - p_base) < 1e-6
+    for c in MARKOV_CHANNELS:
+        assert abs(p_conv(counts, removed=c) - rows[c]["p_conv_removed"]) < 1e-6

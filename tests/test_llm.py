@@ -2965,3 +2965,36 @@ def test_source_score_quantile_norm_oracle_and_ranks(spark):
     srt = sorted(rows, key=lambda r: (r["logit"], r["doc_id"]))
     gl = [r["pct_global"] for r in srt]
     assert all(a <= b for a, b in zip(gl, gl[1:]))
+
+
+def test_rrf_hybrid_search_oracle_and_fusion_math(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "rrf_hybrid_search", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        BM25_N_QUERIES,
+        BM25_TOP_K,
+        RRF_K,
+        rrf_hybrid_search,
+    )
+
+    rows = rrf_hybrid_search(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(BM25_N_QUERIES))
+    for q, members in by_q.items():
+        members.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in members] == list(range(1, len(members) + 1))
+        assert len(members) <= BM25_TOP_K
+        scores = [r["rrf_score"] for r in members]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        for r in members:
+            want = 0.0
+            if r["bm25_rank"] is not None:
+                want += 1 / (RRF_K + r["bm25_rank"])
+            if r["cos_rank"] is not None:
+                want += 1 / (RRF_K + r["cos_rank"])
+            assert abs(r["rrf_score"] - want) < 1e-12
+        # the query document itself is a top hit (cosine 1 with itself)
+        assert any(r["doc_id"] == q for r in members)

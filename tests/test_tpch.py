@@ -211,6 +211,12 @@ BNLJ_ALLOWED = {
     "psi_value_drift",           # r7 w5: one-row (vmin, vmax,
                                  # period totals) scalar broadcast —
                                  # the corpus_drift totals shape
+    "rrf_hybrid_search",         # r7 w5: inherits bm25_search's
+                                 # one-row corpus-stats broadcast
+                                 # plus the idf doc-count scalar
+    "markov_attribution",        # r7 w5: one-row p_base anchor +
+                                 # one-row effect-total broadcasts
+                                 # over the 4-channel report frame
 }
 
 

@@ -267,6 +267,11 @@ BENCH_QUERIES = (
     "source_score_quantile_norm",
     "rrf_hybrid_search",
     "markov_attribution",
+    # r7 wave 6:
+    "churn_weekly",
+    "new_vs_returning_daily",
+    "wow_growth",
+    "ewma_daily_forecast",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

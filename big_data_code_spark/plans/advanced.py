@@ -3180,3 +3180,254 @@ FROM eff CROSS JOIN tot"""
 
 
 MARKOV_ATTRIBUTION_SQL = _markov_attribution_sql()
+
+
+# -- wave 6 (r7 continuation): engagement lifecycle + forecasting --
+
+
+def churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of the users active in week w, how many never
+    return in week w+1 — the lifecycle complement to
+    `cohort_retention` (which follows one signup cohort forward;
+    this scores every adjacent week pair). Weeks are the
+    Monday-aligned integer buckets of `dau_mau_stickiness`.
+
+    100 TB shape: one (user, week) de-dup shuffle, then a
+    self-anti-join on (user, week+1) — an equi-join on the de-duped
+    frame, partitioned by user — and a per-week rollup. The last
+    observed week has no successor window and is excluded (churn
+    there is right-censored, not 100%).
+
+    Returns (week_start_day, n_active, n_churned, churn_rate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    aw = (
+        ev.select(((day + F.lit(3)) / 7).cast("long").alias("week"), "user_id")
+        .distinct()
+    )
+    nxt = aw.select((F.col("week") - 1).alias("week"), F.col("user_id").alias("u2"))
+    maxw = aw.agg(F.max("week").alias("max_week"))
+    joined = aw.join(
+        nxt,
+        (aw.week == nxt.week) & (aw.user_id == nxt.u2),
+        "left",
+    )
+    per_week = joined.groupBy(aw.week.alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.when(F.col("u2").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+    return (
+        per_week.crossJoin(F.broadcast(maxw))
+        .where(F.col("week") < F.col("max_week"))
+        .select(
+            (F.col("week") * 7 - 3).cast("long").alias("week_start_day"),
+            "n_active",
+            "n_churned",
+            (F.col("n_churned") / F.col("n_active")).alias("churn_rate"),
+        )
+    )
+
+
+CHURN_WEEKLY_SQL = """
+WITH aw AS (
+  SELECT DISTINCT
+         CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) // 7 AS BIGINT)
+           AS week,
+         user_id
+  FROM events),
+j AS (
+  SELECT a.week, a.user_id, b.user_id AS u2
+  FROM aw a LEFT JOIN aw b
+    ON b.week = a.week + 1 AND b.user_id = a.user_id),
+per_week AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN u2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+  FROM j GROUP BY 1)
+SELECT CAST(week * 7 - 3 AS BIGINT) AS week_start_day, n_active, n_churned,
+       n_churned / n_active AS churn_rate
+FROM per_week
+WHERE week < (SELECT max(week) FROM aw)
+"""
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: a user is NEW on their
+    first-ever active day, RETURNING on every later active day —
+    the acquisition-vs-retention headline over the master dataset.
+
+    100 TB shape: one (user, day) de-dup shuffle; first-active-day
+    is a per-user min over that frame (window sharing the user
+    partitioning, no second shuffle); the day rollup is combinable.
+
+    Returns (day, n_active, n_new, n_returning, new_share).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    wu = Window.partitionBy("user_id")
+    flagged = ud.select(
+        "day", (F.col("day") == F.min("day").over(wu)).alias("is_new")
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+            (F.col("n_new") / F.col("n_active")).alias("new_share"),
+        )
+    )
+
+
+NEW_VS_RETURNING_DAILY_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+flagged AS (
+  SELECT day,
+         day = min(day) OVER (PARTITION BY user_id) AS is_new
+  FROM ud),
+agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM flagged GROUP BY 1)
+SELECT day, n_active, n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       n_new / n_active AS new_share
+FROM agg
+"""
+
+
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the trend line next
+    to `trending_events_decay` (decay score) and `hourly_anomalies`
+    (residuals): weekly counts with the previous observed week's
+    count and the relative change. Monday-aligned integer weeks.
+
+    100 TB shape: one combinable (type, week) rollup, then a lag
+    window over the tiny rollup. First observed week has no
+    baseline → growth NULL.
+
+    Returns (event_type, week_start_day, cnt, prev_cnt, wow_growth).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    weekly = ev.groupBy(
+        "event_type", ((day + F.lit(3)) / 7).cast("long").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        (F.col("week") * 7 - 3).cast("long").alias("week_start_day"),
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        (
+            (F.col("cnt") - F.lag("cnt").over(w)) / F.lag("cnt").over(w)
+        ).alias("wow_growth"),
+    )
+
+
+WOW_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) // 7 AS BIGINT)
+           AS week,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(week * 7 - 3 AS BIGINT) AS week_start_day, cnt,
+       lag(cnt) OVER w AS prev_cnt,
+       (cnt - lag(cnt) OVER w) / lag(cnt) OVER w AS wow_growth
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
+def ewma_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA next-day volume forecast per event type, alpha = 1/2 —
+    the capacity-planning smoother next to the anomaly views. The
+    smoothing recursion s_i = s_{i-1}/2 + x_i/2 (s_1 = x_1) runs as
+    a sequential fold over the day-sorted daily counts; alpha = 1/2
+    keeps every multiply EXACT in IEEE (a power-of-two scale), so
+    with both engines folding in identical day order the forecast
+    is bit-identical — no grid needed.
+
+    100 TB shape: one combinable (type, day) rollup; the fold runs
+    over each type's ~O(days) array (collect_list bounded by the
+    calendar, not the corpus). Also emits the last observed day's
+    absolute residual |x_last - s_{last-1}| as the smoother's
+    one-step backtest.
+
+    Returns (event_type, days_observed, last_day, last_cnt,
+    ewma_forecast, last_abs_err).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days_observed"),
+        F.max("day").cast("long").alias("last_day"),
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("cnt").cast("double").alias("v")))
+        ).alias("xs"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(None).cast("double"),
+        lambda a, s: F.when(a.isNull(), s["v"]).otherwise(a * 0.5 + s["v"] * 0.5),
+    )
+    return arrs.select(
+        "event_type",
+        "days_observed",
+        "last_day",
+        F.element_at("xs", -1)["v"].cast("long").alias("last_cnt"),
+        fold(F.col("xs")).alias("ewma_forecast"),
+        F.when(
+            F.col("days_observed") > 1,
+            F.abs(
+                F.element_at("xs", -1)["v"]
+                - fold(F.slice(F.col("xs"), 1, F.size("xs") - 1))
+            ),
+        ).alias("last_abs_err"),
+    )
+
+
+EWMA_DAILY_FORECAST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+arrs AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS days_observed,
+         CAST(max(day) AS BIGINT) AS last_day,
+         list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY 1)
+SELECT event_type, days_observed, last_day,
+       CAST(xs[-1] AS BIGINT) AS last_cnt,
+       list_reduce(xs, (a, x) -> a * 0.5e0 + x * 0.5e0) AS ewma_forecast,
+       CASE WHEN days_observed > 1
+            THEN abs(xs[-1] - list_reduce(xs[1:-2],
+                                          (a, x) -> a * 0.5e0 + x * 0.5e0))
+       END AS last_abs_err
+FROM arrs
+"""

@@ -162,6 +162,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("source_score_quantile_norm", llm.source_score_quantile_norm, llm.SOURCE_SCORE_QUANTILE_NORM_SQL),
     ("rrf_hybrid_search", llm.rrf_hybrid_search, llm.RRF_HYBRID_SEARCH_SQL),
     ("markov_attribution", advanced.markov_attribution, advanced.MARKOV_ATTRIBUTION_SQL),
+    # -- r7 wave 6: engagement lifecycle + forecasting.
+    ("churn_weekly", advanced.churn_weekly, advanced.CHURN_WEEKLY_SQL),
+    ("new_vs_returning_daily", advanced.new_vs_returning_daily, advanced.NEW_VS_RETURNING_DAILY_SQL),
+    ("wow_growth", advanced.wow_growth, advanced.WOW_GROWTH_SQL),
+    ("ewma_daily_forecast", advanced.ewma_daily_forecast, advanced.EWMA_DAILY_FORECAST_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

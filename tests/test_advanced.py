@@ -903,3 +903,68 @@ def test_markov_attribution_oracle_and_recompute(spark):
     assert abs(p_conv(counts) - p_base) < 1e-6
     for c in MARKOV_CHANNELS:
         assert abs(p_conv(counts, removed=c) - rows[c]["p_conv_removed"]) < 1e-6
+
+
+def test_churn_weekly_oracle_and_recount(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "churn_weekly", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import churn_weekly
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = churn_weekly(spark, SF_SMOKE).collect()
+    assert rows
+    # pure-Python recount from (user, week) activity
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    act = {}
+    for r in ev:
+        week = (int(r["ts"].timestamp()) // 86400 + 3) // 7
+        act.setdefault(week, set()).add(r["user_id"])
+    last = max(act)
+    for r in rows:
+        week = (r["week_start_day"] + 3) // 7
+        assert week < last
+        assert r["n_active"] == len(act[week])
+        churned = len(act[week] - act.get(week + 1, set()))
+        assert r["n_churned"] == churned
+
+
+def test_new_vs_returning_and_wow_oracles(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "new_vs_returning_daily", SF_SMOKE)
+    assert_matches_oracle(spark, "wow_growth", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import new_vs_returning_daily
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sorted(new_vs_returning_daily(spark, SF_SMOKE).collect(),
+                  key=lambda r: r["day"])
+    # first day: everyone is new; totals = distinct users over time
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r["n_new"] for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_active"]
+
+
+def test_ewma_daily_forecast_oracle_and_fold(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "ewma_daily_forecast", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import ewma_daily_forecast
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in ewma_daily_forecast(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    daily = {}
+    for r in ev:
+        day = int(r["ts"].timestamp()) // 86400
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + 1
+    for et, row in rows.items():
+        xs = [cnt for (t, _d), cnt in sorted(daily.items()) if t == et]
+        s = None
+        for x in xs:
+            s = float(x) if s is None else s * 0.5 + x * 0.5
+        assert row["ewma_forecast"] == s  # alpha=1/2 folds are exact
+        assert row["days_observed"] == len(xs)

@@ -272,6 +272,8 @@ BENCH_QUERIES = (
     "new_vs_returning_daily",
     "wow_growth",
     "ewma_daily_forecast",
+    "node_jaccard_similarity",
+    "source_quota_thresholds",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

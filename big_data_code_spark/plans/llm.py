@@ -10215,3 +10215,184 @@ SELECT q_id, rank, doc_id, rrf_score, bm25_rank, cos_rank FROM (
   FROM fused)
 WHERE rank <= {BM25_TOP_K}
 """
+
+
+NODE_JACCARD_MIN_COMMON = 2
+NODE_JACCARD_TOPK = 50
+
+
+def node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity over the kNN graph —
+    the set-overlap companion to `link_prediction_aa` (AA weights
+    rare common neighbors; Jaccard normalizes by the union, the
+    structural-equivalence score used to re-weight edges before
+    community detection). score(a,b) = |N(a)∩N(b)| /
+    (deg a + deg b - |N(a)∩N(b)|) — an exact int/int ratio, so no
+    float grid is needed anywhere. Pairs with ≥ NODE_JACCARD_MIN_COMMON
+    common neighbors reported, existing edges INCLUDED and flagged
+    (is_edge) — re-weighting wants both.
+
+    100 TB shape: `triangle_count_knn`'s wedge machinery — one
+    persisted undirected edge list (tracked; materialized before
+    the multi-consumer fan-out), degree agg, wedge self-join
+    bounded by the kNN band cap, one combinable pair agg, a
+    left-join edge flag, and a rank window over the thresholded
+    report only. Never node x node.
+
+    Returns (node_a, node_b, n_common, jaccard, is_edge, rank).
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    g = knn_graph(spark, sf_dir)
+    edges = track_persisted(
+        g.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    nbr = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = nbr.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = nbr.select("w", F.col("n").alias("node_a"))
+    b = nbr.select("w", F.col("n").alias("node_b"))
+    common = (
+        a.join(b, "w")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= NODE_JACCARD_MIN_COMMON)
+    )
+    da = deg.select(F.col("n").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("node_b"), F.col("d").alias("db"))
+    flagged = (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .join(
+            edges.select(
+                F.col("u").alias("node_a"),
+                F.col("v").alias("node_b"),
+                F.lit(True).alias("is_edge"),
+            ),
+            ["node_a", "node_b"],
+            "left",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("jaccard"), "node_a", "node_b")
+    return flagged.select(
+        "*", F.row_number().over(wr).cast("long").alias("rank")
+    ).where(F.col("rank") <= NODE_JACCARD_TOPK)
+
+
+NODE_JACCARD_SIMILARITY_SQL = f"""
+WITH g AS ({KNN_GRAPH_SQL}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+nbr AS MATERIALIZED (
+  SELECT u AS w, v AS n FROM edges
+  UNION ALL
+  SELECT v AS w, u AS n FROM edges),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+common AS (
+  SELECT a.n AS node_a, b.n AS node_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM nbr a
+  JOIN nbr b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+  HAVING count(*) >= {NODE_JACCARD_MIN_COMMON}),
+flagged AS (
+  SELECT c.node_a, c.node_b, c.n_common,
+         c.n_common / (da.d + db.d - c.n_common) AS jaccard,
+         coalesce(e.u IS NOT NULL, FALSE) AS is_edge
+  FROM common c
+  JOIN deg da ON da.n = c.node_a
+  JOIN deg db ON db.n = c.node_b
+  LEFT JOIN edges e ON e.u = c.node_a AND e.v = c.node_b)
+SELECT node_a, node_b, n_common, jaccard, is_edge,
+       CAST(row_number() OVER (
+         ORDER BY jaccard DESC, node_a, node_b) AS BIGINT) AS rank
+FROM flagged
+QUALIFY rank <= {NODE_JACCARD_TOPK}
+"""
+
+
+#: Per-source keep quota for `source_quota_thresholds`: keep the
+#: top 1/QUOTA_DEN of each source by trained quality score.
+QUOTA_DEN = 4
+
+
+def source_quota_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep-quota thresholds — the serving artifact the
+    `source_score_quantile_norm` view exists for: keeping the top
+    QUOTA_Q of EACH source (rather than of the pool) needs one
+    frozen logit threshold per source; this emits that table plus
+    the realized keep counts. n_kept = ceil(n / QUOTA_DEN) via pure
+    integer arithmetic, and the threshold is the n_kept-th highest
+    (logit, doc_id) — exact.
+
+    100 TB shape: score = shuffle-free map pass; per-source rank =
+    one shuffle partitioned by source; the report is |sources| rows.
+
+    Returns (source, n_docs, n_kept, keep_share, logit_threshold).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        _quality_feats(docs)
+        .withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("logit"), "doc_id")
+    ws = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "logit",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n_docs"),
+    ).withColumn("n_kept", F.expr(f"(n_docs + {QUOTA_DEN - 1}) div {QUOTA_DEN}"))
+    return (
+        ranked.where(F.col("rn") == F.col("n_kept"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_kept") / F.col("n_docs")).alias("keep_share"),
+            F.round("logit", 6).alias("logit_threshold"),
+        )
+    )
+
+
+SOURCE_QUOTA_THRESHOLDS_SQL = f"""
+WITH {_QL_FEATS_CTE},
+scored AS (
+  SELECT f.doc_id, d.source, {QUALITY_LOGIT_EXPR} AS logit
+  FROM feats f JOIN documents d ON f.doc_id = d.doc_id),
+ranked AS (
+  SELECT source, logit,
+         row_number() OVER (
+           PARTITION BY source ORDER BY logit DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM scored)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs + {QUOTA_DEN - 1}) // {QUOTA_DEN} AS BIGINT) AS n_kept,
+       ((n_docs + {QUOTA_DEN - 1}) // {QUOTA_DEN}) / n_docs AS keep_share,
+       round(logit, 6) AS logit_threshold
+FROM ranked
+WHERE rn = (n_docs + {QUOTA_DEN - 1}) // {QUOTA_DEN}
+"""

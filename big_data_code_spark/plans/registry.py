@@ -167,6 +167,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("new_vs_returning_daily", advanced.new_vs_returning_daily, advanced.NEW_VS_RETURNING_DAILY_SQL),
     ("wow_growth", advanced.wow_growth, advanced.WOW_GROWTH_SQL),
     ("ewma_daily_forecast", advanced.ewma_daily_forecast, advanced.EWMA_DAILY_FORECAST_SQL),
+    ("node_jaccard_similarity", llm.node_jaccard_similarity, llm.NODE_JACCARD_SIMILARITY_SQL),
+    ("source_quota_thresholds", llm.source_quota_thresholds, llm.SOURCE_QUOTA_THRESHOLDS_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

@@ -2998,3 +2998,51 @@ def test_rrf_hybrid_search_oracle_and_fusion_math(spark):
             assert abs(r["rrf_score"] - want) < 1e-12
         # the query document itself is a top hit (cosine 1 with itself)
         assert any(r["doc_id"] == q for r in members)
+
+
+def test_node_jaccard_similarity_oracle_and_bounds(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "node_jaccard_similarity", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        NODE_JACCARD_TOPK,
+        node_jaccard_similarity,
+    )
+
+    rows = sorted(
+        node_jaccard_similarity(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert 0 < len(rows) <= NODE_JACCARD_TOPK
+    js = [r["jaccard"] for r in rows]
+    assert all(0 < j <= 1 for j in js)
+    assert all(a >= b for a, b in zip(js, js[1:]))
+    for r in rows:
+        assert r["node_a"] < r["node_b"]
+
+
+def test_source_quota_thresholds_oracle_and_quota(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "source_quota_thresholds", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        QUOTA_DEN,
+        source_quota_thresholds,
+        source_score_quantile_norm,
+    )
+
+    rows = {r["source"]: r for r in source_quota_thresholds(spark, SF_SMOKE).collect()}
+    norm = source_score_quantile_norm(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in norm:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(rows) == set(by_src)
+    for src, row in rows.items():
+        n = len(by_src[src])
+        assert row["n_docs"] == n
+        assert row["n_kept"] == -(-n // QUOTA_DEN)  # ceil
+        # applying the threshold keeps exactly n_kept docs (scores
+        # are distinct once rounded? use >= on the raw serving rule:
+        # logit >= threshold, ties broken upstream by doc_id)
+        kept = [r for r in by_src[src] if r["logit"] >= row["logit_threshold"]]
+        assert len(kept) >= row["n_kept"]

@@ -217,6 +217,9 @@ BNLJ_ALLOWED = {
     "markov_attribution",        # r7 w5: one-row p_base anchor +
                                  # one-row effect-total broadcasts
                                  # over the 4-channel report frame
+    "churn_weekly",              # r7 w6: one-row max-week broadcast
+                                 # (right-censoring cutoff — the
+                                 # trending_events_decay anchor shape)
 }
 
 

@@ -10067,7 +10067,14 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: both legs join the (tiny) query vocabulary
     against term-posting lists — cost ∝ postings of queried terms,
-    never corpus x corpus; corpus stats are one-row broadcasts
+    never corpus x corpus; the postings build (tokenize → tf) is
+    ONE definition shared by the BM25 leg, the idf weights, and the
+    doc norms — its shuffle is deduped by ReusedExchange, which
+    measured FASTER here than an explicit persist (materializing
+    the full postings table costs more than re-reading the deduped
+    exchange; contrast the multi-consumer persists in
+    `market_basket_lift`, whose intermediate is join-derived and
+    has no shared exchange). Corpus stats are one-row broadcasts
     (allowlisted); fusion joins two K-row-per-query lists.
 
     Returns (q_id, rank, doc_id, rrf_score, bm25_rank, cos_rank).
@@ -10075,13 +10082,48 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    lex = bm25_search(spark, sf_dir).select(
-        "q_id", "doc_id", F.col("rank").alias("bm25_rank")
-    )
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # BM25 leg over the shared postings (same expressions as
+    # `bm25_search` — identical scores, one tokenize pass)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("_sumdl")))
+        .select("n_docs", F.expr("_sumdl / n_docs").alias("avgdl"))
+    )
+    q = docs.where(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"),
+    )
+    bm25_scored = (
+        q.join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("q_id", "doc_id", "term", F.expr(_BM25_TERM_EXPR).alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score")
+        )
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("score"), "doc_id")
+    lex = (
+        bm25_scored.select(
+            "q_id",
+            "doc_id",
+            F.row_number().over(wl).cast("long").alias("bm25_rank"),
+        )
+        .where(F.col("bm25_rank") <= BM25_TOP_K)
+    )
+
     w = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))

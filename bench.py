@@ -274,6 +274,7 @@ BENCH_QUERIES = (
     "ewma_daily_forecast",
     "node_jaccard_similarity",
     "source_quota_thresholds",
+    "audio_energy_windows",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

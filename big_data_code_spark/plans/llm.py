@@ -10438,3 +10438,62 @@ SELECT source,
 FROM ranked
 WHERE rn = (n_docs + {QUOTA_DEN - 1}) // {QUOTA_DEN}
 """
+
+
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality analysis through the registry: asset payloads
+    interpreted as PCM16-LE mono (a REAL decode — pure byte
+    arithmetic, no codec library), split into AUDIO_WINDOW-sample
+    frames by the Arrow `mapInPandas` kernel
+    (`functions/multimodal.pcm_energy_windows`), per window: exact
+    Σs² energy, RMS, peak |s|. Extends the multimodal family
+    (metadata → decode → features → frames → resize → phash) to the
+    audio axis with the same opaque-binary + Arrow-batch plumbing;
+    a production deployment prepends a demuxer in the same kernel.
+
+    The oracle restates the int16-LE decode byte-for-byte from the
+    payload hex (lo + 256·hi, two's complement) and the identical
+    integer window sums — a hash match proves the kernel's decode
+    and windowing exactly.
+
+    100 TB shape: embarrassingly parallel map pass (Arrow batches
+    bounded by maxRecordsPerBatch); output grain ∝ total samples /
+    window. No shuffle at all.
+
+    Returns (asset_id, window_idx, sum_sq, rms, peak).
+    """
+    from ..functions.multimodal import pcm_energy_windows, synthetic_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pcm_energy_windows(synthetic_assets(docs))
+
+
+from ..functions.multimodal import AUDIO_WINDOW as _AUDIO_WINDOW
+
+AUDIO_ENERGY_WINDOWS_SQL = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, hex(CAST(text AS BLOB)) AS h,
+         CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS n_samples
+  FROM documents),
+idx AS (
+  SELECT asset_id, h,
+         unnest(range((n_samples // {_AUDIO_WINDOW}) * {_AUDIO_WINDOW})) AS i
+  FROM assets),
+smp AS (
+  SELECT asset_id, i // {_AUDIO_WINDOW} AS window_idx,
+         CASE WHEN lo + 256 * hi >= 32768
+              THEN lo + 256 * hi - 65536
+              ELSE lo + 256 * hi END AS s
+  FROM (
+    SELECT asset_id, i,
+           CAST(('0x' || substr(h, CAST(4 * i + 1 AS INT), 2)) AS BIGINT) AS lo,
+           CAST(('0x' || substr(h, CAST(4 * i + 3 AS INT), 2)) AS BIGINT) AS hi
+    FROM idx))
+SELECT asset_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       sqrt(CAST(sum(s * s) AS BIGINT) / {_AUDIO_WINDOW}) AS rms,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM smp
+GROUP BY 1, 2
+"""

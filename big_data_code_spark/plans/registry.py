@@ -169,6 +169,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("ewma_daily_forecast", advanced.ewma_daily_forecast, advanced.EWMA_DAILY_FORECAST_SQL),
     ("node_jaccard_similarity", llm.node_jaccard_similarity, llm.NODE_JACCARD_SIMILARITY_SQL),
     ("source_quota_thresholds", llm.source_quota_thresholds, llm.SOURCE_QUOTA_THRESHOLDS_SQL),
+    ("audio_energy_windows", llm.audio_energy_windows, llm.AUDIO_ENERGY_WINDOWS_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),

@@ -3046,3 +3046,42 @@ def test_source_quota_thresholds_oracle_and_quota(spark):
         # logit >= threshold, ties broken upstream by doc_id)
         kept = [r for r in by_src[src] if r["logit"] >= row["logit_threshold"]]
         assert len(kept) >= row["n_kept"]
+
+
+def test_audio_energy_windows_oracle_and_pcm_decode(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "audio_energy_windows", SF_SMOKE)
+    import math
+
+    from big_data_code_spark.functions.multimodal import AUDIO_WINDOW
+    from big_data_code_spark.plans.llm import audio_energy_windows
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = audio_energy_windows(spark, SF_SMOKE).collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # pure-Python PCM16-LE recompute of the largest asset
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    aid = max(by_asset, key=lambda a: len(by_asset[a]))
+    buf = docs[aid].encode("utf-8")
+    n = (len(buf) // 2) * 2
+    samples = []
+    for i in range(0, n, 2):
+        s = buf[i] + 256 * buf[i + 1]
+        samples.append(s - 65536 if s >= 32768 else s)
+    n_win = len(samples) // AUDIO_WINDOW
+    got = sorted(by_asset[aid], key=lambda r: r["window_idx"])
+    assert len(got) == n_win
+    for w, r in enumerate(got):
+        win = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+        ssq = sum(x * x for x in win)
+        assert r["sum_sq"] == ssq
+        assert r["peak"] == max(abs(x) for x in win)
+        assert r["rms"] == math.sqrt(ssq / AUDIO_WINDOW)
+    # windows are full-size: every asset contributes floor(n/W) rows
+    for a, rs in by_asset.items():
+        nb = (len(docs[a].encode("utf-8")) // 2) // AUDIO_WINDOW
+        assert len(rs) == nb

@@ -275,6 +275,8 @@ BENCH_QUERIES = (
     "node_jaccard_similarity",
     "source_quota_thresholds",
     "audio_energy_windows",
+    "entity_resolution_clusters",
+    "kcore_knn_graph",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

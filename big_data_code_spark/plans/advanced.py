@@ -2430,8 +2430,10 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dist") <= FUZZY_MAX_DIST)
 
 
-FUZZY_NAME_MATCH_SQL = f"""
-WITH vocab AS (
+#: Shared CTE body: blocking + edit-distance matches — spliced into
+#: both the pair report (`FUZZY_NAME_MATCH_SQL`) and the
+#: connected-components clustering (`ENTITY_RESOLUTION_CLUSTERS_SQL`).
+_FUZZY_CTE = f"""vocab AS (
   SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY 1),
 keyed AS (
@@ -2445,12 +2447,17 @@ cand AS (
   FROM keyed a
   JOIN keyed b
     ON (a.tok_last = b.tok_last OR a.tok_first = b.tok_first)
-   AND a.name < b.name)
-SELECT name_a, name_b,
-       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
-       n_parts_a, n_parts_b
-FROM cand
-WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+   AND a.name < b.name),
+matches AS (
+  SELECT name_a, name_b,
+         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+         n_parts_a, n_parts_b
+  FROM cand
+  WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST})"""
+
+FUZZY_NAME_MATCH_SQL = f"""
+WITH {_FUZZY_CTE}
+SELECT name_a, name_b, dist, n_parts_a, n_parts_b FROM matches
 """
 
 
@@ -3430,4 +3437,65 @@ SELECT event_type, days_observed, last_day,
                                           (a, x) -> a * 0.5e0 + x * 0.5e0))
        END AS last_abs_err
 FROM arrs
+"""
+
+
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: `fuzzy_name_match`'s pairwise matches
+    collapsed into entities via connected components, min-name
+    canonical labeling (the string twin of `user_id_normalization`'s
+    smallest-PersonID-wins rule) — find→CLUSTER→canonicalize, the
+    step a master-data pipeline runs between matching and merging.
+
+    100 TB shape: the match pass is the blocked vocabulary join
+    (dimension-sized); CC runs on the match edges only (≪ vocab),
+    label-propagation + pointer-jumping rounds with checkpointed
+    iterates; cluster sizes and part counts join back on name.
+    Only matched names appear (singletons are not entities).
+
+    Returns (name, canonical_name, cluster_size, n_parts).
+    """
+    from ..operators.graph import connected_components
+
+    pairs = fuzzy_name_match(spark, sf_dir).select("name_a", "name_b")
+    mapping = connected_components(pairs, "name_a", "name_b")
+    sizes = mapping.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    return (
+        mapping.select(
+            F.col("node").alias("name"),
+            F.col("component").alias("canonical_name"),
+        )
+        .join(sizes.withColumnRenamed("component", "canonical_name"), "canonical_name")
+        .join(vocab, "name")
+        .select("name", "canonical_name", "cluster_size", "n_parts")
+    )
+
+
+ENTITY_RESOLUTION_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_FUZZY_CTE},
+undirected AS (
+  SELECT name_a AS a, name_b AS b FROM matches
+  UNION
+  SELECT name_b AS a, name_a AS b FROM matches),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node),
+mapping AS (
+  SELECT node AS name, min(r) AS canonical_name
+  FROM reach GROUP BY node),
+sizes AS (
+  SELECT canonical_name, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM mapping GROUP BY 1)
+SELECT m.name, m.canonical_name, s.cluster_size, v.n_parts
+FROM mapping m
+JOIN sizes s ON s.canonical_name = m.canonical_name
+JOIN vocab v ON v.name = m.name
 """

@@ -10497,3 +10497,101 @@ SELECT asset_id,
 FROM smp
 GROUP BY 1, 2
 """
+
+
+#: k-core decomposition: 8 fixed synchronous peels at k=3 (the
+#: `label_propagation_knn` fixed-round contract — fixpoint measures
+#: at 5 rounds on the sf0.01 graph; production loops to fixpoint).
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def _kcore_peel(e: DataFrame) -> DataFrame:
+    """One synchronous peel: drop every edge with an endpoint of
+    degree < KCORE_K on the current edge set."""
+    nbr = e.select(F.col("u").alias("n")).unionByName(
+        e.select(F.col("v").alias("n"))
+    )
+    keep = (
+        nbr.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= KCORE_K)
+        .select("n")
+    )
+    return (
+        e.join(keep.withColumnRenamed("n", "u"), "u")
+        .join(keep.withColumnRenamed("n", "v"), "v")
+        .select("u", "v")
+    )
+
+
+def kcore_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the kNN similarity graph — the
+    density filter that isolates the corpus's tightly-connected
+    semantic neighborhoods (dedup-cluster hotspots, topic cores)
+    from the tree-like periphery: KCORE_ROUNDS synchronous peels
+    removing sub-KCORE_K-degree endpoints, then each surviving
+    node's degree within the core.
+
+    100 TB shape: each peel is one combinable degree agg + two
+    equi-joins on the (shrinking) checkpointed edge list — edge-
+    linear per round, the `label_propagation_knn` iteration shape;
+    never node x node. Oracle = the identical peels unrolled with
+    MATERIALIZED CTEs.
+
+    Returns (vec_id, core_degree) for nodes in the k-core.
+    """
+    g = knn_graph(spark, sf_dir)
+    e = (
+        g.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_ROUNDS):
+        e = _kcore_peel(e).localCheckpoint(eager=True)
+    nbr = e.select(F.col("u").alias("n")).unionByName(
+        e.select(F.col("v").alias("n"))
+    )
+    return nbr.groupBy(F.col("n").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+def kcore_knn_graph_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook: every peel is checkpointed, so expose one
+    UNEXECUTED peel over the un-checkpointed edge list (all rounds
+    are plan-identical) for the registry-wide scale sweep."""
+    g = knn_graph(spark, sf_dir)
+    e = g.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    return [_kcore_peel(e)]
+
+
+def _kcore_sql() -> str:
+    body = f"""WITH g AS ({KNN_GRAPH_SQL}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),"""
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        body += f"""
+k{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev})
+  GROUP BY n HAVING count(*) >= {KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{r} a ON e.u = a.n
+  JOIN k{r} b ON e.v = b.n),"""
+        prev = f"e{r}"
+    body += f"""
+final AS (
+  SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev})
+SELECT n AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM final GROUP BY 1"""
+    return body
+
+
+KCORE_KNN_GRAPH_SQL = _kcore_sql()

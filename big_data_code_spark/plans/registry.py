@@ -170,6 +170,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("node_jaccard_similarity", llm.node_jaccard_similarity, llm.NODE_JACCARD_SIMILARITY_SQL),
     ("source_quota_thresholds", llm.source_quota_thresholds, llm.SOURCE_QUOTA_THRESHOLDS_SQL),
     ("audio_energy_windows", llm.audio_energy_windows, llm.AUDIO_ENERGY_WINDOWS_SQL),
+    ("entity_resolution_clusters", advanced.entity_resolution_clusters, advanced.ENTITY_RESOLUTION_CLUSTERS_SQL),
+    ("kcore_knn_graph", llm.kcore_knn_graph, llm.KCORE_KNN_GRAPH_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
@@ -320,6 +322,7 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "mmr_select": llm.mmr_select_audit_plans,
     "kcenter_select": llm.kcenter_select_audit_plans,
     "markov_attribution": advanced.markov_attribution_audit_plans,
+    "kcore_knn_graph": llm.kcore_knn_graph_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

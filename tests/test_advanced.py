@@ -968,3 +968,45 @@ def test_ewma_daily_forecast_oracle_and_fold(spark):
             s = float(x) if s is None else s * 0.5 + x * 0.5
         assert row["ewma_forecast"] == s  # alpha=1/2 folds are exact
         assert row["days_observed"] == len(xs)
+
+
+def test_entity_resolution_clusters_oracle_and_transitivity(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "entity_resolution_clusters", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        entity_resolution_clusters,
+        fuzzy_name_match,
+    )
+
+    rows = entity_resolution_clusters(spark, SF_SMOKE).collect()
+    assert rows
+    canon = {r["name"]: r["canonical_name"] for r in rows}
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r["canonical_name"], set()).add(r["name"])
+        assert r["canonical_name"] <= r["name"]  # min-name labeling
+    for r in rows:
+        assert r["cluster_size"] == len(sizes[r["canonical_name"]])
+        assert r["cluster_size"] >= 2  # only matched names cluster
+    # every matched pair landed in one cluster (transitive closure)
+    for p in fuzzy_name_match(spark, SF_SMOKE).collect():
+        assert canon[p["name_a"]] == canon[p["name_b"]]
+    # pure-Python union-find recheck
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for p in fuzzy_name_match(spark, SF_SMOKE).collect():
+        ra, rb = find(p["name_a"]), find(p["name_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in parent:
+        groups.setdefault(find(n), set()).add(n)
+    want = {min(g | {root}): (g | {root}) for root, g in
+            ((r, {n for n in parent if find(n) == r}) for r in set(map(find, parent)))}
+    got = {c: names for c, names in sizes.items()}
+    assert got == {min(v): v for v in want.values()}

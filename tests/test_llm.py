@@ -3085,3 +3085,37 @@ def test_audio_energy_windows_oracle_and_pcm_decode(spark):
     for a, rs in by_asset.items():
         nb = (len(docs[a].encode("utf-8")) // 2) // AUDIO_WINDOW
         assert len(rs) == nb
+
+
+def test_kcore_knn_graph_oracle_and_peel(spark):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "kcore_knn_graph", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_knn_graph,
+        knn_graph,
+    )
+
+    rows = {r["vec_id"]: r["core_degree"] for r in kcore_knn_graph(spark, SF_SMOKE).collect()}
+    assert rows
+    # pure-Python peel over the same edges
+    E = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in knn_graph(spark, SF_SMOKE).collect()
+    }
+    from collections import Counter
+
+    for _ in range(KCORE_ROUNDS):
+        deg = Counter()
+        for u, v in E:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        E = {(u, v) for u, v in E if u in keep and v in keep}
+    deg = Counter()
+    for u, v in E:
+        deg[u] += 1
+        deg[v] += 1
+    assert rows == dict(deg)

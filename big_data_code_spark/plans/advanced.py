@@ -3499,3 +3499,473 @@ FROM mapping m
 JOIN sizes s ON s.canonical_name = m.canonical_name
 JOIN vocab v ON v.name = m.name
 """
+
+
+# ---------------------------------------------------- r7 wave 8:
+# distributional drift (exact KS), digit-law DQ audit
+
+
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per source: the KS
+    statistic D = max_v |F_ref(v) − F_src(v)| between each source's
+    document-length distribution and the reference source (the
+    alphabetically-first source — a deterministic in-plan scalar,
+    stands in for the production "last known-good snapshot"). The
+    distribution-shape companion to `psi_value_drift`'s binned
+    score: KS needs no binning choice and is sensitive anywhere in
+    the CDF.
+
+    EXACT arithmetic throughout: with integer values and integer
+    counts, D's argmax is found on |ca·n_ref − cr·n_src| (BIGINT
+    cross-multiplication — no float CDFs to disagree about) and
+    only the final max is divided once. 100 TB shape: one
+    combinable (source, value) count shuffle; the (source × value)
+    evaluation grid and its cumulative windows are bounded by the
+    VALUE DOMAIN × source count (like the calendar-bounded running
+    sums), not the corpus; the grid cross join broadcasts the
+    distinct-value dim.
+
+    Returns (source, n_src, n_ref, ks_d) for every non-ref source.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ref_name = docs.agg(F.min("source").alias("ref_source"))
+    counts = counts.crossJoin(F.broadcast(ref_name))
+    refc = counts.where(F.col("source") == F.col("ref_source")).select(
+        "v", F.col("c").alias("cr")
+    )
+    others = counts.where(F.col("source") != F.col("ref_source")).select(
+        "source", "v", "c"
+    )
+    vals = counts.select("v").distinct()
+    grid = others.select("source").distinct().crossJoin(F.broadcast(vals))
+    g = (
+        grid.join(others, ["source", "v"], "left")
+        .join(refc, "v", "left")
+        .select(
+            "source",
+            "v",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "source",
+        F.sum("c").over(w).alias("ca"),
+        F.sum("cr").over(w).alias("cb"),
+    )
+    tot = cum.groupBy("source").agg(
+        F.max("ca").cast("long").alias("n_src"),
+        F.max("cb").cast("long").alias("n_ref"),
+    )
+    return (
+        cum.join(tot, "source")
+        .groupBy("source", "n_src", "n_ref")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("n_ref") - F.col("cb") * F.col("n_src"))
+            ).alias("_dnum")
+        )
+        .select(
+            "source",
+            "n_src",
+            "n_ref",
+            (F.col("_dnum") / (F.col("n_src") * F.col("n_ref"))).alias("ks_d"),
+        )
+    )
+
+
+KS_SOURCE_DRIFT_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+ref AS (SELECT min(source) AS ref_source FROM documents),
+refc AS (
+  SELECT v, c AS cr FROM counts CROSS JOIN ref
+  WHERE source = ref_source),
+others AS (
+  SELECT source, v, c FROM counts CROSS JOIN ref
+  WHERE source <> ref_source),
+vals AS (SELECT DISTINCT v FROM counts),
+grid AS (
+  SELECT s.source, vals.v
+  FROM (SELECT DISTINCT source FROM others) s CROSS JOIN vals),
+g AS (
+  SELECT grid.source, grid.v,
+         coalesce(o.c, 0) AS c, coalesce(r.cr, 0) AS cr
+  FROM grid
+  LEFT JOIN others o ON o.source = grid.source AND o.v = grid.v
+  LEFT JOIN refc r ON r.v = grid.v),
+cum AS (
+  SELECT source,
+         sum(c) OVER w AS ca, sum(cr) OVER w AS cb
+  FROM g
+  WINDOW w AS (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT source, CAST(max(ca) AS BIGINT) AS n_src,
+         CAST(max(cb) AS BIGINT) AS n_ref
+  FROM cum GROUP BY 1)
+SELECT c.source, t.n_src, t.n_ref,
+       CAST(max(abs(c.ca * t.n_ref - c.cb * t.n_src)) AS BIGINT)
+         / (t.n_src * t.n_ref) AS ks_d
+FROM cum c JOIN tot t ON c.source = t.source
+GROUP BY c.source, t.n_src, t.n_ref
+"""
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals per order
+    priority — the fraud/DQ screen finance pipelines run over
+    amount columns (synthetic TPC-H prices are ~uniform, so the
+    audit FLAGS them — deviation is the point of the report, not an
+    assumption of conformance). Complements `dq_checks`' structural
+    nulls/ranges with a distributional test.
+
+    The leading digit is extracted in EXACT integer space: cents =
+    round(price·100) as BIGINT, digit = first character of the
+    decimal rendering (leading digit is scale-invariant, and
+    int-to-string is identical cross-engine where float log10
+    flooring is not). Expected shares are log10(1 + 1/d) on the
+    1e-6 round grid. The digit grid is a literal explode — every
+    (priority, digit) cell is present, observed share 0 where
+    unseen.
+
+    100 TB shape: one combinable (priority, digit) count shuffle
+    into a 5×9 report; totals join on the tiny priority dim. Never
+    a global sort.
+
+    Returns (o_orderpriority, digit, n_orders, share, expected_share,
+    abs_dev).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy("o_orderpriority", digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("n_total")
+    )
+    grid = totals.select(
+        "o_orderpriority",
+        "n_total",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+    )
+    expected = F.expr("round(log10(1e0 + 1e0 / digit), 6)")
+    return (
+        grid.join(counts, ["o_orderpriority", "digit"], "left")
+        .select(
+            "o_orderpriority",
+            "digit",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            (F.coalesce("n_orders", F.lit(0)) / F.col("n_total")).alias("share"),
+            expected.alias("expected_share"),
+            F.abs(
+                F.coalesce("n_orders", F.lit(0)) / F.col("n_total") - expected
+            ).alias("abs_dev"),
+        )
+    )
+
+
+BENFORD_DIGIT_AUDIT_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2),
+totals AS (
+  SELECT o_orderpriority, CAST(sum(n_orders) AS BIGINT) AS n_total
+  FROM counts GROUP BY 1),
+grid AS (
+  SELECT o_orderpriority, n_total, CAST(d AS INT) AS digit
+  FROM totals, range(1, 10) t(d))
+SELECT g.o_orderpriority, g.digit,
+       CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(c.n_orders, 0) / g.n_total AS share,
+       round(log10(1e0 + 1e0 / g.digit), 6) AS expected_share,
+       abs(coalesce(c.n_orders, 0) / g.n_total
+           - round(log10(1e0 + 1e0 / g.digit), 6)) AS abs_dev
+FROM grid g
+LEFT JOIN counts c
+  ON c.o_orderpriority = g.o_orderpriority AND c.digit = g.digit
+"""
+
+
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (co-occurrence cosine):
+    for every part, its top-5 "customers also bought" neighbors by
+    cosine over order co-occurrence — the serving artifact a recsys
+    exports, at PART grain where `market_basket_lift` reports the
+    brand-grain association table. cos(a,b) =
+    n_ab / √(n_a·n_b) on exact BIGINT counts; one √ and one ÷ per
+    pair, identical cross-engine.
+
+    100 TB shape: pair generation is the orderkey self-join with
+    bounded basket fan-out (≤7 lineitems per TPC-H order ⇒ ≤21
+    pairs per order — corpus-linear, never item×item); pair and
+    item counts are map-side-combinable; the top-k window
+    partitions by item over its CO-OCCURRING neighbors only
+    (bounded by the pair table, not the catalog). Ordering is
+    deterministic: cosine doubles are bit-identical cross-engine,
+    ties broken by neighbor key.
+
+    Returns (item, rank, neighbor, n_pair, cosine).
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # (order, item) distinct feeds three consumers (item counts +
+    # both self-join sides) — the market_basket_lift persist lesson.
+    items = track_persisted(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_partkey").alias("item"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    item_cnt = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("neighbor"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    scored = (
+        pairs.join(item_cnt.withColumnRenamed("cnt", "cnt_a"), "item")
+        .join(
+            item_cnt.withColumnRenamed("cnt", "cnt_b").withColumnRenamed(
+                "item", "neighbor"
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_pair",
+            F.expr(
+                "n_pair / sqrt(CAST(cnt_a * cnt_b AS DOUBLE))"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("item", "rank", "neighbor", "n_pair", "cosine")
+    )
+
+
+ITEM_ITEM_COSINE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem),
+item_cnt AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.item, b.item AS neighbor, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.item, p.neighbor, p.n_pair,
+         p.n_pair / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN item_cnt ca ON p.item = ca.item
+  JOIN item_cnt cb ON p.neighbor = cb.item)
+SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, n_pair, cosine
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY item ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order concurrency: for every day, how many orders are
+    in flight (placed but not yet fully shipped — interval
+    [orderdate, max lineitem shipdate])? The interval-overlap
+    counting problem solved WITHOUT a range join: each order emits
+    +1 at its start day and −1 the day after its end day; the daily
+    net deltas cumulate into the concurrency curve.
+
+    100 TB shape: one per-order max-shipdate rollup (combinable),
+    one ±1 delta union, one combinable (day, Σdelta) agg — then the
+    running sum runs over the CALENDAR-bounded daily frame (a few
+    thousand rows at any corpus size; the `ewma_daily_forecast`
+    pattern), not the fact table. All-integer day buckets
+    (floor(epoch/86400)) — no calendar/tz casts to disagree about.
+
+    Returns (day, opened, closed, open_orders) for days with
+    activity.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("start_day"),
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.floor(F.max(F.unix_timestamp("l_shipdate")) / 86400)
+            .cast("long")
+            .alias("end_day")
+        )
+    )
+    # LEFT join: an order with no lineitems has nothing shipped —
+    # it opens and never closes (the honest backlog semantics; the
+    # conservation test pins Σclosed = orders WITH lineitems).
+    iv = orders.join(ends, orders.o_orderkey == ends.l_orderkey, "left").select(
+        "start_day", "end_day"
+    )
+    deltas = iv.select(
+        F.col("start_day").alias("day"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        iv.where(F.col("end_day").isNotNull()).select(
+            (F.col("end_day") + 1).alias("day"), F.lit(-1).cast("long").alias("d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("opened"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("long").alias("closed"),
+        F.sum("d").cast("long").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+OPEN_ORDERS_OVER_TIME_SQL = """
+WITH iv AS (
+  SELECT CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS start_day,
+         CAST(floor(max(epoch(l.l_shipdate)) / 86400) AS BIGINT) AS end_day
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate),
+deltas AS (
+  SELECT start_day AS day, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT end_day + 1, CAST(-1 AS BIGINT) FROM iv WHERE end_day IS NOT NULL),
+daily AS (
+  SELECT day,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS closed,
+         CAST(sum(d) AS BIGINT) AS net
+  FROM deltas GROUP BY 1)
+SELECT day, opened, closed,
+       CAST(sum(net) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily
+"""
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form OLS (slope + intercept)
+    of weekly revenue against the week index — the "is this market
+    growing?" regression a BI layer fits per dimension. Everything
+    before the final two divisions is EXACT integer arithmetic:
+    y = weekly revenue on the whole-DOLLAR grid (round(price), a
+    BIGINT), x = Monday-aligned epoch week ((day+3) div 7, the
+    `dau_mau_stickiness` bucketing); slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+
+    100 TB shape: one combinable (nation, week, Σdollars) rollup
+    shuffle, then per-nation sums over CALENDAR-bounded weekly
+    points (≤ a few hundred rows per nation at any corpus size), a
+    25-row closed-form finish. Overflow audit at the design point:
+    x < 2¹¹, weekly dollars < 2⁴⁰ even at sf100 ⇒ nΣxy < 2⁶² —
+    inside BIGINT; the dollar (not cent) grid is what buys the
+    headroom, documented here.
+
+    Returns (nation, n_weeks, slope, intercept).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    weekly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.floor(F.unix_timestamp("o_orderdate") / 86400) + 3) / 7
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    sums = weekly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return sums.select(
+        "nation",
+        F.col("n").alias("n_weeks"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+REVENUE_TREND_OLS_SQL = """
+WITH weekly AS (
+  SELECT n.n_name AS nation,
+         -- day must be BIGINT before // : DuckDB's // on DOUBLE is
+         -- plain division and CAST(double AS BIGINT) rounds
+         (CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) + 3) // 7 AS x,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+sums AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM weekly GROUP BY 1)
+SELECT nation, n AS n_weeks,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
+FROM sums
+"""

@@ -10595,3 +10595,204 @@ FROM final GROUP BY 1"""
 
 
 KCORE_KNN_GRAPH_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------- r7 wave 8:
+# graph centrality (HITS), graded retrieval eval (nDCG)
+
+#: HITS fixed synchronous rounds (the `pagerank_knn_graph` contract:
+#: production iterates to convergence; the registered query pins a
+#: cross-engine-checkable round count).
+HITS_ITERATIONS = 3
+#: Order-free fixed-point grid for the per-edge score contributions
+#: (the `pca_power_iteration` / `pagerank_knn_graph` BIGINT-sum
+#: pattern): scores are max-normalized into [0, 1] each half-round,
+#: so round(score·1e9) keeps 9 significant digits at ANY corpus size
+#: — unlike a sum-normalization, whose per-node mass ~1/n would
+#: collapse the grid at 1e9 nodes.
+_HITS_GRID = "CAST(round({col} * 1e9) AS BIGINT)"
+
+
+def hits_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed kNN graph
+    (`knn_graph` edges src→dst): HITS_ITERATIONS synchronous
+    rounds of auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    each half-round max-normalized (Kleinberg's power iteration on
+    AᵀA / AAᵀ) — the centrality pair that separates "points at good
+    documents" from "is pointed at": the curation signal PageRank's
+    single score conflates.
+
+    Each half-round is ONE hash join keyed by node (edge × score) +
+    one combinable BIGINT agg + a one-row max broadcast; edges are
+    persisted across the 2·HITS_ITERATIONS consumptions. Scores
+    ride the order-free fixed-point grid, so results are
+    partitioning-independent; max-normalization keeps the grid
+    conditioned at any n (see _HITS_GRID). Nodes with no in-edges
+    hold auth = 0 (and symmetrically hub = 0) — documented, matches
+    the oracle's left joins.
+
+    Returns (vec_id, hub, auth) for every vector.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    edges = track_persisted(
+        knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = _embeddings(spark, sf_dir).select("vec_id")
+    hub = nodes.select("vec_id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(HITS_ITERATIONS):
+
+        def half(scores: DataFrame, col: str, key_in: str, key_out: str,
+                 out: str) -> DataFrame:
+            # scores(vec_id, col) joined onto edges at key_in; sums
+            # keyed by key_out; max-normalized on the BIGINT grid.
+            c = edges.join(
+                scores.withColumnRenamed("vec_id", key_in), key_in
+            ).select(key_out, F.expr(_HITS_GRID.format(col=col)).alias("c"))
+            s = c.groupBy(key_out).agg(F.sum("c").alias("s"))
+            m = s.agg(F.max("s").alias("m"))
+            return (
+                nodes.join(
+                    s.withColumnRenamed(key_out, "vec_id"), "vec_id", "left"
+                )
+                .select("vec_id", F.coalesce("s", F.lit(0)).alias("s"))
+                .crossJoin(F.broadcast(m))
+                .select(
+                    "vec_id",
+                    F.expr("CAST(s AS DOUBLE) / m").alias(out),
+                )
+            )
+
+        auth = half(hub, "hub", "src", "dst", "auth")
+        hub = half(auth, "auth", "dst", "src", "hub")
+    return hub.join(auth, "vec_id").select("vec_id", "hub", "auth")
+
+
+def _hits_sql() -> str:
+    gup = _HITS_GRID.format(col="p.hub")
+    gdn = _HITS_GRID.format(col="p.auth")
+    body = f"""WITH g AS MATERIALIZED (SELECT src, dst FROM ({KNN_GRAPH_SQL})),
+nodes AS (SELECT vec_id FROM embeddings),
+h0 AS (SELECT vec_id, 1e0 AS hub FROM nodes),"""
+    prev = "h0"
+    for it in range(1, HITS_ITERATIONS + 1):
+        body += f"""
+ac{it} AS (
+  SELECT e.dst, {gup} AS c
+  FROM g e JOIN {prev} p ON e.src = p.vec_id),
+asum{it} AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM ac{it} GROUP BY 1),
+am{it} AS (SELECT CAST(max(s) AS BIGINT) AS m FROM asum{it}),
+a{it} AS (
+  SELECT n.vec_id,
+         CAST(coalesce(s.s, 0) AS DOUBLE) / t.m AS auth
+  FROM nodes n LEFT JOIN asum{it} s ON n.vec_id = s.dst CROSS JOIN am{it} t),
+hc{it} AS (
+  SELECT e.src, {gdn} AS c
+  FROM g e JOIN a{it} p ON e.dst = p.vec_id),
+hsum{it} AS (SELECT src, CAST(sum(c) AS BIGINT) AS s FROM hc{it} GROUP BY 1),
+hm{it} AS (SELECT CAST(max(s) AS BIGINT) AS m FROM hsum{it}),
+h{it} AS (
+  SELECT n.vec_id,
+         CAST(coalesce(s.s, 0) AS DOUBLE) / t.m AS hub
+  FROM nodes n LEFT JOIN hsum{it} s ON n.vec_id = s.src CROSS JOIN hm{it} t),"""
+        prev = f"h{it}"
+    body = body.rstrip(",")
+    return body + f"""
+SELECT h.vec_id, h.hub, a.auth
+FROM h{HITS_ITERATIONS} h JOIN a{HITS_ITERATIONS} a ON h.vec_id = a.vec_id
+"""
+
+
+HITS_KNN_GRAPH_SQL = _hits_sql()
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k evaluation of the approximate ANN paths — the GRADED
+    twin of `ann_recall_eval`: instead of flat hit counting, each
+    exact-top-k neighbor carries a graded relevance rel = k−rank+1
+    (brute-force rank 1 ⇒ rel = k), and each approximate list is
+    scored by position, DCG = Σ rel(pos)/log2(pos+1). Rewards an
+    index for ranking the best neighbors FIRST, which recall@k
+    cannot see.
+
+    Both DCG and the (constant) ideal DCG ride a 1e6 fixed-point
+    grid term-by-term (log2 rounded to 1e-6 first — the idf
+    contract), so the sums are order-free BIGINTs and nDCG is one
+    exact BIGINT/BIGINT division. The eval joins the tiny top-k
+    result sets (queries × k rows) — it costs nothing beyond the
+    index scans it audits; inherits `ann_cosine_topk`'s documented
+    brute-force baseline (scale path: the IVF/LSH indexes under
+    audit).
+
+    Returns (method, q_id, ndcg).
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_id", "vec_id", (F.lit(ANN_K) - F.col("rank") + 1).alias("rel")
+    )
+    qids = exact.select("q_id").distinct()
+    idcg = (
+        f"aggregate(sequence(1, {ANN_K}), 0L, (acc, i) -> acc + "
+        f"CAST(round(({ANN_K} - i + 1) / round(log2(i + 1), 6) * 1e6)"
+        " AS BIGINT))"
+    )
+    parts = []
+    for method, fn in (("ivf", ann_ivf), ("lsh", ann_lsh)):
+        ap = fn(spark, sf_dir).select("q_id", F.col("rank").alias("pos"), "vec_id")
+        dcg = (
+            ap.join(exact, ["q_id", "vec_id"])
+            .select(
+                "q_id",
+                F.expr(
+                    "CAST(round(rel / round(log2(pos + 1), 6) * 1e6) AS BIGINT)"
+                ).alias("t"),
+            )
+            .groupBy("q_id")
+            .agg(F.sum("t").alias("dcg"))
+        )
+        parts.append(
+            qids.join(dcg, "q_id", "left").select(
+                F.lit(method).alias("method"),
+                "q_id",
+                (F.coalesce("dcg", F.lit(0)) / F.expr(idcg)).alias("ndcg"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+NDCG_RETRIEVAL_EVAL_SQL = f"""
+WITH exact AS (
+  SELECT q_id, vec_id, {ANN_K} - rank + 1 AS rel
+  FROM ({ANN_COSINE_TOPK_SQL})),
+lsh AS (SELECT q_id, rank AS pos, vec_id FROM ({ANN_LSH_SQL})),
+ivf AS (SELECT q_id, rank AS pos, vec_id FROM ({ANN_IVF_SQL})),
+qids AS (SELECT DISTINCT q_id FROM exact),
+idcg AS (
+  SELECT CAST(sum(CAST(round(({ANN_K} - i + 1)
+                             / round(log2(i + 1), 6) * 1e6) AS BIGINT))
+              AS BIGINT) AS ideal
+  FROM range(1, {ANN_K} + 1) t(i)),
+d AS (
+  SELECT 'ivf' AS method, a.q_id,
+         CAST(sum(CAST(round(e.rel / round(log2(a.pos + 1), 6) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS dcg
+  FROM ivf a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+  UNION ALL
+  SELECT 'lsh' AS method, a.q_id,
+         CAST(sum(CAST(round(e.rel / round(log2(a.pos + 1), 6) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS dcg
+  FROM lsh a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id),
+m AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
+grid AS (SELECT m.method, q.q_id FROM m CROSS JOIN qids q)
+SELECT g.method, g.q_id,
+       coalesce(d.dcg, 0) / i.ideal AS ndcg
+FROM grid g
+LEFT JOIN d ON g.method = d.method AND g.q_id = d.q_id
+CROSS JOIN idcg i
+"""

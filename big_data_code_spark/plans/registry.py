@@ -306,6 +306,15 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
     ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
+    # -- r7 wave 8 (post-prefix adds; they carry this round's local
+    #    driver-mimic evidence and rotate into the r8 prefix):
+    ("hits_knn_graph", llm.hits_knn_graph, llm.HITS_KNN_GRAPH_SQL),
+    ("ndcg_retrieval_eval", llm.ndcg_retrieval_eval, llm.NDCG_RETRIEVAL_EVAL_SQL),
+    ("ks_source_drift", advanced.ks_source_drift, advanced.KS_SOURCE_DRIFT_SQL),
+    ("benford_digit_audit", advanced.benford_digit_audit, advanced.BENFORD_DIGIT_AUDIT_SQL),
+    ("item_item_cosine", advanced.item_item_cosine, advanced.ITEM_ITEM_COSINE_SQL),
+    ("open_orders_over_time", advanced.open_orders_over_time, advanced.OPEN_ORDERS_OVER_TIME_SQL),
+    ("revenue_trend_ols", advanced.revenue_trend_ols, advanced.REVENUE_TREND_OLS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

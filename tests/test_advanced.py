@@ -1010,3 +1010,192 @@ def test_entity_resolution_clusters_oracle_and_transitivity(spark):
             ((r, {n for n in parent if find(n) == r}) for r in set(map(find, parent)))}
     got = {c: names for c, names in sizes.items()}
     assert got == {min(v): v for v in want.values()}
+
+
+def test_ks_source_drift_oracle_and_recompute(spark):
+    """Oracle match + exact-rational KS recompute per source."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "ks_source_drift", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import ks_source_drift
+    from big_data_code_spark.sources.tables import load_table
+
+    docs = [
+        (r["source"], r["n_chars"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ]
+    ref = min(s for s, _ in docs)
+    from collections import Counter
+
+    by_src: dict = {}
+    for s, v in docs:
+        by_src.setdefault(s, Counter())[v] += 1
+    vals = sorted({v for _, v in docs})
+    want = {}
+    for s, cnt in by_src.items():
+        if s == ref:
+            continue
+        na = sum(cnt.values())
+        nr = sum(by_src[ref].values())
+        ca = cb = 0
+        dnum = 0
+        for v in vals:
+            ca += cnt.get(v, 0)
+            cb += by_src[ref].get(v, 0)
+            dnum = max(dnum, abs(ca * nr - cb * na))
+        want[s] = (na, nr, dnum / (na * nr))
+    got = {
+        r["source"]: (r["n_src"], r["n_ref"], r["ks_d"])
+        for r in ks_source_drift(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert ref not in got
+    assert all(0.0 <= d <= 1.0 for _, _, d in got.values())
+
+
+def test_benford_digit_audit_oracle_and_shares(spark):
+    """Oracle match + full 5×9 grid; observed shares sum to 1 per
+    priority and the expected Benford shares sum to ~1."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "benford_digit_audit", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import benford_digit_audit
+
+    rows = benford_digit_audit(spark, SF_SMOKE).collect()
+    prios = {r["o_orderpriority"] for r in rows}
+    assert len(rows) == 9 * len(prios)
+    for p in prios:
+        obs = sum(r["share"] for r in rows if r["o_orderpriority"] == p)
+        exp = sum(
+            r["expected_share"] for r in rows if r["o_orderpriority"] == p
+        )
+        assert abs(obs - 1.0) < 1e-9
+        assert abs(exp - 1.0) < 1e-5  # 9 terms on the 1e-6 round grid
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+
+
+def test_item_item_cosine_oracle_and_recompute(spark):
+    """Oracle match + full pure-Python recompute of the top-5
+    neighbor lists from the raw lineitem baskets."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "item_item_cosine", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import item_item_cosine
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    baskets: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    cnt: Counter = Counter()
+    pair: Counter = Counter()
+    for items in baskets.values():
+        for i in items:
+            cnt[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair[(a, b)] += 1
+            pair[(b, a)] += 1
+    want: dict = {}
+    for item in cnt:
+        nb = [
+            (n_ab / math.sqrt(cnt[a] * cnt[b]), -b, n_ab, b)
+            for (a, b), n_ab in pair.items()
+            if a == item
+        ]
+        nb.sort(key=lambda t: (-t[0], -t[1]))
+        for rank, (cos, _, n_ab, b) in enumerate(nb[:5], 1):
+            want[(item, rank)] = (b, n_ab, cos)
+    got = {
+        (r["item"], r["rank"]): (r["neighbor"], r["n_pair"], r["cosine"])
+        for r in item_item_cosine(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_open_orders_over_time_oracle_and_conservation(spark):
+    """Oracle match + conservation: every order opens once and
+    closes once, so Σopened = Σclosed = |orders| and the running
+    concurrency ends at exactly 0."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "open_orders_over_time", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import open_orders_over_time
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = sorted(
+        open_orders_over_time(spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    n_shippable = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["opened"] for r in rows) == n_orders
+    # orders with no lineitems never close — permanent backlog
+    assert sum(r["closed"] for r in rows) == n_shippable
+    assert rows[-1]["open_orders"] == n_orders - n_shippable
+    assert all(r["open_orders"] >= 0 for r in rows)
+    # running sum really is cumulative
+    run = 0
+    for r in rows:
+        run += r["opened"] - r["closed"]
+        assert r["open_orders"] == run
+
+
+def test_revenue_trend_ols_oracle_and_recompute(spark):
+    """Oracle match + exact-integer OLS recompute for every
+    nation."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "revenue_trend_ols", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import revenue_trend_ols
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import Counter
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    weekly: Counter = Counter()
+    for r in orders:
+        day = r["o_orderdate"].timestamp() // 86400  # tests run UTC
+        x = int(day + 3) // 7
+        # Spark round() is HALF_UP on positive doubles
+        y = int(math.floor(r["o_totalprice"] + 0.5))
+        weekly[(nat[cust[r["o_custkey"]]], x)] += y
+    want = {}
+    by_nation: dict = {}
+    for (nation, x), y in weekly.items():
+        by_nation.setdefault(nation, []).append((x, y))
+    for nation, pts in by_nation.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        want[nation] = (n, slope, (sy - slope * sx) / n)
+    got = {
+        r["nation"]: (r["n_weeks"], r["slope"], r["intercept"])
+        for r in revenue_trend_ols(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -3119,3 +3119,78 @@ def test_kcore_knn_graph_oracle_and_peel(spark):
         deg[u] += 1
         deg[v] += 1
     assert rows == dict(deg)
+
+
+def test_hits_knn_graph_oracle_and_recompute(spark):
+    """Oracle match + pure-Python HITS recompute (same fixed-point
+    grid, same max-normalization) from the same kNN edges."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "hits_knn_graph", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        HITS_ITERATIONS,
+        hits_knn_graph,
+        knn_graph,
+    )
+
+    edges = [
+        (r["src"], r["dst"]) for r in knn_graph(spark, SF_SMOKE).collect()
+    ]
+    nodes = sorted({n for e in edges for n in e})
+
+    def rnd(x):  # HALF_UP like Spark/DuckDB round(), positive domain
+        import math
+
+        return int(math.floor(x * 1e9 + 0.5))
+
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(HITS_ITERATIONS):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += rnd(hub[u])
+        m = max(s.values())
+        auth = {n: s[n] / m for n in nodes}
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[u] += rnd(auth[v])
+        m = max(s.values())
+        hub = {n: s[n] / m for n in nodes}
+    got = {
+        r["vec_id"]: (r["hub"], r["auth"])
+        for r in hits_knn_graph(spark, SF_SMOKE).collect()
+    }
+    assert set(got) >= set(nodes)
+    for n in nodes:
+        assert got[n] == (hub[n], auth[n])
+    # normalization invariants: scores in [0,1], max exactly 1.0
+    hubs = [h for h, _ in got.values()]
+    auths = [a for _, a in got.values()]
+    assert max(hubs) == 1.0 and max(auths) == 1.0
+    assert min(hubs) >= 0.0 and min(auths) >= 0.0
+
+
+def test_ndcg_retrieval_eval_oracle_and_bounds(spark):
+    """Oracle match + nDCG ∈ [0,1]; a method's nDCG is 1 exactly
+    when it returns the exact top-k in exact order ⇒ nDCG ≤ 1
+    always, and nDCG > 0 whenever recall > 0."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "ndcg_retrieval_eval", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        ann_recall_eval,
+        ndcg_retrieval_eval,
+    )
+
+    nd = {
+        (r["method"], r["q_id"]): r["ndcg"]
+        for r in ndcg_retrieval_eval(spark, SF_SMOKE).collect()
+    }
+    rc = {
+        (r["method"], r["q_id"]): r["recall"]
+        for r in ann_recall_eval(spark, SF_SMOKE).collect()
+    }
+    assert set(nd) == set(rc) and nd
+    for k, v in nd.items():
+        assert 0.0 <= v <= 1.0
+        assert (v > 0) == (rc[k] > 0)

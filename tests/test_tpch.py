@@ -220,6 +220,16 @@ BNLJ_ALLOWED = {
     "churn_weekly",              # r7 w6: one-row max-week broadcast
                                  # (right-censoring cutoff — the
                                  # trending_events_decay anchor shape)
+    "hits_knn_graph",            # r7 w8: one-row max-score broadcast
+                                 # per half-round (the
+                                 # pagerank_knn_graph scalar shape)
+    "ndcg_retrieval_eval",       # r7 w8: audits ann_cosine_topk, so
+                                 # inherits the brute baseline's BNLJ
+                                 # (ann_recall_eval's shape)
+    "ks_source_drift",           # r7 w8: one-row ref-source scalar +
+                                 # the value-domain-bounded grid dim
+                                 # broadcast (the value_tier_lookup
+                                 # bounded-dim shape)
 }
 
 

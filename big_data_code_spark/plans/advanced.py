@@ -3969,3 +3969,165 @@ SELECT nation, n AS n_weeks,
               / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
 FROM sums
 """
+
+
+#: l-diversity threshold: every equivalence class must see at least
+#: this many distinct sensitive values.
+L_DIVERSE = 3
+
+
+def ldiversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity follow-up
+    (`kanonymity_report` counts class SIZES; this counts distinct
+    SENSITIVE values per class, the defense against homogeneity
+    attacks: a 5-person class is still a leak if all 5 share the
+    sensitive value). Quasi-identifier levels reuse the k-report's
+    ladder (level 1 = nation+segment, level 0 = segment); the
+    sensitive attribute is the account-balance quartile sign bucket
+    (floor(acctbal/2500) clamped to [-1, 3] — integer thresholds,
+    no percentile contract needed).
+
+    100 TB shape: one distinct-agg shuffle per level over tiny QI ×
+    sensitive key spaces, then constant-size rollups — the
+    kanonymity_report shape exactly.
+
+    Returns (level, n_classes, min_l, n_below_l, diverse_share).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.greatest(
+        F.lit(-1),
+        F.least(F.lit(3), F.floor(F.col("c_acctbal") / 2500).cast("int")),
+    ).alias("sens")
+
+    def level(cols: list[str], lvl: int) -> DataFrame:
+        classes = (
+            cust.select(*cols, sens)
+            .groupBy(*cols)
+            .agg(F.countDistinct("sens").cast("long").alias("l"))
+        )
+        return classes.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("l") < L_DIVERSE, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_l"),
+            (
+                F.sum(F.when(F.col("l") >= L_DIVERSE, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("diverse_share"),
+        )
+
+    return level(["c_nationkey", "c_mktsegment"], 1).unionByName(
+        level(["c_mktsegment"], 0)
+    )
+
+
+LDIVERSITY_REPORT_SQL = f"""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         greatest(-1, least(3, CAST(floor(c_acctbal / 2500) AS INT))) AS sens
+  FROM customer),
+l1 AS (
+  SELECT CAST(count(DISTINCT sens) AS BIGINT) AS l
+  FROM base GROUP BY c_nationkey, c_mktsegment),
+l0 AS (
+  SELECT CAST(count(DISTINCT sens) AS BIGINT) AS l
+  FROM base GROUP BY c_mktsegment)
+SELECT CAST(1 AS INTEGER) AS level, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l < {L_DIVERSE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_l,
+       sum(CASE WHEN l >= {L_DIVERSE} THEN 1 ELSE 0 END) / count(*)
+         AS diverse_share
+FROM l1
+UNION ALL
+SELECT CAST(0 AS INTEGER), CAST(count(*) AS BIGINT), CAST(min(l) AS BIGINT),
+       CAST(sum(CASE WHEN l < {L_DIVERSE} THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l >= {L_DIVERSE} THEN 1 ELSE 0 END) / count(*)
+FROM l0
+"""
+
+
+def chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market
+    segment and order priority — the categorical counterpart of
+    `abtest_value_ztest` (which compares MEANS of a numeric
+    metric): does priority mix differ by segment? Reports the full
+    contingency grid with expected counts under independence and
+    each cell's χ² contribution, plus the grid-summed statistic
+    repeated per row (cells are the natural output grain; the
+    BIGINT-grid total avoids any float-sum ordering).
+
+    100 TB shape: one combinable (segment, priority) count shuffle
+    into a 5×5 grid; margins and the total are rollups of that
+    grid, the join back is grid×margin (tiny). Expected = row·col/N
+    is exact-integer-ratio doubles; contributions round to the 1e-6
+    grid before the BIGINT total.
+
+    Returns (c_mktsegment, o_orderpriority, observed, expected,
+    contrib, chi2_total).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    rows = cells.groupBy("c_mktsegment").agg(F.sum("observed").cast("long").alias("r"))
+    colt = cells.groupBy("o_orderpriority").agg(
+        F.sum("observed").cast("long").alias("c")
+    )
+    n = cells.agg(F.sum("observed").cast("long").alias("n"))
+    g = (
+        cells.join(rows, "c_mktsegment")
+        .join(colt, "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            F.expr("CAST(r AS DOUBLE) * c / n").alias("expected"),
+            F.expr(
+                "round((observed - CAST(r AS DOUBLE) * c / n)"
+                " * (observed - CAST(r AS DOUBLE) * c / n)"
+                " / (CAST(r AS DOUBLE) * c / n), 6)"
+            ).alias("contrib"),
+        )
+    )
+    tot = g.agg(
+        (
+            F.sum(F.expr("CAST(round(contrib * 1e6) AS BIGINT)")) / F.lit(1e6)
+        ).alias("chi2_total")
+    )
+    return g.crossJoin(F.broadcast(tot))
+
+
+CHI2_SEGMENT_PRIORITY_SQL = """
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (SELECT c_mktsegment, CAST(sum(observed) AS BIGINT) AS r
+      FROM cells GROUP BY 1),
+ct AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS c
+       FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells),
+g AS (
+  SELECT cells.c_mktsegment, cells.o_orderpriority, cells.observed,
+         CAST(r.r AS DOUBLE) * ct.c / n.n AS expected,
+         round((cells.observed - CAST(r.r AS DOUBLE) * ct.c / n.n)
+               * (cells.observed - CAST(r.r AS DOUBLE) * ct.c / n.n)
+               / (CAST(r.r AS DOUBLE) * ct.c / n.n), 6) AS contrib
+  FROM cells
+  JOIN r ON cells.c_mktsegment = r.c_mktsegment
+  JOIN ct ON cells.o_orderpriority = ct.o_orderpriority
+  CROSS JOIN n),
+tot AS (
+  SELECT CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+           AS chi2_total
+  FROM g)
+SELECT g.*, tot.chi2_total FROM g CROSS JOIN tot
+"""

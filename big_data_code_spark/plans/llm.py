@@ -10796,3 +10796,110 @@ FROM grid g
 LEFT JOIN d ON g.method = d.method AND g.q_id = d.q_id
 CROSS JOIN idcg i
 """
+
+
+#: Feature → bin expression for the MI ranking, ONE string per
+#: feature valid in BOTH Spark SQL and DuckDB (floor before the
+#: BIGINT cast — DuckDB CAST(double AS BIGINT) rounds, so only
+#: already-integral doubles may be cast). Integer thresholds: no
+#: percentile contract needed.
+MI_FEATURE_BINS: dict[str, str] = {
+    "n_tokens": "least(CAST(floor(n_tokens / 64.0) AS BIGINT), 3)",
+    "ttr": "least(CAST(floor(ttr * 4) AS BIGINT), 3)",
+    "stopword_ratio": "least(CAST(floor(stopword_ratio * 8) AS BIGINT), 3)",
+    "mean_token_len":
+        "greatest(least(CAST(floor(mean_token_len) AS BIGINT) - 3, 3), 0)",
+}
+
+
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; keep) for each quality signal
+    against the rule label — the feature-ranking diagnostic run
+    before (re)training a quality classifier: which signals carry
+    the gate's information, which are redundant? Features and label
+    come from `doc_quality_filter`; each feature is quantized to 4
+    integer-threshold bins (MI_FEATURE_BINS, shared verbatim with
+    the oracle).
+
+    I(X;Y) = Σ_cells (n_xy/N)·ln(n_xy·N/(n_x·n_y)), every term on
+    the 1e-6 round grid and summed as BIGINTs (order-free); the
+    log argument is a chain of double divisions (never a BIGINT
+    n_xy·N product — that would overflow past ~3e9 docs).
+
+    100 TB shape: ONE pass over the corpus (the per-doc features
+    are shuffle-free array expressions), explode to 4 (feature,
+    bin, label) rows per doc, then combinable counts over a
+    ≤ 4·4·2-cell key space; marginals and the one-row doc-count
+    broadcast are rollups of the cell grid.
+
+    Returns (feature, n_cells, mi_nats), one row per feature.
+    """
+    base = doc_quality_filter(spark, sf_dir)
+    fb = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.expr(expr).alias("bin")
+            )
+            for name, expr in MI_FEATURE_BINS.items()
+        ]
+    )
+    long = base.select(
+        F.explode(fb).alias("fb"), F.col("keep").cast("int").alias("y")
+    ).select("fb.feature", "fb.bin", "y")
+    cells = long.groupBy("feature", "bin", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    nx = cells.groupBy("feature", "bin").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ny = cells.groupBy("feature", "y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    term = (
+        "round(n_xy / n * ln(CAST(n_xy AS DOUBLE) * n / n_x / n_y), 6)"
+    )
+    return (
+        cells.join(nx, ["feature", "bin"])
+        .join(ny, ["feature", "y"])
+        .crossJoin(F.broadcast(n))
+        .select("feature", F.expr(term).alias("t"))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (
+                F.sum(F.expr("CAST(round(t * 1e6) AS BIGINT)")) / F.lit(1e6)
+            ).alias("mi_nats"),
+        )
+    )
+
+
+def _mi_features_sql() -> str:
+    legs = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS feature, {expr} AS bin,"
+        " CAST(keep AS INT) AS y FROM q"
+        for name, expr in MI_FEATURE_BINS.items()
+    )
+    return f"""
+WITH q AS ({DOC_QUALITY_FILTER_SQL}),
+long AS (
+{legs}),
+cells AS (
+  SELECT feature, bin, y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM long GROUP BY 1, 2, 3),
+nx AS (SELECT feature, bin, CAST(sum(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY 1, 2),
+ny AS (SELECT feature, y, CAST(sum(n_xy) AS BIGINT) AS n_y
+       FROM cells GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+terms AS (
+  SELECT cells.feature,
+         round(n_xy / n.n * ln(CAST(n_xy AS DOUBLE) * n.n / n_x / n_y), 6)
+           AS t
+  FROM cells
+  JOIN nx ON cells.feature = nx.feature AND cells.bin = nx.bin
+  JOIN ny ON cells.feature = ny.feature AND cells.y = ny.y
+  CROSS JOIN n)
+SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(round(t * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS mi_nats
+FROM terms GROUP BY 1
+"""
+
+
+MUTUAL_INFORMATION_FEATURES_SQL = _mi_features_sql()

@@ -315,6 +315,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("item_item_cosine", advanced.item_item_cosine, advanced.ITEM_ITEM_COSINE_SQL),
     ("open_orders_over_time", advanced.open_orders_over_time, advanced.OPEN_ORDERS_OVER_TIME_SQL),
     ("revenue_trend_ols", advanced.revenue_trend_ols, advanced.REVENUE_TREND_OLS_SQL),
+    ("ldiversity_report", advanced.ldiversity_report, advanced.LDIVERSITY_REPORT_SQL),
+    ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
+    ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

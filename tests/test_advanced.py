@@ -1199,3 +1199,62 @@ def test_revenue_trend_ols_oracle_and_recompute(spark):
         for r in revenue_trend_ols(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_ldiversity_report_oracle_and_recompute(spark):
+    """Oracle match + pure-Python l-diversity recompute."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "ldiversity_report", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        L_DIVERSE,
+        ldiversity_report,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+
+    def sens(bal):
+        return max(-1, min(3, math.floor(bal / 2500)))
+
+    def level(keyfn):
+        classes: dict = {}
+        for r in cust:
+            classes.setdefault(keyfn(r), set()).add(sens(r["c_acctbal"]))
+        ls = [len(v) for v in classes.values()]
+        below = sum(1 for l in ls if l < L_DIVERSE)
+        return (len(ls), min(ls), below, (len(ls) - below) / len(ls))
+
+    want = {
+        1: level(lambda r: (r["c_nationkey"], r["c_mktsegment"])),
+        0: level(lambda r: r["c_mktsegment"]),
+    }
+    got = {
+        r["level"]: (r["n_classes"], r["min_l"], r["n_below_l"], r["diverse_share"])
+        for r in ldiversity_report(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_chi2_segment_priority_oracle_and_margins(spark):
+    """Oracle match + margin identities: expected sums to observed
+    sums per segment and per priority (independence model preserves
+    margins)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "chi2_segment_priority", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import chi2_segment_priority
+
+    rows = chi2_segment_priority(spark, SF_SMOKE).collect()
+    assert len({r["chi2_total"] for r in rows}) == 1
+    assert rows[0]["chi2_total"] >= 0
+    segs = {r["c_mktsegment"] for r in rows}
+    for s in segs:
+        obs = sum(r["observed"] for r in rows if r["c_mktsegment"] == s)
+        exp = sum(r["expected"] for r in rows if r["c_mktsegment"] == s)
+        assert abs(obs - exp) < 1e-6 * obs
+    # contributions re-sum to the reported total on the same grid
+    tot = sum(round(r["contrib"] * 1e6) for r in rows) / 1e6
+    assert tot == rows[0]["chi2_total"]

@@ -3194,3 +3194,58 @@ def test_ndcg_retrieval_eval_oracle_and_bounds(spark):
     for k, v in nd.items():
         assert 0.0 <= v <= 1.0
         assert (v > 0) == (rc[k] > 0)
+
+
+def test_mutual_information_features_oracle_and_recompute(spark):
+    """Oracle match + pure-Python MI recompute from the quality
+    features, and information-theoretic bounds: 0 ≤ I(X;Y) ≤ H(Y)
+    (up to the 1e-6 term grid)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "mutual_information_features", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        doc_quality_filter,
+        mutual_information_features,
+    )
+
+    import math
+    from collections import Counter
+
+    feats = doc_quality_filter(spark, SF_SMOKE).collect()
+    N = len(feats)
+
+    def bins(r):
+        return {
+            "n_tokens": min(math.floor(r["n_tokens"] / 64.0), 3),
+            "ttr": min(math.floor(r["ttr"] * 4), 3),
+            "stopword_ratio": min(math.floor(r["stopword_ratio"] * 8), 3),
+            "mean_token_len": max(
+                min(math.floor(r["mean_token_len"]) - 3, 3), 0
+            ),
+        }
+
+    want = {}
+    for feat in ("n_tokens", "ttr", "stopword_ratio", "mean_token_len"):
+        cells: Counter = Counter()
+        for r in feats:
+            cells[(bins(r)[feat], int(r["keep"]))] += 1
+        nx: Counter = Counter()
+        ny: Counter = Counter()
+        for (b, y), c in cells.items():
+            nx[b] += c
+            ny[y] += c
+        tot = 0
+        for (b, y), c in cells.items():
+            t = round(c / N * math.log(c * N / nx[b] / ny[y]), 6)
+            tot += int(math.floor(t * 1e6 + 0.5)) if t >= 0 else -int(
+                math.floor(-t * 1e6 + 0.5)
+            )
+        want[feat] = (len(cells), tot / 1e6)
+    got = {
+        r["feature"]: (r["n_cells"], r["mi_nats"])
+        for r in mutual_information_features(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # bounds: MI ≥ 0 (within grid slack) and ≤ H(Y) = ln 2
+    for _, mi in got.values():
+        assert -1e-5 <= mi <= math.log(2) + 1e-5

@@ -230,6 +230,13 @@ BNLJ_ALLOWED = {
                                  # the value-domain-bounded grid dim
                                  # broadcast (the value_tier_lookup
                                  # bounded-dim shape)
+    "chi2_segment_priority",     # r7 w8: one-row grand-total N +
+                                 # one-row chi2-total broadcasts
+                                 # (the market_basket_lift divisor
+                                 # shape)
+    "mutual_information_features",  # r7 w8: one-row doc-count N
+                                 # broadcast (the tfidf_top_terms
+                                 # scalar shape)
 }
 
 

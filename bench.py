@@ -277,6 +277,18 @@ BENCH_QUERIES = (
     "audio_energy_windows",
     "entity_resolution_clusters",
     "kcore_knn_graph",
+    # r7 wave 8:
+    "hits_knn_graph",
+    "ndcg_retrieval_eval",
+    "ks_source_drift",
+    "benford_digit_audit",
+    "item_item_cosine",
+    "open_orders_over_time",
+    "revenue_trend_ols",
+    "ldiversity_report",
+    "chi2_segment_priority",
+    "mutual_information_features",
+    "streaming_psi_monitor",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

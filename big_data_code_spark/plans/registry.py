@@ -318,6 +318,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("ldiversity_report", advanced.ldiversity_report, advanced.LDIVERSITY_REPORT_SQL),
     ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
+    ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
@@ -335,6 +336,7 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "kcenter_select": llm.kcenter_select_audit_plans,
     "markov_attribution": advanced.markov_attribution_audit_plans,
     "kcore_knn_graph": llm.kcore_knn_graph_audit_plans,
+    "hits_knn_graph": llm.hits_knn_graph_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

@@ -1153,3 +1153,172 @@ def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(sink).localCheckpoint(eager=True)
     shutil.rmtree(sink, ignore_errors=True)
     return result
+
+
+# ------------------------------------------ streaming drift monitor
+
+#: Reference/monitored split for the streaming PSI monitor: the
+#: driver events calendar spans days 19723-19752 at every SF, so the
+#: first 15 days are the "last known-good" reference period and the
+#: stream monitors the rest. A production deployment pins this to
+#: its accepted snapshot date.
+EV_PSI_SPLIT_DAY = 19738
+#: Reuses the batch PSI bin count (advanced.psi_value_drift).
+EV_PSI_N_BINS = 10
+
+
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — `psi_value_drift`'s production
+    shape: event VALUES streaming in are binned against the
+    reference period's histogram (batch-computed bounds + bin
+    masses, the "last known-good" snapshot) and each monitored DAY
+    gets a per-bin PSI contribution; Σ over bins > 0.1 is the
+    page-the-oncall gate. On the bounded harness stream the
+    complete-mode day×bin counts equal the batch rollup → exact
+    oracle.
+
+    Plan: the reference scalars (vmin/vmax/total) ride a 1-row
+    stream-static equi-join on a literal key (broadcast hash, the
+    allowlisted scalar shape); the stream side is one windowless
+    (day, bin) count — state is one row per day×bin, constant per
+    day regardless of event volume; the per-bin reference masses
+    join AFTER the sink (batch side, 10 rows). Laplace +1 on both
+    distributions; ln on the 1e-6 grid; bins clamped to [0, 9] so
+    monitored values outside the reference range land in the edge
+    bins (documented).
+
+    Returns (day, bin, n_day, p_ref, p_day, psi_contrib).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_b = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ref = ev.select(day_b.alias("day"), "value").where(
+        F.col("day") < EV_PSI_SPLIT_DAY
+    )
+    scal = ref.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n_ref_tot"),
+    ).withColumn("k", F.lit(1))
+    bin_expr = (
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(EV_PSI_N_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * EV_PSI_N_BINS
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    ref_bins = (
+        ref.crossJoin(F.broadcast(scal.drop("k")))
+        .select(bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # a NEW StructType — .add() would mutate the shared schema
+    wide = StructType(
+        list(sl.EVENTS_STREAM_SCHEMA.fields)
+        + [StructField("value", DoubleType())]
+    )
+    stream = sl.events_file_stream(spark, _events_src(sf_dir), schema=wide)
+    monitored = (
+        stream.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "value",
+            F.lit(1).alias("k"),
+        )
+        .where(F.col("day") >= EV_PSI_SPLIT_DAY)
+        .join(F.broadcast(scal.withColumnRenamed("k", "k2")), F.expr("k = k2"))
+        .select("day", bin_expr)
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_day"))
+    )
+    # checkpoint the sink before the grid self-join (memory-sink
+    # views share attribute ids — a direct self-join fails analysis)
+    counts = sl.run_stream_to_table(monitored, "complete").localCheckpoint(
+        eager=True
+    )
+    days = counts.select("day").distinct()
+    bins = spark.range(EV_PSI_N_BINS).select(F.col("id").cast("long").alias("bin"))
+    grid = days.crossJoin(F.broadcast(bins))
+    day_tot = counts.groupBy("day").agg(
+        F.sum("n_day").cast("long").alias("n_day_tot")
+    )
+    full = (
+        grid.join(counts, ["day", "bin"], "left")
+        .join(day_tot, "day")
+        .join(F.broadcast(ref_bins.withColumnRenamed("n_ref", "n_ref_bin")), "bin", "left")
+        .crossJoin(F.broadcast(scal.select("n_ref_tot")))
+        .select(
+            "day",
+            "bin",
+            F.coalesce("n_day", F.lit(0)).cast("long").alias("n_day"),
+            F.coalesce("n_ref_bin", F.lit(0)).cast("long").alias("n_ref_bin"),
+            "n_day_tot",
+            "n_ref_tot",
+        )
+    )
+    p_ref = (F.col("n_ref_bin") + 1) / (F.col("n_ref_tot") + EV_PSI_N_BINS)
+    p_day = (F.col("n_day") + 1) / (F.col("n_day_tot") + EV_PSI_N_BINS)
+    return full.select(
+        "day",
+        "bin",
+        "n_day",
+        p_ref.alias("p_ref"),
+        p_day.alias("p_day"),
+        ((p_day - p_ref) * F.round(F.ln(p_day / p_ref), 6)).alias("psi_contrib"),
+    )
+
+
+STREAMING_PSI_MONITOR_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, value
+  FROM events),
+scal AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         CAST(count(*) AS BIGINT) AS n_ref_tot
+  FROM base WHERE day < {EV_PSI_SPLIT_DAY}),
+ref_bins AS (
+  SELECT CAST(greatest(0, least({EV_PSI_N_BINS - 1},
+               floor((value - vmin) * {EV_PSI_N_BINS} / (vmax - vmin))))
+              AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_ref_bin
+  FROM base, scal WHERE day < {EV_PSI_SPLIT_DAY} GROUP BY 1),
+counts AS (
+  SELECT day,
+         CAST(greatest(0, least({EV_PSI_N_BINS - 1},
+               floor((value - vmin) * {EV_PSI_N_BINS} / (vmax - vmin))))
+              AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_day
+  FROM base, scal WHERE day >= {EV_PSI_SPLIT_DAY} GROUP BY 1, 2),
+grid AS (
+  SELECT d.day, CAST(b.range AS BIGINT) AS bin
+  FROM (SELECT DISTINCT day FROM counts) d, range({EV_PSI_N_BINS}) b),
+day_tot AS (
+  SELECT day, CAST(sum(n_day) AS BIGINT) AS n_day_tot
+  FROM counts GROUP BY 1)
+SELECT g.day, g.bin,
+       CAST(coalesce(c.n_day, 0) AS BIGINT) AS n_day,
+       (coalesce(r.n_ref_bin, 0) + 1)
+         / (s.n_ref_tot + {EV_PSI_N_BINS}) AS p_ref,
+       (coalesce(c.n_day, 0) + 1)
+         / (t.n_day_tot + {EV_PSI_N_BINS}) AS p_day,
+       ((coalesce(c.n_day, 0) + 1) / (t.n_day_tot + {EV_PSI_N_BINS})
+        - (coalesce(r.n_ref_bin, 0) + 1) / (s.n_ref_tot + {EV_PSI_N_BINS}))
+       * round(ln(((coalesce(c.n_day, 0) + 1)
+                   / (t.n_day_tot + {EV_PSI_N_BINS}))
+                  / ((coalesce(r.n_ref_bin, 0) + 1)
+                     / (s.n_ref_tot + {EV_PSI_N_BINS}))), 6) AS psi_contrib
+FROM grid g
+LEFT JOIN counts c ON c.day = g.day AND c.bin = g.bin
+JOIN day_tot t ON t.day = g.day
+LEFT JOIN ref_bins r ON r.bin = g.bin
+CROSS JOIN scal s
+"""

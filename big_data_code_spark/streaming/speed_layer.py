@@ -118,12 +118,19 @@ def kafka_events_stream(
 
 
 def events_file_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Parquet-directory stream of pageview events (the local stand-
     in for the Kafka spout). ``max_files_per_trigger=1`` makes each
-    file one micro-batch — how the tests drive multi-batch state."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    file one micro-batch — how the tests drive multi-batch state.
+    ``schema`` widens the default 4-column projection when a
+    consumer needs more of the payload (e.g. the drift monitor's
+    ``value``) — file streams prune to the declared schema, so the
+    default stays the narrow one."""
+    reader = spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(src_dir).withColumn("ts", ntz_to_ltz("ts"))

@@ -630,3 +630,40 @@ def test_kafka_events_stream_construction_surface(spark):
     row = decoded.collect()[0]
     assert (row["event_id"], row["user_id"], row["event_type"]) == (1, 5, "view")
     assert int(row["ts"].timestamp() * 1e6) == 1700000000000000
+
+
+def test_streaming_psi_monitor_matches_batch_and_sums(spark):
+    """Stream ≡ batch (oracle) + per-day identities: bins complete
+    (10 per monitored day), Σ n_day over bins = monitored events of
+    that day, and PSI contributions are finite."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_psi_monitor", SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    from big_data_code_spark.plans.speed import (
+        EV_PSI_N_BINS,
+        EV_PSI_SPLIT_DAY,
+        streaming_psi_monitor,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = streaming_psi_monitor(spark, SF_SMOKE).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r)
+    assert all(len(v) == EV_PSI_N_BINS for v in by_day.values())
+    monitored = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+            >= EV_PSI_SPLIT_DAY
+        )
+        .groupBy(F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"))
+        .count()
+        .collect()
+    )
+    want = {r["d"]: r["count"] for r in monitored}
+    got = {d: sum(r["n_day"] for r in v) for d, v in by_day.items()}
+    assert got == want
+    assert all(abs(r["psi_contrib"]) < 10 for r in rows)

@@ -289,6 +289,7 @@ BENCH_QUERIES = (
     "chi2_segment_priority",
     "mutual_information_features",
     "streaming_psi_monitor",
+    "jsonl_ingest_quarantine",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -617,11 +617,31 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: Exact brute-force top-k per (Spark application, corpus
+#: fingerprint) — FOUR eval consumers (recall, nDCG, truncation,
+#: the baseline itself) re-read this ground truth; it is queries×k
+#: rows, so caching the materialized frame turns every re-read into
+#: an InMemoryTableScan instead of a corpus scan (the knn_graph /
+#: ann_ivf build-once convention).
+_ANN_EXACT_CACHE: dict[tuple, DataFrame] = {}
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, _ivf_cache_key(sf_dir))
+    cached = _ANN_EXACT_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    out = ann.cosine_topk(emb, queries, k=ANN_K)
-    return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+    out = ann.cosine_topk(emb, queries, k=ANN_K).select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
+    )
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    _ANN_EXACT_CACHE[key] = out
+    return out
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -10943,3 +10963,95 @@ FROM terms GROUP BY 1
 
 
 MUTUAL_INFORMATION_FEATURES_SQL = _mi_features_sql()
+
+
+#: Every doc_id divisible by this gets its JSON line truncated in
+#: half during staging — the deterministic stand-in for torn/
+#: malformed feed lines (same seeding spirit as PII_EMAIL_MOD).
+JSONL_CORRUPT_MOD = 37
+
+
+def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-feed JSONL ingestion THROUGH the registry (promotes the
+    tests-only `sources/ingest.py` path to an oracle-checked query):
+    documents are staged as a JSONL drop with every
+    doc_id % JSONL_CORRUPT_MOD == 0 line truncated in half (torn
+    lines), re-read schema-enforced in PERMISSIVE mode with
+    `_corrupt_record` capture, split clean/quarantine, and rolled
+    up per source — the "ingestion stays TOTAL at 100 TB" contract:
+    malformed lines are counted and quarantined, never dropped
+    silently and never fatal.
+
+    A truncated JSON object is unparseable (its closing brace is
+    gone and any open string stays open), so the quarantine set is
+    exactly the seeded ids — which is what the oracle restates from
+    the parquet side. Staging is a one-time per-corpus tmp write
+    (the `_events_src` convention); the read is one schema-enforced
+    scan + a combinable rollup.
+
+    Returns (source, n_rows, n_chars_sum) per source, plus one
+    ('__quarantine__', torn-line count, 0) row.
+    """
+    import os
+    import tempfile
+
+    from ..sources import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsonl_ingest_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(out_dir):
+        line = F.to_json(
+            F.struct("doc_id", "lang", "source", "n_chars", "text")
+        )
+        torn = F.when(
+            F.col("doc_id") % JSONL_CORRUPT_MOD == 0,
+            F.expr(
+                "substring(j, 1, CAST(floor(length(j) / 2) AS INT))"
+            ),
+        ).otherwise(F.col("j"))
+        docs.select("doc_id", line.alias("j")).select(
+            torn.alias("value")
+        ).write.mode("ignore").text(out_dir)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    clean, quarantine = ingest.split_quarantine(
+        ingest.read_jsonl(spark, out_dir, schema)
+    )
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )
+    qrow = quarantine.agg(
+        F.lit("__quarantine__").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_chars_sum"),
+    )
+    return per_source.unionByName(qrow)
+
+
+JSONL_INGEST_QUARANTINE_SQL = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0
+GROUP BY 1
+UNION ALL
+SELECT '__quarantine__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM documents WHERE doc_id % {JSONL_CORRUPT_MOD} = 0
+"""

@@ -319,6 +319,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
     ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
+    ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

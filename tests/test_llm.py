@@ -3249,3 +3249,26 @@ def test_mutual_information_features_oracle_and_recompute(spark):
     # bounds: MI ≥ 0 (within grid slack) and ≤ H(Y) = ln 2
     for _, mi in got.values():
         assert -1e-5 <= mi <= math.log(2) + 1e-5
+
+
+def test_jsonl_ingest_quarantine_oracle_and_total(spark):
+    """Oracle match + ingestion-is-total: clean + quarantined =
+    every staged line, and the quarantine is exactly the seeded
+    torn ids."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "jsonl_ingest_quarantine", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        JSONL_CORRUPT_MOD,
+        jsonl_ingest_quarantine,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = jsonl_ingest_quarantine(spark, SF_SMOKE).collect()
+    q = [r for r in rows if r["source"] == "__quarantine__"]
+    clean_n = sum(r["n_rows"] for r in rows if r["source"] != "__quarantine__")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_total = docs.count()
+    n_torn = docs.where(f"doc_id % {JSONL_CORRUPT_MOD} = 0").count()
+    assert len(q) == 1 and q[0]["n_rows"] == n_torn > 0
+    assert clean_n + q[0]["n_rows"] == n_total

@@ -290,6 +290,7 @@ BENCH_QUERIES = (
     "mutual_information_features",
     "streaming_psi_monitor",
     "jsonl_ingest_quarantine",
+    "dedup_keep_best",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

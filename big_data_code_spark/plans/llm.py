@@ -11055,3 +11055,58 @@ UNION ALL
 SELECT '__quarantine__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
 FROM documents WHERE doc_id % {JSONL_CORRUPT_MOD} = 0
 """
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup winner policy — `dedup_corpus_final`
+    keeps the MINIMUM doc id per duplicate cluster (stable, but
+    arbitrary); production pipelines keep the BEST copy: per
+    cluster, the member with the highest trained quality logit
+    (`QUALITY_LOGIT_EXPR` over the shared serving features),
+    ties broken by id. Near-dup copies genuinely differ (the
+    seeded near-dups carry a tail; real dups differ in
+    boilerplate), so the winner choice moves real mass.
+
+    Plan: the cluster mapping is `dedup_corpus_final`'s CC output;
+    scoring is the shuffle-free `_quality_feats` map pass over the
+    corpus; one cluster-keyed window picks the argmax. Exactly one
+    keeper per cluster by construction (row_number, total
+    tiebreak) — asserted in tests together with "keeper is the max
+    logit".
+
+    Returns (doc_id, canonical_id, logit, is_kept).
+    """
+    from pyspark.sql.window import Window
+
+    mapping = dedup_corpus_final(spark, sf_dir).select("doc_id", "canonical_id")
+    scored = (
+        _quality_feats(_corpus(spark, sf_dir))
+        .withColumn("logit", F.expr(QUALITY_LOGIT_EXPR))
+        .select("doc_id", F.round("logit", 6).alias("logit"))
+    )
+    j = mapping.join(scored, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("logit"), "doc_id")
+    return j.select(
+        "doc_id",
+        "canonical_id",
+        "logit",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+# the serving-feature CTE is written against `documents`; the dedup
+# corpus includes the seeded duplicate rows, so splice it onto the
+# corpus CTE instead (guarded: the marker must exist verbatim)
+assert "FROM documents)" in _QL_FEATS_CTE
+_QL_FEATS_CORPUS_CTE = _QL_FEATS_CTE.replace("FROM documents)", "FROM corpus)")
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE},
+m AS (SELECT doc_id, canonical_id FROM ({DEDUP_CORPUS_FINAL_SQL})),
+{_QL_FEATS_CORPUS_CTE},
+scored AS (SELECT doc_id, round({QUALITY_LOGIT_EXPR}, 6) AS logit FROM feats)
+SELECT m.doc_id, m.canonical_id, s.logit,
+       row_number() OVER (PARTITION BY m.canonical_id
+                          ORDER BY s.logit DESC, m.doc_id) = 1 AS is_kept
+FROM m JOIN scored s ON m.doc_id = s.doc_id
+"""

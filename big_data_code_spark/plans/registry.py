@@ -320,6 +320,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
     ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
     ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
+    ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

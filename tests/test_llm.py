@@ -3272,3 +3272,34 @@ def test_jsonl_ingest_quarantine_oracle_and_total(spark):
     n_torn = docs.where(f"doc_id % {JSONL_CORRUPT_MOD} = 0").count()
     assert len(q) == 1 and q[0]["n_rows"] == n_torn > 0
     assert clean_n + q[0]["n_rows"] == n_total
+
+
+def test_dedup_keep_best_oracle_and_winner_policy(spark):
+    """Oracle match + policy invariants: exactly one keeper per
+    cluster, the keeper attains the cluster-max logit, clusters
+    match dedup_corpus_final's, and the keeper differs from min-id
+    for at least one multi-member cluster (the policy moves mass)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "dedup_keep_best", SF_SMOKE)
+    from big_data_code_spark.plans.llm import dedup_corpus_final, dedup_keep_best
+
+    rows = dedup_keep_best(spark, SF_SMOKE).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["canonical_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["is_kept"]]
+        assert len(keepers) == 1
+        assert keepers[0]["logit"] == max(r["logit"] for r in members)
+    base = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus_final(spark, SF_SMOKE).collect()
+    }
+    assert {r["doc_id"]: r["canonical_id"] for r in rows} == base
+    multi = [m for m in by_cluster.values() if len(m) > 1]
+    assert multi  # seeded dups guarantee clusters
+    assert any(
+        next(r for r in m if r["is_kept"])["doc_id"] != min(x["doc_id"] for x in m)
+        for m in multi
+    )

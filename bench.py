@@ -291,6 +291,8 @@ BENCH_QUERIES = (
     "streaming_psi_monitor",
     "jsonl_ingest_quarantine",
     "dedup_keep_best",
+    "neyman_allocation",
+    "trimmed_mean_order_values",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

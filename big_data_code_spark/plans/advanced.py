@@ -4131,3 +4131,107 @@ tot AS (
   FROM g)
 SELECT g.*, tot.chi2_total FROM g CROSS JOIN tot
 """
+
+
+#: Trim fraction per tail for the robust mean (5% + 5%).
+TRIM_FRAC_PCT = 5
+
+
+def trimmed_mean_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-trimmed) mean order value per priority next to
+    the raw mean — the outlier-resistant KPI pair: a handful of
+    mega-orders moves the raw mean but not the trimmed one, and the
+    gap between the two IS the outlier-mass report (the MAD view
+    `value_mad_outliers` flags rows; this one fixes the headline
+    number).
+
+    Exactness: trim boundaries are integer ranks (floor(n·5/100) on
+    exact counts), values ride the cents BIGINT grid, so both means
+    are one exact-BIGINT-sum ÷ count. The rank pass is one
+    window sort per priority (the exact-percentile contract); the
+    documented scale path swaps the exact ranks for
+    approx-quantile thresholds + a filter when n·log n per key
+    stops fitting.
+
+    Returns (o_orderpriority, n_orders, n_trimmed, mean_value,
+    trimmed_mean_value).
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n"),
+    )
+    # floor explicitly: DuckDB CAST(double AS BIGINT) rounds
+    cut = F.expr(f"CAST(floor(n * {TRIM_FRAC_PCT} / 100) AS BIGINT)")
+    return (
+        ranked.withColumn("cut", cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.sum(
+                F.when(
+                    (F.col("rk") > F.col("cut"))
+                    & (F.col("rk") <= F.col("n") - F.col("cut")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_trimmed"),
+            (F.sum("cents") / F.max("n") / F.lit(100.0)).alias("mean_value"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("rk") > F.col("cut"))
+                        & (F.col("rk") <= F.col("n") - F.col("cut")),
+                        F.col("cents"),
+                    ).otherwise(0)
+                )
+                / F.sum(
+                    F.when(
+                        (F.col("rk") > F.col("cut"))
+                        & (F.col("rk") <= F.col("n") - F.col("cut")),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.lit(100.0)
+            ).alias("trimmed_mean_value"),
+        )
+    )
+
+
+TRIMMED_MEAN_ORDER_VALUES_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+           AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders),
+cutd AS (
+  SELECT *, CAST(floor(n * {TRIM_FRAC_PCT} / 100) AS BIGINT) AS cut FROM ranked)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trimmed,
+       CAST(sum(cents) AS BIGINT) / max(n) / 100.0 AS mean_value,
+       CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN cents ELSE 0 END)
+            AS BIGINT)
+         / CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END)
+                AS BIGINT)
+         / 100.0 AS trimmed_mean_value
+FROM cutd GROUP BY 1
+"""

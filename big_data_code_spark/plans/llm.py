@@ -11110,3 +11110,81 @@ SELECT m.doc_id, m.canonical_id, s.logit,
                           ORDER BY s.logit DESC, m.doc_id) = 1 AS is_kept
 FROM m JOIN scored s ON m.doc_id = s.doc_id
 """
+
+
+#: Total sample budget the allocation report is sized for.
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation per source: the
+    survey-sampling answer to "given a labeling/eval budget of
+    NEYMAN_BUDGET docs, how many from each source?" — allocate
+    ∝ N_h·σ_h (stratum size × stratum std of doc length), which
+    minimizes the estimator variance at fixed budget; the
+    design-of-experiments companion to `stratified_sample` (which
+    draws equal/proportional) and `dsir_importance_sample` (which
+    weights by LM ratio).
+
+    σ_h comes from EXACT integer sums (Σx, Σx² over the BIGINT
+    n_chars column): var = (n·Σx² − (Σx)²)/n² evaluated as one
+    double chain from exact BIGINTs, σ = sqrt — bit-identical
+    cross-engine. Allocations use floor so Σ ≤ budget (the
+    remainder-distribution step is a serving-side detail,
+    documented).
+
+    100 TB shape: ONE combinable (source, n, Σx, Σx²) shuffle over
+    ~|sources| keys, a one-row total broadcast, a |sources|-row
+    finish. Overflow audit: Σx² < n·max_len² — BIGINT-safe below
+    ~1e13 docs at 1k-char docs; past that, re-grid to kilochars.
+
+    Returns (source, n_docs, sigma, alloc_share, alloc_n).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sums = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    sigma = F.expr("sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n))")
+    weighted = sums.select(
+        "source", "n", sigma.alias("sigma"), (F.col("n") * sigma).alias("w")
+    )
+    tot = weighted.agg(F.sum(F.expr("CAST(round(w * 1e6) AS BIGINT)")).alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "sigma",
+            F.expr("CAST(round(w * 1e6) AS BIGINT) / tw").alias("alloc_share"),
+            F.expr(
+                f"CAST(floor(CAST(round(w * 1e6) AS BIGINT) * {NEYMAN_BUDGET}"
+                " / tw) AS BIGINT)"
+            ).alias("alloc_n"),
+        )
+    )
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY 1),
+weighted AS (
+  SELECT source, n,
+         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+           AS sigma,
+         n * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n)) AS w
+  FROM sums),
+tot AS (
+  SELECT CAST(sum(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS tw
+  FROM weighted)
+SELECT source, n AS n_docs, sigma,
+       CAST(round(w * 1e6) AS BIGINT) / tw AS alloc_share,
+       CAST(floor(CAST(round(w * 1e6) AS BIGINT) * {NEYMAN_BUDGET} / tw)
+            AS BIGINT) AS alloc_n
+FROM weighted CROSS JOIN tot
+"""

@@ -321,6 +321,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
     ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
     ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
+    ("neyman_allocation", llm.neyman_allocation, llm.NEYMAN_ALLOCATION_SQL),
+    ("trimmed_mean_order_values", advanced.trimmed_mean_order_values, advanced.TRIMMED_MEAN_ORDER_VALUES_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1258,3 +1258,39 @@ def test_chi2_segment_priority_oracle_and_margins(spark):
     # contributions re-sum to the reported total on the same grid
     tot = sum(round(r["contrib"] * 1e6) for r in rows) / 1e6
     assert tot == rows[0]["chi2_total"]
+
+
+def test_trimmed_mean_oracle_and_recompute(spark):
+    """Oracle match + exact recompute; trimmed mean sits inside the
+    trimmed range and the trim drops 2·floor(5% n) rows."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "trimmed_mean_order_values", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        TRIM_FRAC_PCT,
+        trimmed_mean_order_values,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+
+    by_p: dict = {}
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        cents = int(math.floor(r["o_totalprice"] * 100 + 0.5))
+        by_p.setdefault(r["o_orderpriority"], []).append(
+            (cents, r["o_orderkey"])
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in trimmed_mean_order_values(spark, SF_SMOKE).collect()
+    }
+    for p, vals in by_p.items():
+        vals.sort()
+        n = len(vals)
+        cut = n * TRIM_FRAC_PCT // 100
+        kept = [c for c, _ in vals[cut : n - cut]]
+        r = got[p]
+        assert r["n_orders"] == n
+        assert r["n_trimmed"] == n - 2 * cut == len(kept)
+        assert r["mean_value"] == sum(c for c, _ in vals) / n / 100.0
+        assert r["trimmed_mean_value"] == sum(kept) / len(kept) / 100.0

@@ -3303,3 +3303,34 @@ def test_dedup_keep_best_oracle_and_winner_policy(spark):
         next(r for r in m if r["is_kept"])["doc_id"] != min(x["doc_id"] for x in m)
         for m in multi
     )
+
+
+def test_neyman_allocation_oracle_and_recompute(spark):
+    """Oracle match + exact recompute of σ and shares from raw
+    lengths; allocations sum to ≤ budget (floor) and shares to 1."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "neyman_allocation", SF_SMOKE)
+    from big_data_code_spark.plans.llm import NEYMAN_BUDGET, neyman_allocation
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+
+    by_src: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    got = {
+        r["source"]: r for r in neyman_allocation(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, xs in by_src.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        sigma = math.sqrt((n * sxx - sx * sx) / (float(n) * n))
+        assert got[s]["n_docs"] == n and got[s]["sigma"] == sigma
+    assert abs(sum(r["alloc_share"] for r in got.values()) - 1.0) < 1e-9
+    total = sum(r["alloc_n"] for r in got.values())
+    assert NEYMAN_BUDGET - len(by_src) <= total <= NEYMAN_BUDGET

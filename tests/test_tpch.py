@@ -237,6 +237,9 @@ BNLJ_ALLOWED = {
     "mutual_information_features",  # r7 w8: one-row doc-count N
                                  # broadcast (the tfidf_top_terms
                                  # scalar shape)
+    "neyman_allocation",         # r7 w8: one-row allocation-weight
+                                 # total broadcast (the
+                                 # market_basket_lift divisor shape)
 }
 
 

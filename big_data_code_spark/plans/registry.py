@@ -306,8 +306,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
     ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
-    # -- r7 wave 8 (post-prefix adds; they carry this round's local
-    #    driver-mimic evidence and rotate into the r8 prefix):
+    # -- r7 wave 8 (post-prefix adds, registry 221 → 236; every one
+    #    carries this round's local driver-mimic evidence at
+    #    sf0.001 + sf0.01, decade rows in PROBE_r7_wave8.json, and
+    #    rotates into the r8 prefix):
     ("hits_knn_graph", llm.hits_knn_graph, llm.HITS_KNN_GRAPH_SQL),
     ("ndcg_retrieval_eval", llm.ndcg_retrieval_eval, llm.NDCG_RETRIEVAL_EVAL_SQL),
     ("ks_source_drift", advanced.ks_source_drift, advanced.KS_SOURCE_DRIFT_SQL),

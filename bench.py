@@ -293,6 +293,7 @@ BENCH_QUERIES = (
     "dedup_keep_best",
     "neyman_allocation",
     "trimmed_mean_order_values",
+    "cross_device_sessions",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4235,3 +4235,106 @@ SELECT o_orderpriority,
          / 100.0 AS trimmed_mean_value
 FROM cutd GROUP BY 1
 """
+
+
+def cross_device_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device session stitching — the product metric the
+    reference's equiv-graph exists FOR: sessionize the event stream
+    once on RAW user ids and once on the CANONICAL person
+    (`user_id_normalization`'s connected components), per start-day
+    count both. Raw minus stitched is how many "visits" were really
+    the same person continuing on another device; a per-day row can
+    go either way (a merged session's start day is its EARLIEST
+    event), but globally stitched ≤ raw — asserted in tests.
+
+    100 TB shape: the tiny CC mapping broadcasts onto the fact
+    scan; each sessionization is the ONE user-keyed
+    shuffle-and-sort the gap-split needs; day counts are combinable
+    rollups of session grain. Total order (ts, event_id) keeps both
+    engines' session splits identical.
+
+    Returns (day, n_sessions_raw, n_sessions_stitched).
+    """
+    from ..plans.swa import user_id_normalization
+
+    def day_counts(sess: DataFrame, out: str) -> DataFrame:
+        roll = sess.groupBy("user_id", "session_id").agg(
+            F.min("us").alias("min_us")
+        )
+        return roll.groupBy(
+            F.expr("min_us DIV 86400000000").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias(out))
+
+    raw = day_counts(_sessionized_events(spark, sf_dir), "n_sessions_raw")
+    mapping = user_id_normalization(spark, sf_dir)
+    ne = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(mapping), "user_id", "left")
+        .select(
+            F.coalesce("canonical_id", "user_id").alias("user_id"),
+            "ts",
+            "event_id",
+            epoch_us("ts").alias("us"),
+        )
+    )
+    stitched = day_counts(_sessionize_frame(ne), "n_sessions_stitched")
+    return (
+        raw.join(stitched, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_sessions_raw", F.lit(0)).cast("long").alias(
+                "n_sessions_raw"
+            ),
+            F.coalesce("n_sessions_stitched", F.lit(0)).cast("long").alias(
+                "n_sessions_stitched"
+            ),
+        )
+    )
+
+
+def _cross_device_sessions_sql() -> str:
+    from .swa import EQUIV_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {EQUIV_EDGES_CTE},
+{_SESSIONIZED_CTE.strip().rstrip()},
+rawroll AS (
+  SELECT user_id, session_id, CAST(min(us) AS BIGINT) AS min_us
+  FROM sess GROUP BY 1, 2),
+rawday AS (
+  SELECT min_us // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions_raw
+  FROM rawroll GROUP BY 1),
+ne AS (
+  SELECT CAST(coalesce(m.canonical_id, e.user_id) AS BIGINT) AS user_id,
+         e.ts, e.event_id, epoch_us(e.ts) AS us
+  FROM events e LEFT JOIN mapping m ON e.user_id = m.user_id),
+nflag AS (
+  SELECT user_id, ts, event_id, us,
+         CASE WHEN lag(us) OVER w2 IS NULL
+                   OR us - lag(us) OVER w2 > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ne
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+nsess AS (
+  SELECT user_id, us,
+         CAST(sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
+  FROM nflag),
+nroll AS (
+  SELECT user_id, session_id, CAST(min(us) AS BIGINT) AS min_us
+  FROM nsess GROUP BY 1, 2),
+nday AS (
+  SELECT min_us // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions_stitched
+  FROM nroll GROUP BY 1)
+SELECT coalesce(r.day, n.day) AS day,
+       CAST(coalesce(r.n_sessions_raw, 0) AS BIGINT) AS n_sessions_raw,
+       CAST(coalesce(n.n_sessions_stitched, 0) AS BIGINT)
+         AS n_sessions_stitched
+FROM rawday r FULL JOIN nday n ON r.day = n.day
+"""
+
+
+CROSS_DEVICE_SESSIONS_SQL = _cross_device_sessions_sql()

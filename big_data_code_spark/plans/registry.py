@@ -325,6 +325,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
     ("neyman_allocation", llm.neyman_allocation, llm.NEYMAN_ALLOCATION_SQL),
     ("trimmed_mean_order_values", advanced.trimmed_mean_order_values, advanced.TRIMMED_MEAN_ORDER_VALUES_SQL),
+    ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

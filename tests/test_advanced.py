@@ -1294,3 +1294,45 @@ def test_trimmed_mean_oracle_and_recompute(spark):
         assert r["n_trimmed"] == n - 2 * cut == len(kept)
         assert r["mean_value"] == sum(c for c, _ in vals) / n / 100.0
         assert r["trimmed_mean_value"] == sum(kept) / len(kept) / 100.0
+
+
+def test_cross_device_sessions_oracle_and_stitch_bound(spark):
+    """Oracle match + the stitch bound: canonical-person sessions
+    never exceed raw sessions globally, and the stitched total
+    matches an independent sessionize over mapped ids."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "cross_device_sessions", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        SESSION_GAP_US,
+        cross_device_sessions,
+    )
+    from big_data_code_spark.plans.swa import user_id_normalization
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = cross_device_sessions(spark, SF_SMOKE).collect()
+    raw = sum(r["n_sessions_raw"] for r in rows)
+    stitched = sum(r["n_sessions_stitched"] for r in rows)
+    assert 0 < stitched <= raw
+    # independent recount of the stitched total in pure Python
+    mapping = {
+        r["user_id"]: r["canonical_id"]
+        for r in user_id_normalization(spark, SF_SMOKE).collect()
+    }
+    ev = sorted(
+        (
+            mapping.get(r["user_id"], r["user_id"]),
+            int(r["ts"].timestamp() * 1_000_000),
+            r["event_id"],
+        )
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    n = 0
+    last: dict = {}
+    for uid, us, _ in ev:
+        if uid not in last or us - last[uid] > SESSION_GAP_US:
+            n += 1
+        last[uid] = us
+    assert n == stitched

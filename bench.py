@@ -294,6 +294,7 @@ BENCH_QUERIES = (
     "neyman_allocation",
     "trimmed_mean_order_values",
     "cross_device_sessions",
+    "revenue_pattern_match",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4338,3 +4338,149 @@ FROM rawday r FULL JOIN nday n ON r.day = n.day
 
 
 CROSS_DEVICE_SESSIONS_SQL = _cross_device_sessions_sql()
+
+
+#: Pattern length (days) and result size for the similarity search.
+PATTERN_DAYS = 7
+PATTERN_TOPK = 10
+
+
+def revenue_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern similarity search: which historical
+    7-day revenue windows look most like the LATEST full week?
+    (The "have we seen this shape before" query behind demand
+    forecasting and anomaly triage.) Similarity is Pearson
+    correlation of the two 7-vectors — scale/offset invariant, so
+    it matches SHAPE, not volume.
+
+    Exactness: daily revenue rides a KILO-dollar BIGINT grid
+    (documented headroom: window Σx² stays in BIGINT to ~sf1e5,
+    where a cents grid would overflow at sf1000); each window's
+    (Σx, Σx², Σxy) are integer sums over PATTERN_DAYS lead()
+    columns, and r is one double chain from exact BIGINTs.
+    Zero-variance windows are excluded BEFORE ranking (r
+    undefined). The query window rides a one-row broadcast
+    (allowlisted); candidate windows must end before the query
+    starts.
+
+    100 TB shape: one combinable (day, Σ) rollup off the fact
+    scan, then everything — leads, sums, ranking — runs on the
+    CALENDAR-bounded daily frame (the `open_orders_over_time`
+    posture). Brute force over ~n_days windows IS the scale plan
+    at any corpus size.
+
+    Returns (day, r, rank) — the top PATTERN_TOPK matches.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.expr(
+            "CAST(round(sum(CAST(round(o_totalprice) AS BIGINT)) / 1000)"
+            " AS BIGINT)"
+        ).alias("v")
+    )
+    w = Window.orderBy("day")
+    lead_cols = [F.col("v").alias("x0")] + [
+        F.lead("v", i).over(w).alias(f"x{i}") for i in range(1, PATTERN_DAYS)
+    ]
+    lead_days = F.lead("day", PATTERN_DAYS - 1).over(w).alias("end_day")
+    xs = [f"x{i}" for i in range(PATTERN_DAYS)]
+    wins = (
+        daily.select("day", lead_days, *lead_cols)
+        # contiguous full windows only (gap days break the shape)
+        .where(
+            F.col(f"x{PATTERN_DAYS - 1}").isNotNull()
+            & (F.col("end_day") == F.col("day") + PATTERN_DAYS - 1)
+        )
+        .select(
+            "day",
+            F.expr(" + ".join(xs)).alias("sx"),
+            F.expr(" + ".join(f"{x} * {x}" for x in xs)).alias("sxx"),
+            *[F.col(x) for x in xs],
+        )
+    )
+    q = (
+        wins.orderBy(F.desc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("q_day"),
+            F.col("sx").alias("qsx"),
+            F.col("sxx").alias("qsxx"),
+            *[F.col(x).alias(f"q{x}") for x in xs],
+        )
+    )
+    n = PATTERN_DAYS
+    sxy = " + ".join(f"{x} * q{x}" for x in xs)
+    r_expr = (
+        f"CAST({n} * ({sxy}) - sx * qsx AS DOUBLE)"
+        f" / sqrt(CAST({n} * sxx - sx * sx AS DOUBLE)"
+        f" * CAST({n} * qsxx - qsx * qsx AS DOUBLE))"
+    )
+    scored = (
+        wins.crossJoin(F.broadcast(q))
+        .where(F.col("day") + (PATTERN_DAYS - 1) < F.col("q_day"))
+        .where(
+            F.expr(f"{n} * sxx - sx * sx > 0")
+            & F.expr(f"{n} * qsxx - qsx * qsx > 0")
+        )
+        .select("day", F.expr(r_expr).alias("r"))
+    )
+    wr = Window.orderBy(F.desc("r"), "day")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= PATTERN_TOPK)
+        .select("day", "r", "rank")
+    )
+
+
+def _pattern_sql() -> str:
+    n = PATTERN_DAYS
+    xs = [f"x{i}" for i in range(n)]
+    leads = ",\n         ".join(
+        f"lead(v, {i}) OVER w AS x{i}" for i in range(1, n)
+    )
+    sxy = " + ".join(f"{x} * q.q{x}" for x in xs)
+    qcols = ", ".join(f"{x} AS q{x}" for x in xs)
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(round(sum(CAST(round(o_totalprice) AS BIGINT)) / 1000)
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+led AS (
+  SELECT day, v AS x0,
+         {leads},
+         lead(day, {n - 1}) OVER w AS end_day
+  FROM daily
+  WINDOW w AS (ORDER BY day)),
+wins AS (
+  SELECT day,
+         {" + ".join(xs)} AS sx,
+         {" + ".join(f"{x} * {x}" for x in xs)} AS sxx,
+         {", ".join(xs)}
+  FROM led
+  WHERE x{n - 1} IS NOT NULL AND end_day = day + {n - 1}),
+q AS (
+  SELECT day AS q_day, sx AS qsx, sxx AS qsxx, {qcols}
+  FROM wins ORDER BY day DESC LIMIT 1),
+scored AS (
+  SELECT w.day,
+         CAST({n} * ({sxy}) - w.sx * q.qsx AS DOUBLE)
+           / sqrt(CAST({n} * w.sxx - w.sx * w.sx AS DOUBLE)
+                  * CAST({n} * q.qsxx - q.qsx * q.qsx AS DOUBLE)) AS r
+  FROM wins w CROSS JOIN q
+  WHERE w.day + {n - 1} < q.q_day
+    AND {n} * w.sxx - w.sx * w.sx > 0
+    AND {n} * q.qsxx - q.qsx * q.qsx > 0)
+SELECT day, r, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY r DESC, day) AS rank FROM scored)
+WHERE rank <= {PATTERN_TOPK}
+"""
+
+
+REVENUE_PATTERN_MATCH_SQL = _pattern_sql()

@@ -326,6 +326,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("neyman_allocation", llm.neyman_allocation, llm.NEYMAN_ALLOCATION_SQL),
     ("trimmed_mean_order_values", advanced.trimmed_mean_order_values, advanced.TRIMMED_MEAN_ORDER_VALUES_SQL),
     ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
+    ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1336,3 +1336,63 @@ def test_cross_device_sessions_oracle_and_stitch_bound(spark):
             n += 1
         last[uid] = us
     assert n == stitched
+
+
+def test_revenue_pattern_match_oracle_and_recompute(spark):
+    """Oracle match + pure-Python Pearson recompute over the
+    kilodollar daily series; r ∈ [-1, 1] and ranks are dense."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "revenue_pattern_match", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        PATTERN_DAYS,
+        PATTERN_TOPK,
+        revenue_pattern_match,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import defaultdict
+
+    cents = defaultdict(int)
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        day = int(r["o_orderdate"].timestamp() // 86400)  # tests run UTC
+        cents[day] += int(math.floor(r["o_totalprice"] + 0.5))
+    kd = {d: int(math.floor(v / 1000 + 0.5)) for d, v in cents.items()}
+    days = sorted(kd)
+    wins = {}
+    for d in days:
+        span = [d + i for i in range(PATTERN_DAYS)]
+        if all(x in kd for x in span):
+            wins[d] = [kd[x] for x in span]
+    qd = max(wins)
+    qv = wins[qd]
+    n = PATTERN_DAYS
+
+    def pearson(a, b):
+        sa, sb = sum(a), sum(b)
+        saa = sum(x * x for x in a)
+        sbb = sum(x * x for x in b)
+        sab = sum(x * y for x, y in zip(a, b))
+        da, db = n * saa - sa * sa, n * sbb - sb * sb
+        if da <= 0 or db <= 0:
+            return None
+        return float(n * sab - sa * sb) / math.sqrt(float(da) * float(db))
+
+    cands = [
+        (d, pearson(v, qv))
+        for d, v in wins.items()
+        if d + PATTERN_DAYS - 1 < qd
+    ]
+    cands = [(d, r) for d, r in cands if r is not None]
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    want = {d: (r, i + 1) for i, (d, r) in enumerate(cands[:PATTERN_TOPK])}
+    got = {
+        r["day"]: (r["r"], r["rank"])
+        for r in revenue_pattern_match(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(-1.0 - 1e-12 <= r <= 1.0 + 1e-12 for r, _ in got.values())
+    assert sorted(rk for _, rk in got.values()) == list(
+        range(1, len(got) + 1)
+    )

@@ -240,6 +240,11 @@ BNLJ_ALLOWED = {
     "neyman_allocation",         # r7 w8: one-row allocation-weight
                                  # total broadcast (the
                                  # market_basket_lift divisor shape)
+    "revenue_pattern_match",     # r7 w8: one-row query-window
+                                 # broadcast onto the calendar-
+                                 # bounded window frame (the
+                                 # trending_events_decay anchor
+                                 # shape)
 }
 
 

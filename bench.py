@@ -295,6 +295,7 @@ BENCH_QUERIES = (
     "trimmed_mean_order_values",
     "cross_device_sessions",
     "revenue_pattern_match",
+    "decontaminate_corpus",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

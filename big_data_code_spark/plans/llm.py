@@ -11188,3 +11188,60 @@ SELECT source, n AS n_docs, sigma,
             AS BIGINT) AS alloc_n
 FROM weighted CROSS JOIN tot
 """
+
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY — the find→apply symmetry for
+    `benchmark_contamination` (the same closure the dedup family
+    has in `substring_dedup_apply`): every document with its split
+    and the shipping verdict — train docs sharing
+    ≥ CONTAMINATION_MIN_SHARED distinct shingles with the held-out
+    split are dropped; val docs are never "kept" (they are the
+    benchmark). What a pipeline materializes right before
+    tokenization.
+
+    Plan: the contamination scan (gram-keyed equi-join, never
+    doc×doc) reduced to the flagged-id set, LEFT-joined back onto
+    the corpus scan — one extra broadcast-sized join over the find
+    step.
+
+    Returns (doc_id, split, contaminated, kept).
+    """
+    flagged = (
+        benchmark_contamination(spark, sf_dir)
+        .where("contaminated")
+        .select("doc_id", F.lit(True).alias("c"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("c", F.lit(False)).alias("contaminated"),
+            (
+                (F.col("split") == "train") & ~F.coalesce("c", F.lit(False))
+            ).alias("kept"),
+        )
+    )
+
+
+DECONTAMINATE_CORPUS_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id FROM ({BENCHMARK_CONTAMINATION_SQL}) WHERE contaminated),
+split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT)
+                   % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents)
+SELECT s.doc_id, s.split,
+       f.doc_id IS NOT NULL AS contaminated,
+       s.split = 'train' AND f.doc_id IS NULL AS kept
+FROM split s LEFT JOIN flagged f ON s.doc_id = f.doc_id
+"""

@@ -327,6 +327,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("trimmed_mean_order_values", advanced.trimmed_mean_order_values, advanced.TRIMMED_MEAN_ORDER_VALUES_SQL),
     ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
     ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
+    ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

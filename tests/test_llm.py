@@ -3334,3 +3334,32 @@ def test_neyman_allocation_oracle_and_recompute(spark):
     assert abs(sum(r["alloc_share"] for r in got.values()) - 1.0) < 1e-9
     total = sum(r["alloc_n"] for r in got.values())
     assert NEYMAN_BUDGET - len(by_src) <= total <= NEYMAN_BUDGET
+
+
+def test_decontaminate_corpus_oracle_and_symmetry(spark):
+    """Oracle match + find→apply symmetry: kept = train ∧ not
+    flagged by benchmark_contamination; val docs never kept; every
+    document appears exactly once."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "decontaminate_corpus", SF_SMOKE)
+    from big_data_code_spark.plans.llm import (
+        benchmark_contamination,
+        decontaminate_corpus,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = decontaminate_corpus(spark, SF_SMOKE).collect()
+    assert len(rows) == load_table(spark, SF_SMOKE, "documents").count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    flagged = {
+        r["doc_id"]
+        for r in benchmark_contamination(spark, SF_SMOKE).collect()
+        if r["contaminated"]
+    }
+    assert flagged  # the seeded splits guarantee overlap
+    for r in rows:
+        assert r["contaminated"] == (r["doc_id"] in flagged)
+        assert r["kept"] == (r["split"] == "train" and not r["contaminated"])
+        if r["split"] == "val":
+            assert not r["kept"]

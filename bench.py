@@ -296,6 +296,7 @@ BENCH_QUERIES = (
     "cross_device_sessions",
     "revenue_pattern_match",
     "decontaminate_corpus",
+    "itemcf_eval",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

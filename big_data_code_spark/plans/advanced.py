@@ -4484,3 +4484,137 @@ WHERE rank <= {PATTERN_TOPK}
 
 
 REVENUE_PATTERN_MATCH_SQL = _pattern_sql()
+
+
+#: Hold-out rule for the recsys eval: every 5th order is test.
+ITEMCF_TEST_MOD = 5
+
+
+def itemcf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recsys evaluation — `item_item_cosine`'s eval
+    closure (what `ann_recall_eval` is to the ANN family): hold out
+    every ITEMCF_TEST_MOD-th order, build the co-occurrence top-5
+    on the TRAIN orders only, then ask for each (test order, item)
+    pair whether any of the item's top-5 neighbors was ALSO bought
+    in that held-out order — hit-rate@5, the number a rec-serving
+    launch decision reads.
+
+    All-integer plan: deterministic split on l_orderkey mod, exact
+    pair/item counts, cosine ranking (the item_item contract), one
+    (order, neighbor)-keyed semi-join against the test baskets, a
+    one-row report. Bounded baskets keep pair generation
+    corpus-linear; the recs frame is items × 5.
+
+    Returns (n_test_pairs, n_hit_pairs, hit_rate) — one row.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    all_items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    train = track_persisted(
+        all_items.where(F.col("l_orderkey") % ITEMCF_TEST_MOD != 0).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    test = all_items.where(F.col("l_orderkey") % ITEMCF_TEST_MOD == 0)
+    item_cnt = train.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = train.alias("a")
+    b = train.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("neighbor"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    scored = (
+        pairs.join(item_cnt.withColumnRenamed("cnt", "cnt_a"), "item")
+        .join(
+            item_cnt.withColumnRenamed("cnt", "cnt_b").withColumnRenamed(
+                "item", "neighbor"
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            F.expr("n_pair / sqrt(CAST(cnt_a * cnt_b AS DOUBLE))").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    recs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("item", "neighbor")
+    )
+    cand = test.join(recs, "item").select("l_orderkey", "item", "neighbor")
+    th = test.select(
+        F.col("l_orderkey").alias("h_order"), F.col("item").alias("h_item")
+    )
+    hits = (
+        cand.join(
+            th,
+            (cand.l_orderkey == th.h_order) & (cand.neighbor == th.h_item),
+        )
+        .select("l_orderkey", "item")
+        .distinct()
+    )
+    n_test = test.agg(F.count(F.lit(1)).cast("long").alias("n_test_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit_pairs"))
+    return (
+        n_test.crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_test_pairs",
+            "n_hit_pairs",
+            (F.col("n_hit_pairs") / F.col("n_test_pairs")).alias("hit_rate"),
+        )
+    )
+
+
+ITEMCF_EVAL_SQL = f"""
+WITH all_items AS (
+  SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem),
+train AS (
+  SELECT * FROM all_items WHERE l_orderkey % {ITEMCF_TEST_MOD} <> 0),
+test AS (
+  SELECT * FROM all_items WHERE l_orderkey % {ITEMCF_TEST_MOD} = 0),
+item_cnt AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM train GROUP BY 1),
+pairs AS (
+  SELECT a.item, b.item AS neighbor, CAST(count(*) AS BIGINT) AS n_pair
+  FROM train a JOIN train b
+    ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.item, p.neighbor,
+         p.n_pair / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN item_cnt ca ON p.item = ca.item
+  JOIN item_cnt cb ON p.neighbor = cb.item),
+recs AS (
+  SELECT item, neighbor FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY item ORDER BY cosine DESC, neighbor) AS rank
+    FROM scored)
+  WHERE rank <= 5),
+hits AS (
+  SELECT DISTINCT c.l_orderkey, c.item
+  FROM (SELECT t.l_orderkey, t.item, r.neighbor
+        FROM test t JOIN recs r ON t.item = r.item) c
+  JOIN test h ON h.l_orderkey = c.l_orderkey AND h.item = c.neighbor)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit_pairs,
+       (SELECT count(*) FROM hits)
+         / (SELECT CAST(count(*) AS BIGINT) FROM test) AS hit_rate
+"""

@@ -328,6 +328,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
     ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
     ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
+    ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

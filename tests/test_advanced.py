@@ -1396,3 +1396,57 @@ def test_revenue_pattern_match_oracle_and_recompute(spark):
     assert sorted(rk for _, rk in got.values()) == list(
         range(1, len(got) + 1)
     )
+
+
+def test_itemcf_eval_oracle_and_recompute(spark):
+    """Oracle match + full pure-Python recompute of hit-rate@5 from
+    the raw lineitem baskets (train/test split, co-occurrence
+    cosine top-5, held-out hit check)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "itemcf_eval", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import ITEMCF_TEST_MOD, itemcf_eval
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import Counter
+
+    train: dict = {}
+    test: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        tgt = test if r["l_orderkey"] % ITEMCF_TEST_MOD == 0 else train
+        tgt.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    cnt: Counter = Counter()
+    pair: Counter = Counter()
+    for items in train.values():
+        for i in items:
+            cnt[i] += 1
+        for a in items:
+            for b in items:
+                if a != b:
+                    pair[(a, b)] += 1
+    recs: dict = {}
+    for item in cnt:
+        nb = sorted(
+            (
+                (-(n / math.sqrt(cnt[a] * cnt[b])), b)
+                for (a, b), n in pair.items()
+                if a == item
+            ),
+        )[:5]
+        recs[item] = {b for _, b in nb}
+    n_test = sum(len(v) for v in test.values())
+    n_hit = sum(
+        1
+        for order, items in test.items()
+        for i in items
+        if recs.get(i, set()) & (items - {i})
+    )
+    row = itemcf_eval(spark, SF_SMOKE).collect()[0]
+    assert (row["n_test_pairs"], row["n_hit_pairs"]) == (n_test, n_hit)
+    assert row["hit_rate"] == n_hit / n_test
+    assert 0 < row["hit_rate"] < 1

@@ -245,6 +245,10 @@ BNLJ_ALLOWED = {
                                  # bounded window frame (the
                                  # trending_events_decay anchor
                                  # shape)
+    "itemcf_eval",               # r7 w8: two one-row report scalars
+                                 # (test-pair and hit counts)
+                                 # cross-broadcast into the 1-row
+                                 # report
 }
 
 

@@ -297,6 +297,7 @@ BENCH_QUERIES = (
     "revenue_pattern_match",
     "decontaminate_corpus",
     "itemcf_eval",
+    "embedding_label_drift",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

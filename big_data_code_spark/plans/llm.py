@@ -11245,3 +11245,97 @@ SELECT s.doc_id, s.split,
        s.split = 'train' AND f.doc_id IS NULL AS kept
 FROM split s LEFT JOIN flagged f ON s.doc_id = f.doc_id
 """
+
+
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: L2 distance between the
+    per-dimension centroids of two corpus halves (even vs odd
+    vec_id — the deterministic stand-in for "yesterday's snapshot
+    vs today's") — the embedding-space twin of `ks_source_drift` /
+    `psi_value_drift`: a re-embedded or re-crawled corpus whose
+    centroids move is drifting even when scalar stats hold still.
+
+    Exactness: per-dim sums ride the 1e9 fixed-point BIGINT grid
+    (the `pca_power_iteration` contract) so centroid means are
+    exact-BIGINT ÷ count; squared diffs re-enter a 1e12 grid before
+    the 64-term sum (order-free), one sqrt at the end.
+
+    100 TB shape: ONE posexplode pass → combinable
+    (label, half, dim) agg over a ≤ |labels|·2·64 key space → tiny
+    pivots. Never row × row.
+
+    Returns (label, n_even, n_odd, drift_l2).
+    """
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "even",
+        "pos",
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1e9) AS BIGINT)").alias("fx"),
+    )
+    dims = base.groupBy("label", "even", "pos").agg(
+        F.sum("fx").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sides = (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.max(F.when(F.col("even"), F.col("s"))).alias("se"),
+            F.max(F.when(F.col("even"), F.col("n"))).alias("ne"),
+            F.max(F.when(~F.col("even"), F.col("s"))).alias("so"),
+            F.max(F.when(~F.col("even"), F.col("n"))).alias("no"),
+        )
+        .select(
+            "label",
+            "ne",
+            "no",
+            # unscale the 1e9 fixed-point means BEFORE squaring
+            F.expr(
+                "CAST(round((CAST(se AS DOUBLE) / ne - CAST(so AS DOUBLE) / no)"
+                " * 1e-9"
+                " * ((CAST(se AS DOUBLE) / ne - CAST(so AS DOUBLE) / no)"
+                " * 1e-9)"
+                " * 1e12) AS BIGINT)"
+            ).alias("d2"),
+        )
+    )
+    return sides.groupBy("label").agg(
+        F.max("ne").cast("long").alias("n_even"),
+        F.max("no").cast("long").alias("n_odd"),
+        F.expr("sqrt(CAST(sum(d2) AS BIGINT) / 1e12)").alias("drift_l2"),
+    )
+
+
+EMBEDDING_LABEL_DRIFT_SQL = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+base AS (
+  SELECT label, vec_id % 2 = 0 AS even, CAST(t.i AS INT) AS pos,
+         CAST(round(vec[t.i + 1] * 1e9) AS BIGINT) AS fx
+  FROM c CROSS JOIN range(0, 64) t(i)),
+dims AS (
+  SELECT label, even, pos, CAST(sum(fx) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3),
+sides AS (
+  SELECT label, pos,
+         max(CASE WHEN even THEN s END) AS se,
+         max(CASE WHEN even THEN n END) AS ne,
+         max(CASE WHEN NOT even THEN s END) AS so,
+         max(CASE WHEN NOT even THEN n END) AS no
+  FROM dims GROUP BY 1, 2),
+d AS (
+  SELECT label, ne, no,
+         CAST(round((CAST(se AS DOUBLE) / ne - CAST(so AS DOUBLE) / no)
+                    * 1e-9
+                    * ((CAST(se AS DOUBLE) / ne - CAST(so AS DOUBLE) / no)
+                       * 1e-9)
+                    * 1e12) AS BIGINT) AS d2
+  FROM sides)
+SELECT label, CAST(max(ne) AS BIGINT) AS n_even,
+       CAST(max(no) AS BIGINT) AS n_odd,
+       sqrt(CAST(sum(d2) AS BIGINT) / 1e12) AS drift_l2
+FROM d GROUP BY 1
+"""

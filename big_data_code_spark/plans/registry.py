@@ -329,6 +329,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
     ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
     ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
+    ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -3363,3 +3363,44 @@ def test_decontaminate_corpus_oracle_and_symmetry(spark):
         assert r["kept"] == (r["split"] == "train" and not r["contaminated"])
         if r["split"] == "val":
             assert not r["kept"]
+
+
+def test_embedding_label_drift_oracle_and_recompute(spark):
+    """Oracle match + pure-Python centroid-drift recompute on the
+    same fixed-point grids."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "embedding_label_drift", SF_SMOKE)
+    from big_data_code_spark.plans.llm import embedding_label_drift
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import defaultdict
+
+    sums: dict = defaultdict(lambda: [0] * 64)
+    ns: dict = defaultdict(int)
+    for r in load_table(spark, SF_SMOKE, "embeddings").collect():
+        key = (r["label"], r["vec_id"] % 2 == 0)
+        ns[key] += 1
+        for i, v in enumerate(r["embedding"]):
+            sums[key][i] += int(math.floor(float(v) * 1e9 + 0.5)) if v >= 0 \
+                else -int(math.floor(-float(v) * 1e9 + 0.5))
+    labels = {l for l, _ in ns}
+    want = {}
+    for l in labels:
+        se, so = sums[(l, True)], sums[(l, False)]
+        ne, no = ns[(l, True)], ns[(l, False)]
+        tot = 0
+        for i in range(64):
+            d = (se[i] / ne - so[i] / no) * 1e-9
+            x = d * d * 1e12
+            tot += int(math.floor(x + 0.5)) if x >= 0 else -int(
+                math.floor(-x + 0.5)
+            )
+        want[l] = (ne, no, math.sqrt(tot / 1e12))
+    got = {
+        r["label"]: (r["n_even"], r["n_odd"], r["drift_l2"])
+        for r in embedding_label_drift(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(d >= 0 for _, _, d in got.values())

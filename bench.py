@@ -298,6 +298,7 @@ BENCH_QUERIES = (
     "decontaminate_corpus",
     "itemcf_eval",
     "embedding_label_drift",
+    "master_roundtrip_counts",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

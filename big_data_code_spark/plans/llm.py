@@ -11339,3 +11339,69 @@ SELECT label, CAST(max(ne) AS BIGINT) AS n_even,
        sqrt(CAST(sum(d2) AS BIGINT) / 1e12) AS drift_l2
 FROM d GROUP BY 1
 """
+
+
+def master_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-dataset roundtrip THROUGH the registry (promotes the
+    tests-only append-only store to an oracle-checked query — the
+    `jsonl_ingest_quarantine` move applied to the Pail analog):
+    pageview facts + equiv-edge facts are ingested into a
+    vertically-partitioned `MasterDataset` (one-time per-corpus
+    staging, built under a temp name and atomically renamed so a
+    torn build can never double-count an append-only store), read
+    BACK through the store, and rolled up per unit / per url —
+    proving the Thrift-union restatement, the vertical partition,
+    and the fact constructors end-to-end against the raw events.
+
+    100 TB shape: ingest is one partitioned append write; the
+    read-back rollup is one combinable agg; unit pruning is a
+    partition filter (asserted in the 🧪 tests).
+
+    Returns (unit, key, n_facts): one row per (page_view, url) plus
+    one ('equiv', 'ALL') row.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..schema import equiv_facts, pageview_facts
+    from ..sources.master_dataset import MasterDataset
+    from .swa import _equiv_edges
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"master_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(out):
+        build = f"{out}_build_{uuid.uuid4().hex[:8]}"
+        md = MasterDataset(build)
+        events = load_table(spark, sf_dir, "events")
+        md.ingest(pageview_facts(events))
+        md.ingest(
+            equiv_facts(
+                _equiv_edges(spark, sf_dir), "src", "dst", F.lit(0)
+            )
+        )
+        try:
+            os.rename(build, out)
+        except OSError:
+            pass  # lost the race to a concurrent builder — theirs wins
+    store = MasterDataset(out)
+    facts = store.read(spark)
+    return facts.groupBy(
+        "unit",
+        F.coalesce(F.col("page_view.page.url"), F.lit("ALL")).alias("key"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_facts"))
+
+
+MASTER_ROUNDTRIP_COUNTS_SQL = """
+SELECT 'page_view' AS unit, event_type AS key,
+       CAST(count(*) AS BIGINT) AS n_facts
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'equiv', 'ALL',
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+       + (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM events) u
+          WHERE u.user_id % 10 < 5)
+"""

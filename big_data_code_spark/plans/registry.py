@@ -330,6 +330,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
     ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
     ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
+    ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

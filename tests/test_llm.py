@@ -3404,3 +3404,27 @@ def test_embedding_label_drift_oracle_and_recompute(spark):
     }
     assert got == want
     assert all(d >= 0 for _, _, d in got.values())
+
+
+def test_master_roundtrip_counts_oracle_and_idempotent(spark):
+    """Oracle match + the staged store is reused (second call reads
+    the same atomically-renamed dir — append-only can't
+    double-count) and pageview mass equals the raw event count."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "master_roundtrip_counts", SF_SMOKE)
+    from big_data_code_spark.plans.llm import master_roundtrip_counts
+    from big_data_code_spark.sources.tables import load_table
+
+    a = {
+        (r["unit"], r["key"]): r["n_facts"]
+        for r in master_roundtrip_counts(spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r["unit"], r["key"]): r["n_facts"]
+        for r in master_roundtrip_counts(spark, SF_SMOKE).collect()
+    }
+    assert a == b  # idempotent staging
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(v for (u, _), v in a.items() if u == "page_view") == n_events
+    assert a[("equiv", "ALL")] > 0

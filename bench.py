@@ -299,6 +299,7 @@ BENCH_QUERIES = (
     "itemcf_eval",
     "embedding_label_drift",
     "master_roundtrip_counts",
+    "keyvalue_export_delta",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -331,6 +331,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
     ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
     ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
+    ("keyvalue_export_delta", swa.keyvalue_export_delta, swa.KEYVALUE_EXPORT_DELTA_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -803,3 +803,101 @@ WITH props AS (
 SELECT user_id, property_name, property_value, as_of_secs
 FROM ranked WHERE rn = 1
 """
+
+
+#: Day boundary for the delta-export demonstration: the previously
+#: shipped store saw events before this day; the new batch appends
+#: the rest (the events calendar spans 19723-19752 at every SF).
+DELTA_EXPORT_CUT_DAY = 19738
+
+
+def keyvalue_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental serving export — ship only the keys whose value
+    CHANGED since the last shipped store (the ElephantDB full-swap
+    made incremental shipping unnecessary in the reference; at
+    100 TB the delta is the difference between shipping gigabytes
+    and shipping everything). The "previous" store is the pageview
+    view over events before DELTA_EXPORT_CUT_DAY; the "current" one
+    sees all events; a FULL OUTER join on the serving key emits
+    new/updated keys with both values (unchanged keys — the bulk —
+    are filtered out; deletions cannot happen in an append-only
+    view, asserted in tests).
+
+    100 TB shape: two combinable rollups (the h/d/w/m fan-out),
+    one key-equi full join, a changed-only filter — cost tracks the
+    CHANGED key set, and the filter pushes the old-store scan's
+    day bound into parquet.
+
+    Returns (key, old_views, new_views, change ∈ new|updated).
+    """
+    from ..serving.keyvalue import url_bucketed_key
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+
+    def view(events) -> DataFrame:
+        v = multi_granularity_rollup(
+            events,
+            key="event_type",
+            ts="ts",
+            agg=F.sum("cnt"),
+            key_name="event_type",
+            value_name="total_views",
+        )
+        key = url_bucketed_key(
+            F.col("event_type"), F.col("granularity"), F.col("bucket")
+        )
+        return v.select(key.alias("key"), "total_views")
+
+    prev = view(ev.where(day < DELTA_EXPORT_CUT_DAY)).withColumnRenamed(
+        "total_views", "old_views"
+    )
+    cur = view(ev).withColumnRenamed("total_views", "new_views")
+    return (
+        cur.join(prev, "key", "full")
+        .where(
+            F.col("old_views").isNull()
+            | (F.col("new_views") != F.col("old_views"))
+        )
+        .select(
+            "key",
+            F.col("old_views").cast("long").alias("old_views"),
+            F.col("new_views").cast("long").alias("new_views"),
+            F.when(F.col("old_views").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("change"),
+        )
+    )
+
+
+_DELTA_VIEW_CTE = """
+  SELECT event_type || '/' || g.granularity || '-' || CAST(
+           CASE g.granularity
+             WHEN 'h' THEN hour_bucket
+             WHEN 'd' THEN hour_bucket // 24
+             WHEN 'w' THEN (hour_bucket // 24) // 7
+             ELSE (hour_bucket // 24) // 28
+           END AS VARCHAR) AS key,
+         CAST(sum(cnt) AS BIGINT) AS total_views
+  FROM (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           count(*) AS cnt
+    FROM events {where}
+    GROUP BY 1, 2)
+  CROSS JOIN (VALUES ('h'), ('d'), ('w'), ('m')) AS g(granularity)
+  GROUP BY 1
+"""
+
+KEYVALUE_EXPORT_DELTA_SQL = f"""
+WITH prev AS ({_DELTA_VIEW_CTE.format(
+    where=f"WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT)"
+          f" < {DELTA_EXPORT_CUT_DAY}")}),
+cur AS ({_DELTA_VIEW_CTE.format(where="")})
+SELECT coalesce(c.key, p.key) AS key,
+       CAST(p.total_views AS BIGINT) AS old_views,
+       CAST(c.total_views AS BIGINT) AS new_views,
+       CASE WHEN p.key IS NULL THEN 'new' ELSE 'updated' END AS change
+FROM cur c FULL JOIN prev p ON c.key = p.key
+WHERE p.key IS NULL OR c.total_views <> p.total_views
+"""

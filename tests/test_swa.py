@@ -121,3 +121,36 @@ def test_keyvalue_export_oracle_and_shard_layout(spark):
         .where(F.col("n") > 1).count()
     )
     assert multi == 0
+
+
+def test_keyvalue_export_delta_oracle_and_invariants(spark):
+    """Oracle match + delta semantics: no deletions (append-only),
+    'new' keys absent from the prev view, 'updated' keys strictly
+    grew, and unchanged keys are NOT shipped."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "keyvalue_export_delta", SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    from big_data_code_spark.plans.swa import (
+        keyvalue_export,
+        keyvalue_export_delta,
+    )
+
+    rows = keyvalue_export_delta(spark, SF_SMOKE).collect()
+    assert rows
+    full = {
+        r["key"]: r["total_views"]
+        for r in keyvalue_export(spark, SF_SMOKE).collect()
+    }
+    shipped = set()
+    for r in rows:
+        shipped.add(r["key"])
+        assert r["new_views"] == full[r["key"]]  # current store value
+        if r["change"] == "new":
+            assert r["old_views"] is None
+        else:
+            assert r["change"] == "updated"
+            assert r["new_views"] > r["old_views"]  # append-only grows
+    # at least one key was unchanged and therefore not shipped
+    assert set(full) - shipped

@@ -300,6 +300,7 @@ BENCH_QUERIES = (
     "embedding_label_drift",
     "master_roundtrip_counts",
     "keyvalue_export_delta",
+    "chunk_lang_mix",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

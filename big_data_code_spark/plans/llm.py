@@ -11405,3 +11405,100 @@ SELECT 'equiv', 'ALL',
           FROM (SELECT DISTINCT user_id FROM events) u
           WHERE u.user_id % 10 < 5)
 """
+
+
+def chunk_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document detection: `lang_id`'s stopword
+    argmax applied at CHUNK grain (`doc_chunking`'s windows), then
+    per doc: chunk count, distinct predicted languages, the
+    majority language and its share — the curation signal a
+    doc-level language ID misses entirely (a half-English,
+    half-German page gets one confident doc label; its chunks
+    disagree). Pipelines route mixed docs to splitting, not to a
+    single-language bucket.
+
+    Per-row throughout until one (doc, lang) combinable count and a
+    per-doc argmax (array_min over (−n, lang) structs — the lang_id
+    tiebreak contract, majority ties → lang asc). No window sort;
+    never doc×doc.
+
+    Returns (doc_id, n_chunks, n_langs, major_lang, major_share).
+    """
+    chunks = doc_chunking(spark, sf_dir)
+    toks = chunks.select(
+        "doc_id", "chunk_id", tokenize(F.col("chunk_text")).alias("tokens")
+    )
+    candidates = F.array(
+        *[
+            F.struct(
+                (-stopword_hits(F.col("tokens"), lang).cast("long")).alias(
+                    "neg_hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_min(candidates)
+    labeled = toks.select(
+        "doc_id",
+        F.when(best["neg_hits"] < 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang"),
+    )
+    per_lang = labeled.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per_lang.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.array_min(
+                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "lang"))
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_langs",
+            F.col("m.lang").alias("major_lang"),
+            (-F.col("m.neg_n") / F.col("n_chunks")).alias("major_share"),
+        )
+    )
+
+
+CHUNK_LANG_MIX_SQL = f"""
+WITH chunks AS ({DOC_CHUNKING_SQL}),
+ctok AS (SELECT doc_id, chunk_id, {_TOKENS.replace("lower(text)", "lower(chunk_text)")} AS tokens
+         FROM chunks),
+ex AS (SELECT doc_id, chunk_id, unnest(tokens) AS t FROM ctok),
+sw(sw_lang, w) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, chunk_id, sw_lang, COUNT(*) AS n_hits
+  FROM ex JOIN sw ON ex.t = sw.w
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT doc_id, chunk_id, sw_lang,
+         row_number() OVER (PARTITION BY doc_id, chunk_id
+                            ORDER BY n_hits DESC, sw_lang) AS rn
+  FROM hits),
+best AS (
+  SELECT c.doc_id, c.chunk_id, COALESCE(r.sw_lang, 'und') AS lang
+  FROM ctok c
+  LEFT JOIN ranked r
+    ON c.doc_id = r.doc_id AND c.chunk_id = r.chunk_id AND r.rn = 1),
+per_lang AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+  FROM best GROUP BY 1, 2),
+major AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM per_lang)
+SELECT t.doc_id, t.n_chunks, t.n_langs,
+       m.lang AS major_lang, m.n / t.n_chunks AS major_share
+FROM (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM per_lang GROUP BY 1) t
+JOIN major m ON m.doc_id = t.doc_id AND m.rn = 1
+"""

@@ -332,6 +332,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
     ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
     ("keyvalue_export_delta", swa.keyvalue_export_delta, swa.KEYVALUE_EXPORT_DELTA_SQL),
+    ("chunk_lang_mix", llm.chunk_lang_mix, llm.CHUNK_LANG_MIX_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

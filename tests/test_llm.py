@@ -3428,3 +3428,27 @@ def test_master_roundtrip_counts_oracle_and_idempotent(spark):
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert sum(v for (u, _), v in a.items() if u == "page_view") == n_events
     assert a[("equiv", "ALL")] > 0
+
+
+def test_chunk_lang_mix_oracle_and_consistency(spark):
+    """Oracle match + consistency with the chunk and doc-level
+    views: n_chunks matches doc_chunking's fan-out, shares are
+    (0, 1], and a doc whose every chunk agrees has n_langs = 1 and
+    major_share = 1."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "chunk_lang_mix", SF_SMOKE)
+    from collections import Counter
+
+    from big_data_code_spark.plans.llm import chunk_lang_mix, doc_chunking
+
+    per_doc = Counter(
+        r["doc_id"] for r in doc_chunking(spark, SF_SMOKE).collect()
+    )
+    rows = chunk_lang_mix(spark, SF_SMOKE).collect()
+    assert {r["doc_id"]: r["n_chunks"] for r in rows} == dict(per_doc)
+    for r in rows:
+        assert 1 <= r["n_langs"] <= r["n_chunks"]
+        assert 0 < r["major_share"] <= 1
+        if r["n_langs"] == 1:
+            assert r["major_share"] == 1.0

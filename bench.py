@@ -301,6 +301,8 @@ BENCH_QUERIES = (
     "master_roundtrip_counts",
     "keyvalue_export_delta",
     "chunk_lang_mix",
+    "transition_entropy",
+    "join_skew_report",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

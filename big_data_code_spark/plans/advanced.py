@@ -4618,3 +4618,167 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test_pairs,
        (SELECT count(*) FROM hits)
          / (SELECT CAST(count(*) AS BIGINT) FROM test) AS hit_rate
 """
+
+
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-step predictability per state: Shannon entropy of the
+    next-event distribution given the current event — the
+    one-number summary of `top_event_transitions`' matrix rows
+    (H ≈ 0: users on rails; H ≈ log |types|: anything can happen —
+    the difference decides whether prefetching/recommendation after
+    this state is worth anything).
+
+    Terms −(n/N)·ln(n/N) ride the 1e-6 round grid and sum as
+    BIGINTs per state (order-free, the `char_entropy` contract);
+    normalized share = H / round(ln(n_next), 6) ∈ [0, 1].
+
+    100 TB shape: the one user-keyed window shuffle the transition
+    matrix already needs, a |types|²-key combinable agg, then a
+    |types|-row finish.
+
+    Returns (prev_type, n_total, n_next_types, entropy_nats,
+    normalized_entropy).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+    )
+    ent = (
+        cells.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            F.expr(
+                "CAST(round(round(-(n / n_total) * ln(n / n_total), 6) * 1e6)"
+                " AS BIGINT)"
+            ).alias("t"),
+        )
+        .groupBy("prev_type")
+        .agg((F.sum("t") / F.lit(1e6)).alias("entropy_nats"))
+    )
+    return (
+        tot.join(ent, "prev_type")
+        .select(
+            "prev_type",
+            "n_total",
+            "n_next_types",
+            "entropy_nats",
+            F.when(F.col("n_next_types") > 1,
+                   F.col("entropy_nats")
+                   / F.expr("round(ln(n_next_types), 6)"))
+            .otherwise(F.lit(0.0))
+            .alias("normalized_entropy"),
+        )
+    )
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+cells AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_next_types
+  FROM cells GROUP BY 1),
+ent AS (
+  SELECT c.prev_type,
+         CAST(sum(CAST(round(round(-(c.n / t.n_total)
+                                   * ln(c.n / t.n_total), 6) * 1e6)
+                       AS BIGINT)) AS BIGINT) / 1e6 AS entropy_nats
+  FROM cells c JOIN tot t ON c.prev_type = t.prev_type
+  GROUP BY 1)
+SELECT t.prev_type, t.n_total, t.n_next_types, e.entropy_nats,
+       CASE WHEN t.n_next_types > 1
+            THEN e.entropy_nats / round(ln(t.n_next_types), 6)
+            ELSE 0.0 END AS normalized_entropy
+FROM tot t JOIN ent e ON t.prev_type = e.prev_type
+"""
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report an operator reads
+    BEFORE deciding between a plain shuffle join, AQE skew
+    splitting, and an explicit salt (`skew_salted_quantity` is the
+    fix; this is the detector): for each production join key,
+    distinct-key count, max/mean rows per key, the exact p99 key
+    weight, and the skew factor (max/mean; AQE's
+    skewedPartitionFactor reasons on exactly this shape).
+
+    All-integer: per-key counts are exact, mean = n_rows/n_keys and
+    the exact-percentile p99 follow the `value_percentiles`
+    contract. One combinable count per key column + a
+    counts-of-counts finish (the counts frame is ≤ |keys| rows).
+
+    Returns (join_key, n_rows, n_keys, max_per_key, mean_per_key,
+    p99_per_key, skew_factor).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    out = []
+    for name, df, col in (
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+    ):
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        out.append(
+            counts.agg(
+                F.lit(name).alias("join_key"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("n").cast("long").alias("max_per_key"),
+                (F.sum("n") / F.count(F.lit(1))).alias("mean_per_key"),
+                F.expr("percentile(n, 0.99e0)").alias("p99_per_key"),
+                (
+                    F.max("n") / (F.sum("n") / F.count(F.lit(1)))
+                ).alias("skew_factor"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+JOIN_SKEW_REPORT_SQL = """
+WITH k1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_orderkey),
+k2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_partkey),
+k3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey)
+SELECT 'lineitem.l_orderkey' AS join_key,
+       CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_per_key,
+       CAST(sum(n) AS BIGINT) / count(*) AS mean_per_key,
+       quantile_cont(n, 0.99e0) AS p99_per_key,
+       CAST(max(n) AS BIGINT) / (CAST(sum(n) AS BIGINT) / count(*))
+         AS skew_factor
+FROM k1
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(max(n) AS BIGINT), CAST(sum(n) AS BIGINT) / count(*),
+       quantile_cont(n, 0.99e0),
+       CAST(max(n) AS BIGINT) / (CAST(sum(n) AS BIGINT) / count(*))
+FROM k2
+UNION ALL
+SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(max(n) AS BIGINT), CAST(sum(n) AS BIGINT) / count(*),
+       quantile_cont(n, 0.99e0),
+       CAST(max(n) AS BIGINT) / (CAST(sum(n) AS BIGINT) / count(*))
+FROM k3
+"""

@@ -333,6 +333,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
     ("keyvalue_export_delta", swa.keyvalue_export_delta, swa.KEYVALUE_EXPORT_DELTA_SQL),
     ("chunk_lang_mix", llm.chunk_lang_mix, llm.CHUNK_LANG_MIX_SQL),
+    ("transition_entropy", advanced.transition_entropy, advanced.TRANSITION_ENTROPY_SQL),
+    ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1450,3 +1450,80 @@ def test_itemcf_eval_oracle_and_recompute(spark):
     assert (row["n_test_pairs"], row["n_hit_pairs"]) == (n_test, n_hit)
     assert row["hit_rate"] == n_hit / n_test
     assert 0 < row["hit_rate"] < 1
+
+
+def test_transition_entropy_oracle_and_recompute(spark):
+    """Oracle match + grid-exact recompute from the transition
+    matrix; 0 ≤ normalized_entropy ≤ 1."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "transition_entropy", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        top_event_transitions,
+        transition_entropy,
+    )
+
+    import math
+    from collections import defaultdict
+
+    cells: dict = defaultdict(dict)
+    for r in top_event_transitions(spark, SF_SMOKE).collect():
+        cells[r["prev_type"]][r["next_type"]] = r["n_transitions"]
+
+    def rnd(x, p):
+        m = 10 ** p
+        return math.floor(x * m + 0.5) / m if x >= 0 else -math.floor(
+            -x * m + 0.5
+        ) / m
+
+    want = {}
+    for prev, nxt in cells.items():
+        ntot = sum(nxt.values())
+        tot = 0
+        for n in nxt.values():
+            t = rnd(-(n / ntot) * math.log(n / ntot), 6)
+            tot += int(math.floor(t * 1e6 + 0.5)) if t >= 0 else -int(
+                math.floor(-t * 1e6 + 0.5)
+            )
+        h = tot / 1e6
+        norm = h / rnd(math.log(len(nxt)), 6) if len(nxt) > 1 else 0.0
+        want[prev] = (ntot, len(nxt), h, norm)
+    got = {
+        r["prev_type"]: (
+            r["n_total"],
+            r["n_next_types"],
+            r["entropy_nats"],
+            r["normalized_entropy"],
+        )
+        for r in transition_entropy(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(0.0 <= v[3] <= 1.0 + 1e-9 for v in got.values())
+
+
+def test_join_skew_report_oracle_and_recompute(spark):
+    """Oracle match + exact recompute of every stat for one key."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "join_skew_report", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import join_skew_report
+    from big_data_code_spark.sources.tables import load_table
+
+    from collections import Counter
+
+    counts = Counter(
+        r["l_orderkey"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    )
+    row = {
+        r["join_key"]: r for r in join_skew_report(spark, SF_SMOKE).collect()
+    }["lineitem.l_orderkey"]
+    ns = sorted(counts.values())
+    assert row["n_rows"] == sum(ns)
+    assert row["n_keys"] == len(ns)
+    assert row["max_per_key"] == ns[-1]
+    assert row["mean_per_key"] == sum(ns) / len(ns)
+    assert row["skew_factor"] == ns[-1] / (sum(ns) / len(ns))
+    assert row["skew_factor"] >= 1.0

@@ -303,6 +303,7 @@ BENCH_QUERIES = (
     "chunk_lang_mix",
     "transition_entropy",
     "join_skew_report",
+    "touch_attribution",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4782,3 +4782,107 @@ SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(max(n) AS BIGINT) / (CAST(sum(n) AS BIGINT) / count(*))
 FROM k3
 """
+
+
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the two
+    classical baselines next to `markov_attribution`'s removal
+    effects (every marketing stack reports all three; the spread
+    between them is the "how biased is last-click" diagnostic).
+    Per converting session (contains ≥1 purchase): the first
+    pre-purchase event's type gets the first-touch credit, the last
+    pre-purchase event's type the last-touch credit; sessions whose
+    purchase is their first event credit 'direct'.
+
+    One sessionization shuffle (shared contract with
+    `sessionize_events` — total order (ts, event_id)), one
+    per-session min/max rollup, a |types|-key count finish. Exact
+    integer credits; shares are one division.
+
+    Returns (channel, n_first_touch, n_last_touch, first_share,
+    last_share).
+    """
+    sess = _sessionized_events(spark, sf_dir)
+    conv = sess.where(F.col("event_type") == "purchase").groupBy(
+        "user_id", "session_id"
+    ).agg(F.min(F.struct("us", "event_id")).alias("p"))
+    pre = (
+        sess.join(conv, ["user_id", "session_id"])
+        .where(
+            F.struct("us", "event_id") < F.col("p")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.struct("us", "event_id", "event_type")).alias("first"),
+            F.max(F.struct("us", "event_id", "event_type")).alias("last"),
+        )
+    )
+    credited = conv.join(pre, ["user_id", "session_id"], "left").select(
+        F.coalesce(F.col("first.event_type"), F.lit("direct")).alias("first_ch"),
+        F.coalesce(F.col("last.event_type"), F.lit("direct")).alias("last_ch"),
+    )
+    first = credited.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first_touch")
+    )
+    last = credited.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last_touch")
+    )
+    tot = credited.agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    return (
+        first.join(last, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).cast("long").alias(
+                "n_first_touch"
+            ),
+            F.coalesce("n_last_touch", F.lit(0)).cast("long").alias(
+                "n_last_touch"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_first_touch",
+            "n_last_touch",
+            (F.col("n_first_touch") / F.col("n_conv")).alias("first_share"),
+            (F.col("n_last_touch") / F.col("n_conv")).alias("last_share"),
+        )
+    )
+
+
+TOUCH_ATTRIBUTION_SQL = f"""
+WITH {_SESSIONIZED_CTE.strip()},
+conv AS (
+  SELECT user_id, session_id,
+         min(struct_pack(us := us, event_id := event_id)) AS p
+  FROM sess WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+pre AS (
+  SELECT s.user_id, s.session_id,
+         min(struct_pack(us := s.us, event_id := s.event_id,
+                         event_type := s.event_type)) AS first,
+         max(struct_pack(us := s.us, event_id := s.event_id,
+                         event_type := s.event_type)) AS last
+  FROM sess s JOIN conv c
+    ON s.user_id = c.user_id AND s.session_id = c.session_id
+  WHERE struct_pack(us := s.us, event_id := s.event_id) < c.p
+  GROUP BY 1, 2),
+credited AS (
+  SELECT coalesce(p.first.event_type, 'direct') AS first_ch,
+         coalesce(p.last.event_type, 'direct') AS last_ch
+  FROM conv c
+  LEFT JOIN pre p
+    ON c.user_id = p.user_id AND c.session_id = p.session_id),
+f AS (SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first_touch
+      FROM credited GROUP BY 1),
+l AS (SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last_touch
+      FROM credited GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM credited)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       CAST(coalesce(f.n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(coalesce(l.n_last_touch, 0) AS BIGINT) AS n_last_touch,
+       coalesce(f.n_first_touch, 0) / tot.n_conv AS first_share,
+       coalesce(l.n_last_touch, 0) / tot.n_conv AS last_share
+FROM f FULL JOIN l ON f.channel = l.channel
+CROSS JOIN tot
+"""

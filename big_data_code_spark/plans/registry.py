@@ -335,6 +335,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("chunk_lang_mix", llm.chunk_lang_mix, llm.CHUNK_LANG_MIX_SQL),
     ("transition_entropy", advanced.transition_entropy, advanced.TRANSITION_ENTROPY_SQL),
     ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
+    ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1527,3 +1527,62 @@ def test_join_skew_report_oracle_and_recompute(spark):
     assert row["mean_per_key"] == sum(ns) / len(ns)
     assert row["skew_factor"] == ns[-1] / (sum(ns) / len(ns))
     assert row["skew_factor"] >= 1.0
+
+
+def test_touch_attribution_oracle_and_recompute(spark):
+    """Oracle match + pure-Python first/last-touch recompute from
+    the sessionized stream; credit mass = converting sessions on
+    both axes."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "touch_attribution", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        SESSION_GAP_US,
+        touch_attribution,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    from collections import Counter
+
+    ev = sorted(
+        (
+            r["user_id"],
+            int(r["ts"].timestamp() * 1_000_000),  # tests run UTC
+            r["event_id"],
+            r["event_type"],
+        )
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    sessions: dict = {}
+    last: dict = {}
+    sid: dict = {}
+    for uid, us, eid, et in ev:
+        if uid not in last or us - last[uid] > SESSION_GAP_US:
+            sid[uid] = sid.get(uid, 0) + 1
+        last[uid] = us
+        sessions.setdefault((uid, sid[uid]), []).append((us, eid, et))
+    first_c: Counter = Counter()
+    last_c: Counter = Counter()
+    n_conv = 0
+    for evs in sessions.values():
+        purchases = [e for e in evs if e[2] == "purchase"]
+        if not purchases:
+            continue
+        n_conv += 1
+        p = min(purchases)[:2]
+        pre = [e for e in evs if (e[0], e[1]) < p]
+        first_c[min(pre)[2] if pre else "direct"] += 1
+        last_c[max(pre)[2] if pre else "direct"] += 1
+    got = {
+        r["channel"]: (r["n_first_touch"], r["n_last_touch"])
+        for r in touch_attribution(spark, SF_SMOKE).collect()
+    }
+    want = {
+        ch: (first_c.get(ch, 0), last_c.get(ch, 0))
+        for ch in set(first_c) | set(last_c)
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n_conv
+    assert sum(v[1] for v in got.values()) == n_conv

@@ -249,6 +249,10 @@ BNLJ_ALLOWED = {
                                  # (test-pair and hit counts)
                                  # cross-broadcast into the 1-row
                                  # report
+    "touch_attribution",         # r7 w8: one-row converting-session
+                                 # total broadcast (the share
+                                 # divisor - market_basket_lift's
+                                 # shape)
 }
 
 

@@ -304,6 +304,7 @@ BENCH_QUERIES = (
     "transition_entropy",
     "join_skew_report",
     "touch_attribution",
+    "bootstrap_ci_order_value",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4886,3 +4886,111 @@ SELECT coalesce(f.channel, l.channel) AS channel,
 FROM f FULL JOIN l ON f.channel = l.channel
 CROSS JOIN tot
 """
+
+
+#: Bootstrap replicate count.
+BOOTSTRAP_B = 64
+#: Poisson(1) inverse-CDF thresholds (cumulative probabilities as
+#: decimal literals — identical doubles in both engines); weights
+#: clamped at 6 (P(X>6) ≈ 8e-5).
+_POISSON_W = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0"
+    " WHEN u < 0.7357588823428847 THEN 1"
+    " WHEN u < 0.9196986029286058 THEN 2"
+    " WHEN u < 0.9810118431238462 THEN 3"
+    " WHEN u < 0.9963401531726563 THEN 4"
+    " WHEN u < 0.9994058151824183 THEN 5"
+    " ELSE 6 END"
+)
+
+
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order
+    value — the canonical DISTRIBUTED bootstrap (per (row,
+    replicate), an independent Poisson(1) weight stands in for
+    with-replacement resampling, so no replicate ever materializes
+    a resampled table): BOOTSTRAP_B hash-seeded replicates, each an
+    exact Σ(w·cents)/Σw, CI = the 2.5/97.5 exact percentiles of the
+    replicate means. The uncertainty-quantification layer every
+    metrics report above ships without.
+
+    Determinism: u = md5('boot:'||key||':'||b)/2^52 (the
+    `dp_noisy_counts` seeded-release convention), Poisson weights
+    via fixed decimal-literal CDF thresholds, replicate means are
+    exact-BIGINT ratios, percentiles ride the `value_percentiles`
+    `percentile ≡ quantile_cont` contract over the 64-row replicate
+    frame.
+
+    100 TB shape: a ×B map-side fan-out (sequence explode — no
+    shuffle) into ONE combinable (replicate) agg; the CI finish
+    runs on B rows. Cost is B× one scan, trivially parallel.
+
+    Returns (n_orders, n_replicates, mean_value, ci_lo, ci_hi).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    fan = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+    ).select(
+        "cents",
+        "b",
+        F.expr(
+            "CAST(conv(substring(md5(concat('boot:', o_orderkey, ':', b)),"
+            " 1, 13), 16, 10) AS BIGINT) / 4503599627370496e0"
+        ).alias("u"),
+    )
+    reps = (
+        fan.select("cents", "b", F.expr(_POISSON_W).alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("long")
+                / F.sum("w").cast("long")
+                / F.lit(100.0)
+            ).alias("m")
+        )
+    )
+    stats = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("cents") / F.count(F.lit(1)) / F.lit(100.0)).alias("mean_value"),
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.expr("percentile(m, 0.025e0)").alias("ci_lo"),
+        F.expr("percentile(m, 0.975e0)").alias("ci_hi"),
+    )
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n_orders", "n_replicates", "mean_value", "ci_lo", "ci_hi"
+    )
+
+
+BOOTSTRAP_CI_ORDER_VALUE_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+fan AS (
+  SELECT cents, CAST(t.b AS BIGINT) AS b,
+         ('0x' || substr(md5('boot:' || o_orderkey || ':' || t.b), 1, 13))
+           ::BIGINT / 4503599627370496e0 AS u
+  FROM o CROSS JOIN range(0, {BOOTSTRAP_B}) t(b)),
+reps AS (
+  SELECT b,
+         CAST(sum(({_POISSON_W}) * cents) AS BIGINT)
+           / CAST(sum({_POISSON_W}) AS BIGINT) / 100.0 AS m
+  FROM fan GROUP BY b),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS mean_value
+  FROM o),
+ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         quantile_cont(m, 0.025e0) AS ci_lo,
+         quantile_cont(m, 0.975e0) AS ci_hi
+  FROM reps)
+SELECT n_orders, n_replicates, mean_value, ci_lo, ci_hi
+FROM stats CROSS JOIN ci
+"""

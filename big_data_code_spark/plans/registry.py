@@ -336,6 +336,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("transition_entropy", advanced.transition_entropy, advanced.TRANSITION_ENTROPY_SQL),
     ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
     ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
+    ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1586,3 +1586,61 @@ def test_touch_attribution_oracle_and_recompute(spark):
     assert got == want
     assert sum(v[0] for v in got.values()) == n_conv
     assert sum(v[1] for v in got.values()) == n_conv
+
+
+def test_bootstrap_ci_order_value_oracle_and_recompute(spark):
+    """Oracle match + pure-Python Poisson-bootstrap recompute (same
+    md5 uniforms, same CDF thresholds) and CI sanity: lo ≤ mean ≤
+    hi, interval non-degenerate."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "bootstrap_ci_order_value", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        BOOTSTRAP_B,
+        bootstrap_ci_order_value,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    import hashlib
+    import math
+
+    orders = [
+        (r["o_orderkey"], int(math.floor(r["o_totalprice"] * 100 + 0.5)))
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    ]
+    cdf = (
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    )
+
+    def weight(key, b):
+        h = hashlib.md5(f"boot:{key}:{b}".encode()).hexdigest()[:13]
+        u = int(h, 16) / 4503599627370496
+        for w, c in enumerate(cdf):
+            if u < c:
+                return w
+        return 6
+
+    means = []
+    for b in range(BOOTSTRAP_B):
+        sw = swc = 0
+        for k, c in orders:
+            w = weight(k, b)
+            sw += w
+            swc += w * c
+        means.append(swc / sw / 100.0)
+    means.sort()
+
+    def pctl(xs, p):  # percentile ≡ quantile_cont (linear interp)
+        i = (len(xs) - 1) * p
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
+
+    row = bootstrap_ci_order_value(spark, SF_SMOKE).collect()[0]
+    assert row["n_orders"] == len(orders)
+    assert row["n_replicates"] == BOOTSTRAP_B
+    assert row["mean_value"] == sum(c for _, c in orders) / len(orders) / 100.0
+    assert abs(row["ci_lo"] - pctl(means, 0.025)) < 1e-9
+    assert abs(row["ci_hi"] - pctl(means, 0.975)) < 1e-9
+    assert row["ci_lo"] < row["mean_value"] < row["ci_hi"]
+    assert row["ci_hi"] - row["ci_lo"] > 0

@@ -253,6 +253,9 @@ BNLJ_ALLOWED = {
                                  # total broadcast (the share
                                  # divisor - market_basket_lift's
                                  # shape)
+    "bootstrap_ci_order_value",  # r7 w8: one-row CI frame (the
+                                 # 64-replicate rollup) broadcast
+                                 # into the 1-row report
 }
 
 

@@ -4923,7 +4923,10 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: a ×B map-side fan-out (sequence explode — no
     shuffle) into ONE combinable (replicate) agg; the CI finish
-    runs on B rows. Cost is B× one scan, trivially parallel.
+    runs on B rows. Cost is B× one scan, trivially parallel; the
+    md5 uniform is the cross-engine CONTRACT hash — a production
+    deployment swaps in xxhash64 for ~10× cheaper weights
+    (identical plan shape, the substring-dedup r7 precedent).
 
     Returns (n_orders, n_replicates, mean_value, ci_lo, ci_hi).
     """

@@ -305,6 +305,7 @@ BENCH_QUERIES = (
     "join_skew_report",
     "touch_attribution",
     "bootstrap_ci_order_value",
+    "supplier_reliability_wilson",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4997,3 +4997,109 @@ ci AS (
 SELECT n_orders, n_replicates, mean_value, ci_lo, ci_hi
 FROM stats CROSS JOIN ci
 """
+
+
+#: A lineitem is late if it ships more than this many days after
+#: its order date.
+LATE_SHIP_DAYS = 90
+#: z for the 95% Wilson interval — a decimal literal, identical in
+#: both engines.
+_WILSON_Z = "1.959963984540054e0"
+
+
+def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-aware supplier ranking: on-time-shipment rate
+    per supplier scored by the WILSON LOWER BOUND, not the raw rate
+    — the standard fix for "a supplier with 3/3 on-time outranks
+    one with 960/1000" (same family as `bootstrap_ci_order_value`:
+    rank by what the data can actually support). late =
+    shipdate − orderdate > LATE_SHIP_DAYS (exact integer day
+    arithmetic).
+
+    Wilson: (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),
+    one fixed double chain from exact BIGINT (n, n_late) — both
+    engines evaluate the identical expression text; ranking is
+    (bound DESC, suppkey).
+
+    100 TB shape: one fact-scan join (orders side provides the
+    order date — Catalyst picks broadcast vs shuffle by size), one
+    combinable per-supplier count pair, a |suppliers|-row finish +
+    rank window. Never row × row.
+
+    Returns (l_suppkey, n_shipments, n_late, on_time_rate,
+    wilson_lb, rank).
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long").alias("sd"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("od"),
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        (F.col("sd") - F.col("od") > LATE_SHIP_DAYS).alias("late"),
+    )
+    counts = base.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late"),
+    )
+    wilson = (
+        f"((n_shipments - n_late) / CAST(n_shipments AS DOUBLE)"
+        f" + {_WILSON_Z} * {_WILSON_Z} / (2e0 * n_shipments)"
+        f" - {_WILSON_Z} * sqrt("
+        f"((n_shipments - n_late) / CAST(n_shipments AS DOUBLE))"
+        f" * (1e0 - (n_shipments - n_late) / CAST(n_shipments AS DOUBLE))"
+        f" / n_shipments"
+        f" + {_WILSON_Z} * {_WILSON_Z}"
+        f" / (4e0 * n_shipments * n_shipments)))"
+        f" / (1e0 + {_WILSON_Z} * {_WILSON_Z} / n_shipments)"
+    )
+    scored = counts.select(
+        "l_suppkey",
+        "n_shipments",
+        "n_late",
+        F.expr(
+            "(n_shipments - n_late) / CAST(n_shipments AS DOUBLE)"
+        ).alias("on_time_rate"),
+        F.expr(wilson).alias("wilson_lb"),
+    )
+    w = Window.orderBy(F.desc("wilson_lb"), "l_suppkey")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SUPPLIER_RELIABILITY_WILSON_SQL = f"""
+WITH base AS (
+  SELECT l.l_suppkey,
+         CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT)
+           - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+           > {LATE_SHIP_DAYS} AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_shipments,
+         CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM base GROUP BY 1),
+scored AS (
+  SELECT l_suppkey, n_shipments, n_late,
+         (n_shipments - n_late) / CAST(n_shipments AS DOUBLE) AS on_time_rate,
+         ((n_shipments - n_late) / CAST(n_shipments AS DOUBLE)
+          + {_WILSON_Z} * {_WILSON_Z} / (2e0 * n_shipments)
+          - {_WILSON_Z} * sqrt(
+              ((n_shipments - n_late) / CAST(n_shipments AS DOUBLE))
+              * (1e0 - (n_shipments - n_late) / CAST(n_shipments AS DOUBLE))
+              / n_shipments
+              + {_WILSON_Z} * {_WILSON_Z}
+              / (4e0 * n_shipments * n_shipments)))
+         / (1e0 + {_WILSON_Z} * {_WILSON_Z} / n_shipments) AS wilson_lb
+  FROM counts)
+SELECT l_suppkey, n_shipments, n_late, on_time_rate, wilson_lb,
+       CAST(row_number() OVER (ORDER BY wilson_lb DESC, l_suppkey)
+            AS BIGINT) AS rank
+FROM scored
+"""

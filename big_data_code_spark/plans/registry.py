@@ -337,6 +337,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
     ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
     ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
+    ("supplier_reliability_wilson", advanced.supplier_reliability_wilson, advanced.SUPPLIER_RELIABILITY_WILSON_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

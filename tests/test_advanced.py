@@ -1644,3 +1644,65 @@ def test_bootstrap_ci_order_value_oracle_and_recompute(spark):
     assert abs(row["ci_hi"] - pctl(means, 0.975)) < 1e-9
     assert row["ci_lo"] < row["mean_value"] < row["ci_hi"]
     assert row["ci_hi"] - row["ci_lo"] > 0
+
+
+def test_supplier_reliability_wilson_oracle_and_recompute(spark):
+    """Oracle match + pure-Python Wilson recompute; the bound never
+    exceeds the raw rate, and the ranking differs from raw-rate
+    order somewhere (the uncertainty penalty does real work)."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "supplier_reliability_wilson", SF_SMOKE)
+    from big_data_code_spark.plans.advanced import (
+        LATE_SHIP_DAYS,
+        supplier_reliability_wilson,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    import math
+    from collections import Counter
+
+    od = {
+        r["o_orderkey"]: int(r["o_orderdate"].timestamp() // 86400)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    n: Counter = Counter()
+    late: Counter = Counter()
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        if r["l_orderkey"] not in od:
+            continue
+        n[r["l_suppkey"]] += 1
+        sd = int(r["l_shipdate"].timestamp() // 86400)
+        if sd - od[r["l_orderkey"]] > LATE_SHIP_DAYS:
+            late[r["l_suppkey"]] += 1
+    z = 1.959963984540054
+
+    def wilson(k, m):
+        p = (m - k) / float(m)
+        return (
+            p + z * z / (2.0 * m)
+            - z * math.sqrt(p * (1.0 - p) / m + z * z / (4.0 * m * m))
+        ) / (1.0 + z * z / m)
+
+    got = {
+        r["l_suppkey"]: r
+        for r in supplier_reliability_wilson(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(n)
+    for s_, m in n.items():
+        r = got[s_]
+        assert (r["n_shipments"], r["n_late"]) == (m, late.get(s_, 0))
+        assert abs(r["wilson_lb"] - wilson(late.get(s_, 0), m)) < 1e-12
+        assert r["wilson_lb"] <= r["on_time_rate"] + 1e-12
+    by_bound = sorted(got.values(), key=lambda r: (-r["wilson_lb"], r["l_suppkey"]))
+    by_rate = sorted(got.values(), key=lambda r: (-r["on_time_rate"], r["l_suppkey"]))
+    assert [r["l_suppkey"] for r in by_bound] == [
+        r["l_suppkey"] for r in sorted(got.values(), key=lambda r: r["rank"])
+    ]
+    assert [r["l_suppkey"] for r in by_bound] != [
+        r["l_suppkey"] for r in by_rate
+    ]

@@ -348,13 +348,37 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query map → a file (246 queries ≈ 8 KB, which
+    # overflows the driver's truncated-stdout capture — r7 verdict
+    # #3); the final stdout line stays ONE compact parseable JSON
+    # object: total, count, and the slowest 10 queries.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reps": reps,
+            },
+            f,
+            indent=1,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

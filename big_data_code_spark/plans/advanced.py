@@ -1628,18 +1628,18 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 3, F.col("event_type"))),
         ).alias("path")
     )
+    from ..operators.ranking import two_pass_ranks
+
     agg = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
-    wr = Window.orderBy(F.desc("n_sessions"), "path")
-    return (
-        agg.select(
-            "path",
-            "n_sessions",
-            F.row_number().over(wr).cast("long").alias("rank"),
-        )
-        .where(F.col("rank") <= SESSION_PATHS_TOPK)
-    )
+    # the distinct-path domain grows with the corpus — two-pass
+    # partition-offset rank (r8)
+    return two_pass_ranks(
+        agg,
+        [F.desc("n_sessions"), F.col("path")],
+        [{"partition": (), "rank": "rank"}],
+    ).where(F.col("rank") <= SESSION_PATHS_TOPK)
 
 
 SESSION_PATHS_TOPK_SQL = f"""

@@ -2737,10 +2737,16 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair"),
         )
     )
+    from ..operators.ranking import two_pass_ranks
+
     agg = pairs.groupBy("pair").agg(F.sum("wc").alias("n_occurrences"))
-    w = Window.orderBy(F.desc("n_occurrences"), F.col("pair"))
+    # the pair domain grows with the vocabulary — two-pass rank (r8)
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        two_pass_ranks(
+            agg,
+            [F.desc("n_occurrences"), F.col("pair")],
+            [{"partition": (), "rank": "rank"}],
+        )
         .where(F.col("rank") <= BPE_TOP_PAIRS)
         .select("rank", "pair", "n_occurrences")
     )
@@ -2789,14 +2795,22 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens, n_in_vocab, coverage).
     """
     docs = load_table(spark, sf_dir, "documents")
+    from ..operators.ranking import two_pass_ranks
+
     counts = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    wv = Window.orderBy(F.desc("wc"), F.col("tok"))
+    # the token dictionary grows with the corpus (Heaps' law plus
+    # junk tokens) — rank it via the two-pass partition-offset rank
+    # rather than a single-task global sort (r8)
     vocab = (
-        counts.withColumn("vr", F.row_number().over(wv))
+        two_pass_ranks(
+            counts,
+            [F.desc("wc"), F.col("tok")],
+            [{"partition": (), "rank": "vr"}],
+        )
         .where(F.col("vr") <= VOCAB_TOP_K)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
@@ -2863,22 +2877,24 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical across engines, partitionings, and reruns — the
     freeze property training runs need.
 
-    100 TB shape: shard assignment is per-row (no shuffle); the only
-    shuffle is the per-shard window, and shards bound each window
-    partition to |corpus|/16 — no global single-partition sort.
+    100 TB shape: shard assignment is per-row (no shuffle); the
+    within-shard position is a two-pass partition-offset rank (r8 —
+    16 fixed shards still meant |corpus|/16 rows per window task;
+    the two-pass shape sub-shards each shard across range slices).
     Returns (doc_id, shard, pos).
     """
+    from ..operators.ranking import two_pass_ranks
+
     docs = load_table(spark, sf_dir, "documents")
     k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
     shard = (
         F.conv(F.substring(k, 1, 7), 16, 10).cast("long") % CORPUS_SHUFFLE_SHARDS
     ).cast("int")
-    w = Window.partitionBy("shard").orderBy("k", "doc_id")
-    return (
-        docs.select("doc_id", k.alias("k"), shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("doc_id", "shard", "pos")
-    )
+    return two_pass_ranks(
+        docs.select("doc_id", k.alias("k"), shard.alias("shard")),
+        [F.col("k"), F.col("doc_id")],
+        [{"partition": ("shard",), "rank": "pos"}],
+    ).select("doc_id", "shard", "pos")
 
 
 CORPUS_SHUFFLE_SQL = f"""
@@ -3208,10 +3224,14 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_master"), 1).otherwise(0)).alias("n_master"),
         F.sum(F.when(~F.col("is_master"), 1).otherwise(0)).alias("n_batch"),
     )
-    w = Window.orderBy(F.desc("n_master"), "tok")
-    top = counts.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= DRIFT_TOP_K
-    )
+    from ..operators.ranking import two_pass_ranks
+
+    # the token dictionary grows with the corpus — two-pass rank (r8)
+    top = two_pass_ranks(
+        counts,
+        [F.desc("n_master"), F.col("tok")],
+        [{"partition": (), "rank": "rk"}],
+    ).where(F.col("rk") <= DRIFT_TOP_K)
     sums = top.agg(
         F.sum("n_master").alias("sm"), F.sum("n_batch").alias("sb")
     )
@@ -9643,14 +9663,20 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scal))
         .withColumn("pmi", F.expr(_PMI_EXPR))
     )
-    wr = Window.orderBy(F.desc("pmi"), "x", "y")
+    from ..operators.ranking import two_pass_ranks
+
+    # the co-occurrence pair domain grows with the vocabulary —
+    # two-pass rank (r8)
     return (
-        j.select(
-            F.col("x").alias("term_x"),
-            F.col("y").alias("term_y"),
-            "n_pair",
-            "pmi",
-            F.row_number().over(wr).cast("long").alias("rank"),
+        two_pass_ranks(
+            j.select(
+                F.col("x").alias("term_x"),
+                F.col("y").alias("term_y"),
+                "n_pair",
+                "pmi",
+            ),
+            [F.desc("pmi"), F.col("term_x"), F.col("term_y")],
+            [{"partition": (), "rank": "rank"}],
         )
         .where(F.col("rank") <= PMI_TOPK)
     )

@@ -1706,3 +1706,76 @@ def test_supplier_reliability_wilson_oracle_and_recompute(spark):
     assert [r["l_suppkey"] for r in by_bound] != [
         r["l_suppkey"] for r in by_rate
     ]
+
+
+def test_two_pass_ranks_matches_plain_windows(spark):
+    """r8: `operators/ranking.two_pass_ranks` must be bit-identical
+    to the Window formulation it replaces — global + partitioned
+    row_number, group counts, and inclusive running sums — and its
+    plan must (a) persist the range-partitioned frame (slice
+    agreement between the count pass and the local pass: the
+    correctness persist the module docstring explains) and (b) emit
+    only audit-recognizable windows (partitioned OR ordered by the
+    __tpr_pid slice id) plus bounded offsets-frame windows."""
+    from pyspark.sql.window import Window
+
+    from big_data_code_spark.cacheutil import release_persisted
+    from big_data_code_spark.operators.ranking import PID, two_pass_ranks
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    order = [F.desc("value"), F.col("event_id")]
+    got = two_pass_ranks(
+        ev,
+        order,
+        [
+            {
+                "partition": (),
+                "rank": "rg",
+                "n": "ng",
+                "cumsum": [("user_id", "csg")],
+            },
+            {
+                "partition": ("event_type",),
+                "rank": "rp",
+                "n": "np",
+                "cumsum": [("user_id", "csp")],
+            },
+        ],
+        buckets=7,  # force rows to straddle slice boundaries
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the correctness persist
+    for part, order_spec in __import__(
+        "tests.test_tpch", fromlist=["_window_nodes"]
+    )._window_nodes(plan):
+        assert PID in part or PID in order_spec, (part, order_spec)
+
+    wg = Window.orderBy(F.desc("value"), "event_id")
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), "event_id"
+    )
+    exp = ev.select(
+        "event_id",
+        F.row_number().over(wg).cast("long").alias("rg"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("ng"),
+        F.sum("user_id")
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("csg"),
+        F.row_number().over(wp).cast("long").alias("rp"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("np"),
+        F.sum("user_id")
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("csp"),
+    )
+    cols = ["rg", "ng", "csg", "rp", "np", "csp"]
+    g = {r["event_id"]: tuple(r[c] for c in cols) for r in got.collect()}
+    e = {r["event_id"]: tuple(r[c] for c in cols) for r in exp.collect()}
+    assert g == e
+    release_persisted()

@@ -296,3 +296,138 @@ def test_no_unintended_scale_red_flags_in_any_plan(spark):
             if bad:
                 offenders[f"{name}#hook{i}"] = bad
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------
+# r8: corpus-grain window-sort audit (VERDICT r7 #1). A Window with
+# an EMPTY partition spec compiles to Exchange SinglePartition +
+# Sort — one task sorts the whole input; a window partitioned only
+# by a known low-cardinality column is the same failure split K
+# ways. Every such window in a registered plan must either be
+# rewritten onto `operators/ranking.two_pass_ranks` or carry a
+# bounded-input justification below.
+
+#: Columns whose value domain is bounded (dimension-like) — a
+#: window partitioned ONLY by these is corpus-grain unless its
+#: input is itself a bounded rollup.
+LOW_CARD_PARTITION_COLS = {
+    "source",
+    "lang",
+    "lang_true",
+    "lang_pred",
+    "o_orderpriority",
+    "o_orderstatus",
+    "event_type",
+    "c_mktsegment",
+    "shard",
+}
+
+#: query → why its flagged window survives 100× (grain of the
+#: window INPUT, which the plan text cannot show). Keep exact: the
+#: test also fails on STALE entries so this list can never rot.
+WINDOW_SORT_ALLOWED = {
+    "pareto_user_concentration": "cum-share window over the 10-row decile rollup",
+    "quality_logit_pr_curve": "operating-point sweep over the 101-row bin grid",
+    "top_event_transitions": "rank over the |event_type|^2 transition cells",
+    "trending_events_decay": "rank over the |event_type|-row decay rollup",
+    "cross_source_dedup_matrix": "rank over the |sources|^2 pair matrix",
+    "market_basket_lift": "rank over the <=|brands|^2 lift cells",
+    "open_orders_over_time": "running net over the calendar-day rollup",
+    "revenue_pattern_match": "pattern windows over the calendar-day rollup",
+    "lang_id_confusion": "row-share over the |lang|^2 confusion cells",
+    "ks_source_drift": "CDF windows over the bounded value grid per source",
+    "hourly_anomalies": "trailing window over the calendar-hour rollup",
+    "hourly_locf": "LOCF over the calendar-hour rollup",
+    "rolling_7d_revenue": "range window over the calendar-day rollup",
+    "running_daily_revenue": "running sum over the calendar-day rollup",
+    "user_value_windows": "window-breadth demo over the calendar-day rollup",
+    "wow_growth": "lag over the calendar-week rollup",
+}
+
+
+def _window_nodes(plan: str) -> list[tuple[str, str]]:
+    """(partition_spec, order_spec) per Window node in a physical
+    plan string. Window prints 2 bracket groups when one spec is
+    empty — ASC/DESC markers disambiguate order-only vs
+    partition-only."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|\s)Window (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) == 3:
+            nodes.append((groups[1], groups[2]))
+        elif len(groups) == 2:
+            import re as _re
+
+            if _re.search(r"(ASC|DESC) NULLS", groups[1]):
+                nodes.append(("[]", groups[1]))
+            else:
+                nodes.append((groups[1], "[]"))
+    return nodes
+
+
+def _window_flags(plan: str) -> list[str]:
+    import re
+
+    bad = []
+    for part, order in _window_nodes(plan):
+        # two_pass_ranks internals: local windows PARTITION by the
+        # slice id (that is the fix); offsets-frame windows ORDER by
+        # it (bounded: <= buckets x groups rows)
+        if "__tpr_pid" in part or "__tpr_pid" in order:
+            continue
+        if part == "[]":
+            bad.append(f"global-window-sort order={order[:60]}")
+            continue
+        names = {
+            re.sub(r"#\d+L?$", "", c.strip())
+            for c in part[1:-1].split(",")
+            if c.strip()
+        }
+        if names and names <= LOW_CARD_PARTITION_COLS:
+            bad.append(f"lowcard-window part={part[:40]}")
+    return bad
+
+
+def test_no_corpus_grain_window_sorts(spark):
+    """Sweep every batch registry plan (+ the iterative operators'
+    unexecuted round plans) for corpus-grain window sorts; offenders
+    must be two-pass-rank rewrites or justified in
+    WINDOW_SORT_ALLOWED — and the allowlist must stay exact."""
+    from big_data_code_spark.plans.registry import AUDIT_PLAN_HOOKS, QUERIES
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        bad = _window_flags(plan)
+        if bad:
+            offenders[name] = bad
+    for name, hook in AUDIT_PLAN_HOOKS.items():
+        for i, df in enumerate(hook(spark, SF_SMOKE)):
+            bad = _window_flags(physical_plan(df))
+            if bad:
+                offenders.setdefault(name, []).extend(
+                    f"hook{i}:{b}" for b in bad
+                )
+    unexplained = {
+        k: v for k, v in offenders.items() if k not in WINDOW_SORT_ALLOWED
+    }
+    assert not unexplained, unexplained
+    stale = sorted(set(WINDOW_SORT_ALLOWED) - set(offenders))
+    assert not stale, f"allowlist entries no longer flagged: {stale}"

@@ -306,6 +306,8 @@ BENCH_QUERIES = (
     "touch_attribution",
     "bootstrap_ci_order_value",
     "supplier_reliability_wilson",
+    # r8 operators:
+    "quality_logit_holdout_eval",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -5251,14 +5251,22 @@ def _qlt_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled
 
 
-def _quality_logit_train_sql() -> str:
-    label = (
-        f"CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}"
-        f" AND stop_ratio <= {QF_MAX_STOPWORD_RATIO}"
-        f" AND mtl BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN}"
-        f" THEN 1e0 ELSE 0e0 END"
-    )
-    body = f"""WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+#: the rule-label expression shared by the train oracle and the
+#: holdout oracle (identical text on both sides of the split).
+_QLT_LABEL_SQL = (
+    f"CASE WHEN n_tokens >= {QF_MIN_TOKENS} AND ttr >= {QF_MIN_TTR}"
+    f" AND stop_ratio <= {QF_MAX_STOPWORD_RATIO}"
+    f" AND mtl BETWEEN {QF_MIN_MEAN_TOKLEN} AND {QF_MAX_MEAN_TOKLEN}"
+    f" THEN 1e0 ELSE 0e0 END"
+)
+
+
+def _qlt_featlab_cte(name: str) -> str:
+    """tok/feats/<name> CTE text: the labeled feature frame over
+    ALL documents — shared by `QUALITY_LOGIT_TRAIN_SQL` (where it
+    IS the training frame) and the holdout oracle (where the
+    training frame is its hash-split train slice)."""
+    return f"""tok AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
 feats AS (
   SELECT doc_id,
          len(tokens)::BIGINT AS n_tokens,
@@ -5278,8 +5286,16 @@ feats AS (
          len(tokens) / (len(tokens) + 100.0) AS sat,
          len(list_distinct(tokens)) / len(tokens) AS ttr
   FROM tok),
-lab0 AS MATERIALIZED (SELECT *, {label} AS y FROM feats),
-st1 AS MATERIALIZED (
+{name} AS MATERIALIZED (SELECT *, {_QLT_LABEL_SQL} AS y FROM feats)"""
+
+
+def _qlt_gd_chain() -> tuple[str, list[str], str]:
+    """(CTE chain from the standardization passes through the final
+    weight CTE — assumes a CTE named ``lab0`` holds the labeled
+    TRAINING frame —, the per-round weight SELECTs, the final
+    weight CTE's name). One definition feeds both the train oracle
+    and the holdout oracle, so the two can never train differently."""
+    body = f"""st1 AS MATERIALIZED (
   SELECT count(*) AS n,
          {", ".join(f"sum(CAST(round({col} * 1e6) AS BIGINT)) AS ss_{t}" for t, col in _QLT_RAW)},
          {", ".join(f"sum(CAST(round({col} * {col} * 1e6) AS BIGINT)) AS qq_{t}" for t, col in _QLT_RAW)}
@@ -5327,11 +5343,228 @@ w{rnd} AS MATERIALIZED (
             f" FROM w{rnd}"
         )
         prev = f"w{rnd}"
-    body = body.rstrip(",")
-    return body + "\n" + "\nUNION ALL\n".join(selects)
+    return body, selects, prev
+
+
+def _quality_logit_train_sql() -> str:
+    chain, selects, _ = _qlt_gd_chain()
+    body = "WITH " + _qlt_featlab_cte("lab0") + ",\n" + chain
+    return body.rstrip(",") + "\n" + "\nUNION ALL\n".join(selects)
 
 
 QUALITY_LOGIT_TRAIN_SQL = _quality_logit_train_sql()
+
+
+#: `hash_split`'s train rule, as expressions both engines evaluate
+#: identically (md5-prefix bucket < TRAIN_PCT — content-stable).
+_QLT_TRAIN_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10)"
+    f" AS BIGINT) % 100 < {TRAIN_PCT}"
+)
+_QLT_TRAIN_DUCK = (
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6)) AS BIGINT)"
+    f" % 100 < {TRAIN_PCT}"
+)
+
+
+def quality_logit_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the quality-classifier TRAINING loop
+    (r8 — VERDICT r7 #6: `quality_logit_train`'s AUC 0.992 was
+    scored against its own training labels): re-run the identical
+    24-round GD on the `hash_split` TRAIN slice only —
+    standardization stats included, so nothing about the model ever
+    sees a val document — then score the VAL slice with the final
+    weights and report val-only AUC (exact Mann-Whitney with
+    midrank tie handling) and val accuracy at p ≥ 0.5.
+
+    Exactness: the trained weights inherit `quality_logit_train`'s
+    full float contract (the oracle reuses the SAME generated GD
+    chain via `_qlt_gd_chain` — the two cannot train differently);
+    val scores are sigmoids quantized to the 1e-9 grid; the AUC is
+    computed from integer rank algebra — group val docs by exact
+    score p, inclusive-count running totals over the group frame,
+    U·2 = Σ_groups n_pos_g·(2·cum_before + cnt + 1) (midranks ×2 —
+    everything stays BIGINT), AUC = (U·2 − n_pos·(n_pos+1)) /
+    (2·n_pos·n_neg) with the denominator formed in DOUBLE.
+    Overflow audit: U·2 ≤ 2·n_pos·n_val — BIGINT-safe below ~2e9
+    val docs; past that re-grid the rank algebra (the
+    `neyman_allocation` audit convention).
+
+    100 TB shape: training is `quality_logit_train`'s shape on the
+    train slice (shuffle-free scoring maps + fixed-point aggs,
+    localCheckpoint-ed 1-row weight rows); eval is one map pass
+    over the val slice, one combinable group-by-score agg, a
+    two-pass running count over the score-group frame, and one-row
+    scalar broadcasts into the report (allowlisted).
+
+    Returns 1 row: (n_train, n_val, n_pos, n_neg, auc_val, acc_val).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.ranking import two_pass_ranks
+
+    labeled_all = _qlt_labeled(spark, sf_dir)
+    is_train = F.expr(_QLT_TRAIN_SPARK)
+    train = labeled_all.where(is_train)
+    consts, z4t, consts2 = _qlt_std_frames(train)
+    # 1-row stat frames: checkpoint so the train scan behind them
+    # runs once, not once per downstream consumer
+    consts = consts.localCheckpoint(eager=True)
+    consts2 = consts2.localCheckpoint(eager=True)
+    lab_train = (
+        z4t.crossJoin(F.broadcast(consts2))
+        .select(
+            "doc_id",
+            "y",
+            "zs",
+            "zp",
+            "zm",
+            "zt",
+            F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wrow = _qlt_w0(spark)
+    for _ in range(QL_TRAIN_ROUNDS):
+        wrow = _qlt_round_step(lab_train, wrow).localCheckpoint(eager=True)
+    lab_train.unpersist()
+
+    val = labeled_all.where(~is_train)
+    zval = (
+        val.crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "y",
+            *[
+                F.expr(f"({col} - mu_{t}) / sd_{t}").alias(f"z{t}")
+                for t, col in _QLT_RAW
+            ],
+        )
+        .crossJoin(F.broadcast(consts2))
+        .select(
+            "doc_id",
+            "y",
+            "zs",
+            "zp",
+            "zm",
+            "zt",
+            F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+        )
+    )
+    scored = zval.crossJoin(F.broadcast(wrow)).select(
+        "y",
+        F.expr(f"round(1e0 / (1e0 + exp(-({_QLT_MARGIN}))), 9)").alias("p"),
+    )
+    from ..cacheutil import track_persisted
+
+    scored = track_persisted(scored.persist(StorageLevel.MEMORY_AND_DISK))
+    grp = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("npos"),
+    )
+    cum = two_pass_ranks(
+        grp,
+        [F.col("p")],
+        [{"partition": (), "cumsum": [("cnt", "cum_incl")]}],
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("npos")
+            * (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("u2")
+    )
+    vstats = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(
+            F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    tstats = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    return (
+        u.crossJoin(F.broadcast(vstats))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "n_train",
+            "n_val",
+            "n_pos",
+            (F.col("n_val") - F.col("n_pos")).alias("n_neg"),
+            (
+                (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2.0 * F.col("n_pos") * (F.col("n_val") - F.col("n_pos")))
+            ).alias("auc_val"),
+            (F.col("n_correct") / F.col("n_val").cast("double")).alias(
+                "acc_val"
+            ),
+        )
+    )
+
+
+def quality_logit_holdout_eval_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook (the `quality_logit_train_audit_plans` convention):
+    the registered frame is built from localCheckpoint-ed weight
+    rows, so the scale audit gets the UNEXECUTED round-step plan
+    over the train-slice standardized frame — the shape every GD
+    round actually runs."""
+    labeled = _qlt_labeled(spark, sf_dir).where(F.expr(_QLT_TRAIN_SPARK))
+    _, z4t, consts2 = _qlt_std_frames(labeled)
+    lab_train = z4t.crossJoin(F.broadcast(consts2)).select(
+        "doc_id", "y", "zs", "zp", "zm", "zt",
+        F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+    )
+    return [_qlt_round_step(lab_train, _qlt_w0(spark))]
+
+
+def _quality_logit_holdout_sql() -> str:
+    chain, _, wfin = _qlt_gd_chain()
+    return f"""WITH {_qlt_featlab_cte("lab0_all")},
+lab0 AS MATERIALIZED (SELECT * FROM lab0_all WHERE {_QLT_TRAIN_DUCK}),
+{chain}
+valz AS MATERIALIZED (
+  SELECT doc_id, y,
+         {", ".join(f"({col} - mu_{t}) / sd_{t} AS z{t}" for t, col in _QLT_RAW)}
+  FROM lab0_all CROSS JOIN sd1 WHERE NOT ({_QLT_TRAIN_DUCK})),
+valz2 AS MATERIALIZED (
+  SELECT valz.*, (zt * zt - mu_u) / sd_u AS zu FROM valz CROSS JOIN sd2),
+scored AS MATERIALIZED (
+  SELECT y, round(1e0 / (1e0 + exp(-({_QLT_MARGIN}))), 9) AS p
+  FROM valz2 CROSS JOIN {wfin}),
+grp AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT p, cnt, npos,
+         CAST(sum(cnt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_incl
+  FROM grp),
+u AS (
+  SELECT CAST(sum(npos * (2 * (cum_incl - cnt) + cnt + 1)) AS BIGINT) AS u2
+  FROM cum),
+vstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_val,
+         CAST(sum(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN (p >= 0.5) = (y = 1e0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM scored),
+tstats AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM lab0)
+SELECT n_train, n_val, n_pos, n_val - n_pos AS n_neg,
+       (u2 - n_pos * (n_pos + 1))
+         / (2e0 * n_pos * (n_val - n_pos)) AS auc_val,
+       n_correct / CAST(n_val AS DOUBLE) AS acc_val
+FROM u CROSS JOIN vstats CROSS JOIN tstats
+"""
+
+
+QUALITY_LOGIT_HOLDOUT_EVAL_SQL = _quality_logit_holdout_sql()
 
 
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

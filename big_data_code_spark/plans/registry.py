@@ -338,6 +338,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
     ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
     ("supplier_reliability_wilson", advanced.supplier_reliability_wilson, advanced.SUPPLIER_RELIABILITY_WILSON_SQL),
+    # -- r8: held-out (hash_split val-only) eval of the quality
+    #    training loop — VERDICT r7 #6; carries this round's local
+    #    driver-mimic evidence, rotates into the r9 prefix.
+    ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
@@ -356,6 +360,7 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "markov_attribution": advanced.markov_attribution_audit_plans,
     "kcore_knn_graph": llm.kcore_knn_graph_audit_plans,
     "hits_knn_graph": llm.hits_knn_graph_audit_plans,
+    "quality_logit_holdout_eval": llm.quality_logit_holdout_eval_audit_plans,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

@@ -3452,3 +3452,29 @@ def test_chunk_lang_mix_oracle_and_consistency(spark):
         assert 0 < r["major_share"] <= 1
         if r["n_langs"] == 1:
             assert r["major_share"] == 1.0
+
+
+def test_quality_logit_holdout_eval(spark):
+    """r8 (VERDICT r7 #6): the quality-training AUC must hold on a
+    HELD-OUT split — train on hash_split train only (standardization
+    stats included), assert AUC/accuracy on val only, and prove the
+    split accounting is exact."""
+    from big_data_code_spark.plans.llm import (
+        TRAIN_PCT,
+        quality_logit_holdout_eval,
+    )
+
+    row = quality_logit_holdout_eval(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert r["n_train"] + r["n_val"] == docs.count()
+    assert r["n_pos"] + r["n_neg"] == r["n_val"]
+    # the split is ~TRAIN_PCT/100 by construction (hash buckets)
+    assert r["n_train"] > r["n_val"] * (TRAIN_PCT / (100 - TRAIN_PCT)) * 0.5
+    # val-only quality: the trained model must generalize, not just
+    # memorize (in-sample r7 AUC was 0.992; 0.95 is the floor for
+    # "the retrain is real" on the unseen slice)
+    assert r["auc_val"] >= 0.95, r["auc_val"]
+    assert r["acc_val"] >= 0.85, r["acc_val"]
+    assert 0.0 <= r["auc_val"] <= 1.0

@@ -256,6 +256,10 @@ BNLJ_ALLOWED = {
     "bootstrap_ci_order_value",  # r7 w8: one-row CI frame (the
                                  # 64-replicate rollup) broadcast
                                  # into the 1-row report
+    "quality_logit_holdout_eval",  # r8: one-row U-statistic /
+                                 # val-stats / train-count scalar
+                                 # broadcasts into the 1-row report
+                                 # (the itemcf_eval shape)
 }
 
 

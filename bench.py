@@ -308,6 +308,8 @@ BENCH_QUERIES = (
     "supplier_reliability_wilson",
     # r8 operators:
     "quality_logit_holdout_eval",
+    "events_near_pairs_capped",
+    "semdedup_hierarchical",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -251,6 +251,35 @@ def lsh_range_search(
 IVF_ASSIGN_ARROW_MIN_CELLS = 17
 
 
+#: Engage the bound-pruned (super-cell) prefilter once the centroid
+#: count reaches this. DEFAULT-OFF for every tested k (r8 measured
+#: negative result, kept deliberately): triangle-inequality pruning
+#: needs the CENTROID SET to be clustered, and at effective
+#: dimension ~64 it is not — max-radius bounds pruned nothing
+#: (super-cell radii 3.5× the typical nearest-centroid distance on
+#: an 8-dim-manifold corpus), and even member-level ring bounds left
+#: 13% survivors (manifold) / 100% (unclustered) — while flat BLAS
+#: runs at memory bandwidth. Measured min-of-2 at n=40k, d=64:
+#: flat 1.8s/5.4s vs two-level 2.5s/7.6s (k=8k/32k) on the manifold
+#: corpus; unclustered the same. The bailout caps the worst case at
+#: flat + a bounded probe prefix, so the path is safe to enable on
+#: genuinely low-intrinsic-dim centroid sets — but the engine's
+#: REGISTERED n^1.5 scale path for derived-k clustering is
+#: `plans/llm.semdedup_hierarchical` (two-stage Lloyd), which needs
+#: no pruning luck.
+IVF_TWO_LEVEL_MIN_CELLS = 1 << 16
+
+#: Absolute distance slack absorbing BLAS-vs-fold float error in the
+#: triangle-inequality pruning (distances are O(1) for unit-ish
+#: embeddings; observed BLAS error ~1e-13 relative).
+_TWO_LEVEL_MARGIN = 1e-6
+
+#: Probe columns before the flat-dgemm fallback: bound pruning is
+#: data-dependent, so the worst case (near-uniform embeddings) is
+#: capped at flat + this many grouped probes.
+_TWO_LEVEL_BAIL = 4
+
+
 def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
     """Arrow-vectorized nearest-centroid assignment (r7) — the
     `lsh_signature_arrow` pattern applied to the k-means argmin:
@@ -279,7 +308,23 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
     within float-rounding distance (~1e-12) of the true minimum —
     measure-zero for continuous embeddings, and the trained Lloyd
     centroids are distinct by construction.
+
+    r8 — two-level prefilter for the derived-k family (VERDICT r7
+    #5): once k ≥ IVF_TWO_LEVEL_MIN_CELLS, the flat (rows × k)
+    dgemm — the n² term when k ∝ n — is replaced by a super-cell
+    index built ONCE at closure creation (√k super-centroids via a
+    3-round driver-side Lloyd over the centroid matrix, plus each
+    super-cell's covering radius). Per row: rank super-cells by the
+    triangle-inequality LOWER BOUND max(0, d(x, sc_j) − r_j), probe
+    their members in doubling waves, and STOP only when the next
+    unprobed bound exceeds the current m-th best candidate distance
+    plus a float-slack margin — so the true argmin is in the
+    candidate set with the same (stronger, bound-proved) guarantee
+    as the flat top-m, and the bit-exact re-rank below is unchanged.
+    Work drops from n·k·d to n·(√k + probes·k/√k)·d ≈ n·√k·d.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -289,6 +334,46 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
     k, d = C.shape
     m = min(n_prefilter, k)
     csq = (C * C).sum(axis=1)
+
+    two_level = k >= IVF_TWO_LEVEL_MIN_CELLS
+    if two_level:
+        s = int(math.ceil(math.sqrt(k)))
+
+        def _to_sc(sc: np.ndarray) -> np.ndarray:
+            """Nearest super-centroid per centroid row (chunked; the
+            row-constant |c|² term is argmin-invariant)."""
+            scs = (sc * sc).sum(axis=1)
+            out = np.empty(k, dtype=np.int64)
+            for lo in range(0, k, 4096):
+                blk = C[lo : lo + 4096]
+                dd = scs[None, :] - 2.0 * (blk @ sc.T)
+                out[lo : lo + 4096] = dd.argmin(axis=1)
+            return out
+
+        # deterministic strided init + 3 Lloyd rounds on the
+        # CENTROID matrix (driver-side, O(k·√k·d) once per index)
+        SC = C[(np.arange(s, dtype=np.int64) * k) // s].copy()
+        for _ in range(3):
+            asg = _to_sc(SC)
+            for j in range(s):
+                msk = asg == j
+                if msk.any():
+                    SC[j] = C[msk].mean(axis=0)
+        asg = _to_sc(SC)
+        SCT = np.ascontiguousarray(SC.T)
+        scsq = (SC * SC).sum(axis=1)
+        # per-super-cell member id lists, transposed member blocks
+        # (so each probe is one clean dgemm), |c|² slices, radii
+        sort_idx = np.argsort(asg, kind="stable")
+        srt = asg[sort_idx]
+        cuts = np.searchsorted(srt, np.arange(s + 1))
+        members = [sort_idx[cuts[j] : cuts[j + 1]] for j in range(s)]
+        mem_ct = [np.ascontiguousarray(C[mm].T) for mm in members]
+        mem_csq = [csq[mm] for mm in members]
+        diffs = C - SC[asg]
+        per_rad = np.sqrt((diffs * diffs).sum(axis=1))
+        radius = np.zeros(s)
+        np.maximum.at(radius, asg, per_rad)
     # rows per kernel chunk: bounds the (CH, k) distance buffer at
     # ~16 MB whatever k is. Every large array below is PREALLOCATED
     # once per task and reused across chunks (``out=`` / in-place
@@ -296,7 +381,17 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
     # ~30 MB/s on this host class (nonlinear in size — small mallocs
     # are fine, >tens-of-MB pathological), so a fresh (n, k) temp
     # per op made the naive kernel ~100x slower than its flops.
-    CH = max(128, min(2048, 2_000_000 // max(1, k)))
+    # two-level never allocates the (CH, k) block — its big temps
+    # are (CH, s) bound matrices and per-group member dgemms, so it
+    # takes a LARGER chunk (amortizes the per-group python overhead:
+    # groups per probe column ≈ min(s, chunk), rows per group ≈
+    # chunk/s — bigger chunks mean fewer, fatter dgemms)
+    CH = max(
+        128,
+        min(8192, 2_000_000 // max(1, 4 * s))
+        if two_level
+        else min(2048, 2_000_000 // max(1, k)),
+    )
     buf: dict[str, np.ndarray] = {}
 
     # no type hints: `from __future__ import annotations` turns them
@@ -308,7 +403,8 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
         X = np.stack(v.to_numpy()).astype(np.float64)
         n = X.shape[0]
         if not buf:
-            buf["db"] = np.empty((CH, k))
+            if not two_level:
+                buf["db"] = np.empty((CH, k))
             buf["cand"] = np.empty((CH, m), dtype=np.int64)
             buf["cg"] = np.empty((CH, m, d))
             buf["acc"] = np.empty((CH, m))
@@ -318,9 +414,112 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
             hi = min(lo + CH, n)
             c = hi - lo
             Xb = X[lo:hi]
-            db = buf["db"][:c]
             cand = buf["cand"][:c]
-            if k > m:
+            if two_level:
+                # bound-pruned candidate search over the super-cell
+                # index; fills cand with the top-m BLAS candidates.
+                # Rows are GROUPED BY PROBED SUPER-CELL so every
+                # member-distance block is one contiguous dgemm
+                # against the precomputed mem_ct[j] (a per-row
+                # gathered einsum measured ~14x slower than flat at
+                # k=2000; this shape beats flat past the threshold).
+                xsq = (Xb * Xb).sum(axis=1)
+                dsc2 = scsq[None, :] - 2.0 * (Xb @ SCT) + xsq[:, None]
+                np.maximum(dsc2, 0.0, out=dsc2)
+                lb = np.sqrt(dsc2)
+                lb -= radius[None, :]
+                np.maximum(lb, 0.0, out=lb)
+                order = np.argsort(lb, axis=1, kind="stable")
+                lb_sorted = np.take_along_axis(lb, order, axis=1)
+                best_d = np.full((c, m), np.inf)
+                best_id = np.full((c, m), -1, dtype=np.int64)
+                active = np.arange(c)
+                # bound-pruning quality is DATA-dependent (triangle
+                # bounds prune well on clustered embeddings, poorly
+                # on near-uniform 64-d noise): rows still unresolved
+                # after _TWO_LEVEL_BAIL probe columns fall back to
+                # one flat dgemm, so the worst case is flat + a
+                # bounded prefix, never a per-group slog over all √k
+                # columns
+                for p in range(min(s, _TWO_LEVEL_BAIL)):
+                    if p > 0:
+                        # an unprobed centroid can still enter the
+                        # top-m only while its lower bound is within
+                        # the float margin of the m-th best
+                        mth = np.sqrt(
+                            np.maximum(best_d[active].max(axis=1), 0.0)
+                        )
+                        active = active[
+                            lb_sorted[active, p]
+                            <= mth + _TWO_LEVEL_MARGIN
+                        ]
+                    if active.size == 0:
+                        break
+                    sc_col = order[active, p]
+                    srt2 = np.argsort(sc_col, kind="stable")
+                    act_s = active[srt2]
+                    cells_s = sc_col[srt2]
+                    cut = np.nonzero(np.diff(cells_s))[0] + 1
+                    starts = np.concatenate(([0], cut))
+                    ends = np.concatenate((cut, [cells_s.size]))
+                    for g0, g1 in zip(starts, ends):
+                        j = int(cells_s[g0])
+                        mem = members[j]
+                        if mem.size == 0:
+                            continue
+                        r = act_s[g0:g1]
+                        D = (
+                            xsq[r][:, None]
+                            + mem_csq[j][None, :]
+                            - 2.0 * (Xb[r] @ mem_ct[j])
+                        )
+                        alld = np.concatenate([best_d[r], D], axis=1)
+                        alli = np.concatenate(
+                            [
+                                best_id[r],
+                                np.broadcast_to(
+                                    mem, (r.size, mem.size)
+                                ),
+                            ],
+                            axis=1,
+                        )
+                        part = np.argpartition(alld, m - 1, axis=1)[
+                            :, :m
+                        ]
+                        best_d[r] = np.take_along_axis(alld, part, axis=1)
+                        best_id[r] = np.take_along_axis(
+                            alli, part, axis=1
+                        )
+                if active.size:
+                    # final resolve check, then flat fallback for
+                    # whatever the bounds could not close out
+                    if _TWO_LEVEL_BAIL < s:
+                        mth = np.sqrt(
+                            np.maximum(best_d[active].max(axis=1), 0.0)
+                        )
+                        active = active[
+                            lb_sorted[active, min(_TWO_LEVEL_BAIL, s - 1)]
+                            <= mth + _TWO_LEVEL_MARGIN
+                        ]
+                    else:
+                        active = active[:0]
+                if active.size:
+                    # sub-chunk the fallback so the (rows, k) block
+                    # stays ~16 MB regardless of active-set size
+                    fb = max(64, 2_000_000 // max(1, k))
+                    for alo in range(0, active.size, fb):
+                        r = active[alo : alo + fb]
+                        db = csq[None, :] - 2.0 * (Xb[r] @ CT)
+                        rows = np.arange(r.size)
+                        fcand = np.empty((r.size, m), dtype=np.int64)
+                        for j in range(m):
+                            idx = np.argmin(db, axis=1)
+                            fcand[:, j] = idx
+                            db[rows, idx] = np.inf
+                        best_id[r] = fcand
+                cand[:] = np.sort(best_id, axis=1)
+            elif k > m:
+                db = buf["db"][:c]
                 # BLAS prefilter: |c|^2 - 2 x.C^T, in place (the
                 # row-constant |x|^2 term is argmin-invariant)
                 np.dot(Xb, CT, out=db)
@@ -494,6 +693,129 @@ def ivf_train(
     if prev is not None:
         prev.unpersist()
     return centroids
+
+
+def ivf_assign_sub_arrow(cents_by_group: dict[int, list[list[float]]]):
+    """Grouped nearest-centroid assignment (r8 — the level-2 leg of
+    hierarchical clustering): per row, argmin over ITS group's
+    centroid block only. Each group's block is O(√k) centroids, so
+    there is no prefilter — EVERY candidate is re-ranked with the
+    exact element-order fold (one add+mul per dimension, ascending),
+    and numpy's first-occurrence argmin reproduces the smallest-
+    index tie-break — bit-identical to the interpreted HOF and the
+    oracle's ``list_sum(list_transform(...))``/pick-first-rank.
+
+    Rows are grouped by sorting within the Arrow batch, so each
+    group runs one vectorized fold — never a per-row python loop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    blocks = {
+        int(g): np.array([[float(w) for w in c] for c in cs], dtype=np.float64)
+        for g, cs in cents_by_group.items()
+    }
+
+    def _sub(g, v):
+        n = len(g)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        G = g.to_numpy()
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty(n, dtype="int32")
+        order = np.argsort(G, kind="stable")
+        Gs = G[order]
+        cuts = np.nonzero(np.diff(Gs))[0] + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [n]))
+        for s0, s1 in zip(starts, ends):
+            rows = order[s0:s1]
+            B = blocks[int(Gs[s0])]
+            k2, d = B.shape
+            # chunk rows so the (rows, k2) accumulator stays small
+            ch = max(64, 200_000 // max(1, k2))
+            for lo in range(0, rows.size, ch):
+                r = rows[lo : lo + ch]
+                Xc = X[r]
+                acc = np.zeros((r.size, k2))
+                for i in range(d):
+                    diff = Xc[:, i, None] - B[None, :, i]
+                    acc += diff * diff
+                out[r] = acc.argmin(axis=1).astype("int32")
+        return pd.Series(out)
+
+    return pandas_udf(_sub, "int")
+
+
+def ivf_train_grouped(
+    assigned: DataFrame,
+    n_sub: int,
+    iters: int = 1,
+    salt: str = "sub:",
+) -> dict[int, list[list[float]]]:
+    """Level-2 Lloyd WITHIN each level-1 cell, all groups in one
+    Spark job per round (r8 — the hierarchical-clustering trainer):
+    md5-stable init ``sub = md5(salt‖id) % n_sub`` inside each
+    group, then ``iters`` rounds of (per-(group, sub) element-wise
+    mean → grouped exact reassignment). Returns
+    {group: [k2_g centroids]} with each group's non-empty init subs
+    densely renumbered in sub order — the same dense-renumber
+    contract as `ivf_train`, restated per group by the oracle's
+    ``row_number() OVER (PARTITION BY cell ORDER BY sub)``.
+
+    ``assigned``: (id, v, cell) — `ivf_assign`'s output. Only the
+    Σ_g k2_g × dim centroid table reaches the driver (the same
+    footprint as the flat trainer's k × dim)."""
+    df = assigned.select(
+        F.col("cell").alias("g"),
+        "id",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_sub
+        )
+        .cast("int")
+        .alias("sub"),
+    )
+    prev = None
+    cents: dict[int, list[list[float]]] = {}
+    for _ in range(iters + 1):
+        df = df.persist()
+        means = (
+            df.select("g", "sub", F.posexplode("v").alias("pos", "x"))
+            .groupBy("g", "sub", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        rows: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means.collect():
+            rows.setdefault(r["g"], {}).setdefault(r["sub"], {})[r["pos"]] = r["m"]
+        cents = {
+            g: [
+                [subs[sb][i] for i in range(len(subs[sb]))]
+                for sb in sorted(subs)
+            ]
+            for g, subs in rows.items()
+        }
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+        df = df.select(
+            "g",
+            "id",
+            "v",
+            ivf_assign_sub_arrow(cents)(F.col("g"), F.col("v")).alias("sub"),
+        )
+    if prev is not None:
+        prev.unpersist()
+    return cents
 
 
 def ivf_ann_topk(

@@ -313,10 +313,18 @@ RANGE_JOIN_WINDOW_SECS = 60
 
 def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bucketization: pairs of same-type events within
-    60 s of each other, counted per type. Each event lands in one
-    60-s bucket; joining on (type, bucket) ∪ (type, bucket+1) covers
-    every |Δt| ≤ 60 pair exactly once without an O(n²) cross join —
-    the standard equi-join rewrite of an interval predicate.
+    RANGE_JOIN_WINDOW_SECS of each other, counted per type. Each
+    event lands in one window-sized bucket; joining on (type,
+    bucket) ∪ (type, bucket±1) covers every in-window pair exactly
+    once without an O(n²) cross join — the standard equi-join
+    rewrite of an interval predicate.
+
+    Growth control (r8): this query is OUTPUT-bound — pair mass
+    grows with density²·window (the sf1 11× probe row), and its
+    levers are the shared constants RANGE_JOIN_WINDOW_SECS (plan ↔
+    oracle) and the per-event cap in `events_near_pairs_capped`,
+    the registered variant that bounds output to n·cap and reports
+    the truncation it applies.
     """
     events = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -364,6 +372,115 @@ JOIN events b
  AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_SECS} * 1000000
 GROUP BY 1
+"""
+
+
+#: Max reported partners per left event for the capped range join —
+#: the growth lever `events_near_pairs` lacks (its output is pair
+#: mass, which grows with density²·window; this constant bounds it
+#: to n·cap). Shared plan↔oracle (the SEMDEDUP_TARGET_CELL pattern).
+NEAR_PAIRS_EVENT_CAP = 8
+
+
+def events_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-bounded range join (r8 — VERDICT r7 'What's wrong' #4:
+    `events_near_pairs` is OUTPUT-bound, pair mass ∝ density² in
+    dense regions): same bucketized |Δt| ≤ window join, but each
+    LEFT event reports at most NEAR_PAIRS_EVENT_CAP partners — the
+    NEAREST by (|Δt|, eid_b), so the kept set is deterministic —
+    and the per-type rollup counts kept pairs NEXT TO how many
+    events hit the cap (the no-silent-caps report: truncation is
+    measured, never hidden).
+
+    100 TB shape: the equi-join on (type, bucket) is the
+    `events_near_pairs` rewrite (never n²); the partner rank
+    partitions by eid_a — event-grain, millions of tiny partitions,
+    the OPPOSITE of the low-cardinality window family — and output
+    is ≤ n·cap by construction, the lever that keeps dense traffic
+    regions (the sf1 11× output-growth note) linear.
+
+    Returns (event_type, n_pairs_capped, n_events_with_partners,
+    n_events_at_cap).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        epoch_us("ts").alias("us"),
+    )
+    w = RANGE_JOIN_WINDOW_SECS * 1_000_000
+    a = events.select(
+        "event_type", F.col("eid").alias("eid_a"), F.col("us").alias("us_a"),
+        (F.col("us") / w).cast("long").alias("bucket"),
+    )
+    b = events.select(
+        F.col("event_type").alias("b_type"),
+        F.col("eid").alias("eid_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / w).cast("long").alias("b_bucket"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("b_bucket") - 1, F.col("b_bucket"), F.col("b_bucket") + 1
+            )
+        ),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("b_type"))
+            & (a["bucket"] == b["bucket"]),
+        )
+        .where(
+            (F.col("eid_a") < F.col("eid_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= w)
+        )
+        .select(
+            "event_type",
+            "eid_a",
+            "eid_b",
+            F.abs(F.col("us_a") - F.col("us_b")).alias("dt"),
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy("eid_a").orderBy("dt", "eid_b")
+    ranked = pairs.withColumn("rk", F.row_number().over(wr))
+    return ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rk") <= NEAR_PAIRS_EVENT_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_capped"),
+        F.countDistinct("eid_a").cast("long").alias("n_events_with_partners"),
+        F.countDistinct(
+            F.when(F.col("rk") > NEAR_PAIRS_EVENT_CAP, F.col("eid_a"))
+        )
+        .cast("long")
+        .alias("n_events_at_cap"),
+    )
+
+
+EVENTS_NEAR_PAIRS_CAPPED_SQL = f"""
+WITH pr AS (
+  SELECT a.event_type, a.event_id AS eid_a, b.event_id AS eid_b,
+         abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt
+  FROM events a
+  JOIN events b
+    ON a.event_type = b.event_type
+   AND a.event_id < b.event_id
+   AND abs(epoch_us(a.ts) - epoch_us(b.ts))
+         <= {RANGE_JOIN_WINDOW_SECS} * 1000000),
+rk AS (
+  SELECT event_type, eid_a,
+         row_number() OVER (PARTITION BY eid_a ORDER BY dt, eid_b) AS rk
+  FROM pr)
+SELECT event_type,
+       CAST(sum(CASE WHEN rk <= {NEAR_PAIRS_EVENT_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs_capped,
+       CAST(count(DISTINCT eid_a) AS BIGINT) AS n_events_with_partners,
+       CAST(count(DISTINCT CASE WHEN rk > {NEAR_PAIRS_EVENT_CAP}
+                                THEN eid_a END) AS BIGINT) AS n_events_at_cap
+FROM rk GROUP BY 1
 """
 
 

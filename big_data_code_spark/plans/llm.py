@@ -7807,6 +7807,187 @@ FROM cells LEFT JOIN lower_dups ON cells.c_id = lower_dups.id
 """
 
 
+#: Hierarchy math shared plan↔oracle (evaluated against the corpus
+#: CTE `c`): leaf target = SEMDEDUP_TARGET_CELL as in the flat
+#: contract; k1 = ceil(sqrt(leaves)) coarse cells, k2 =
+#: ceil(leaves / k1) fine cells per coarse — k1·k2 ≥ leaves, and
+#: every per-row assignment pass is O(√leaves) instead of
+#: O(leaves).
+_HIER_LEAVES_SQL = (
+    f"greatest(1.0, ceil(count(*) / {SEMDEDUP_TARGET_CELL}.0))"
+)
+_HIER_K1_SQL = f"greatest(1, CAST(ceil(sqrt({_HIER_LEAVES_SQL})) AS INT))"
+_HIER_K2_SQL = (
+    f"greatest(1, CAST(ceil({_HIER_LEAVES_SQL} / {_HIER_K1_SQL}) AS INT))"
+)
+
+#: (corpus fingerprint) → (k2, level-1 centroids, level-2 centroid
+#: blocks) — the hierarchical index, built once per corpus (the
+#: `_SEMDEDUP_INDEX_CACHE` convention).
+_SEMDEDUP_HIER_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a HIERARCHICAL (two-stage) k-means index — the
+    registered n^1.5 scale path for derived-k clustering (r8,
+    VERDICT r7 #5): the flat `semdedup_kmeans` assignment is
+    n·k·dim with k = n/64 ∝ n, i.e. quadratic; bound-pruned
+    assignment was measured NOT to help at effective dimension ~64
+    (`operators/ann.py::IVF_TWO_LEVEL_MIN_CELLS` — triangle bounds
+    prune ~nothing when the centroid set has no coarse cluster
+    structure). The fix that needs no pruning luck restructures the
+    INDEX: k1 = ceil(√leaves) coarse cells (flat Lloyd), then an
+    independent k2 = ceil(leaves/k1) Lloyd WITHIN each coarse cell
+    (`ann.ivf_train_grouped` — all groups per round in one Spark
+    job), leaf = coarse·k2 + fine. Every per-row pass touches
+    k1 + k2 ≈ 2√leaves centroids — n^1.5 total — and the leaf grain
+    keeps the pair sweep at Σ|leaf|² ≈ n·target, the SemDeDup
+    contract.
+
+    The leaf PARTITION differs from flat k-means (it is a different
+    clustering of the same target grain — SemDeDup's semantics care
+    about cell SIZE, not which flat optimum the cells approximate),
+    so this is a sibling operator, not a re-contract: the oracle
+    restates BOTH stages exactly (level-1 via the `_kmeans_cells_cte`
+    restatement with k1, level-2 init-hash → per-(cell, sub) means →
+    dense per-cell renumber → exact fold argmin → means → final
+    assignment), then the same within-leaf pair sweep and
+    keep-lowest-id rule as the flat operator. Deterministic end to
+    end; every fold is the element-order IEEE chain both engines
+    share.
+
+    Returns (vec_id, cell, n_lower_dups, is_kept) — `cell` is the
+    composite leaf id.
+    """
+    corpus = _vector_corpus(spark, sf_dir)
+    key = _ivf_cache_key(sf_dir)
+    cached = _SEMDEDUP_HIER_INDEX_CACHE.get(key)
+    if cached is not None:
+        k2, cents1, cents2 = cached
+    else:
+        n = corpus.count()
+        leaves = max(1.0, math.ceil(n / SEMDEDUP_TARGET_CELL))
+        k1 = max(1, math.ceil(math.sqrt(leaves)))
+        k2 = max(1, math.ceil(leaves / k1))
+        cents1 = ann.ivf_train(corpus, n_cells=k1)
+        cents2 = ann.ivf_train_grouped(
+            ann.ivf_assign(corpus, cents1, "vec_id", "embedding"), k2
+        )
+        _SEMDEDUP_HIER_INDEX_CACHE[key] = (k2, cents1, cents2)
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    asg1 = ann.ivf_assign(corpus, cents1, "vec_id", "embedding")
+    asg = track_persisted(
+        asg1.select(
+            "id",
+            "v",
+            (
+                F.col("cell").cast("long") * k2
+                + ann.ivf_assign_sub_arrow(cents2)(
+                    F.col("cell"), F.col("v")
+                ).cast("long")
+            ).alias("cell"),
+        )
+        .withColumn("nrm", ann.norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    asg.count()
+    pairs = asg.groupBy("cell").applyInPandas(
+        _semdedup_cell_pairs_kernel(COSINE_DUP_THRESHOLD),
+        schema="a long, b long",
+    )
+    lower = pairs.groupBy(F.col("b").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lower_dups")
+    )
+    return asg.join(lower, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("n_lower_dups", F.lit(0)).cast("long").alias("n_lower_dups"),
+        (F.coalesce("n_lower_dups", F.lit(0)) == 0).alias("is_kept"),
+    )
+
+
+def _kmeans_sub_cte() -> str:
+    """Level-2 restatement over the level-1 `cells(c_id, c_vec,
+    cell)` CTE: md5 sub-init inside each cell, per-(cell, sub)
+    element-wise means with DENSE per-cell renumbering (the
+    `ivf_train_grouped` contract), exact-fold argmin reassignment,
+    second means, final assignment of every row — producing
+    `hleaves(c_id, c_vec, leaf)` with leaf = cell·k2 + srn."""
+    dist = (
+        "list_sum(list_transform(list_zip({v}, {cen}),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    means = """SELECT cell,
+         row_number() OVER (PARTITION BY cell ORDER BY sub) - 1 AS srn, cen
+  FROM (
+    SELECT cell, sub, list(m ORDER BY pos) AS cen
+    FROM (SELECT cell, sub, i AS pos, avg({src}[i + 1]) AS m
+          FROM {frame} CROSS JOIN range(0, 64) t(i) GROUP BY cell, sub, i)
+    GROUP BY cell, sub
+  )"""
+    return f"""hp AS (SELECT {_HIER_K2_SQL} AS k2 FROM c),
+s0 AS (
+  SELECT c_id, c_vec, cell,
+         (('0x' || substr(md5('sub:' || c_id::VARCHAR), 1, 7))::BIGINT
+            % (SELECT k2 FROM hp))::INT AS sub
+  FROM cells
+),
+t0 AS (
+  {means.format(src="c_vec", frame="s0")}
+),
+s1 AS (
+  SELECT c_id, c_vec, cell, srn::INT AS sub FROM (
+    SELECT s0.c_id, s0.c_vec, s0.cell, t0.srn,
+           row_number() OVER (
+             PARTITION BY s0.c_id
+             ORDER BY {dist.format(v="s0.c_vec", cen="t0.cen")}, t0.srn)
+             AS pick
+    FROM s0 JOIN t0 ON s0.cell = t0.cell
+  ) WHERE pick = 1
+),
+t1 AS (
+  {means.format(src="c_vec", frame="s1")}
+),
+hleaves AS (
+  SELECT c_id, c_vec,
+         (cell::BIGINT * (SELECT k2 FROM hp) + srn)::BIGINT AS leaf
+  FROM (
+    SELECT s.c_id, s.c_vec, s.cell, t1.srn,
+           row_number() OVER (
+             PARTITION BY s.c_id
+             ORDER BY {dist.format(v="s.c_vec", cen="t1.cen")}, t1.srn)
+             AS pick
+    FROM cells s JOIN t1 ON s.cell = t1.cell
+  ) WHERE pick = 1
+)"""
+
+
+SEMDEDUP_HIERARCHICAL_SQL = f"""
+WITH {_VECTOR_CORPUS_CTE.strip()},
+c AS (SELECT vec_id, v AS vec FROM vcorpus),
+{_kmeans_cells_cte(_HIER_K1_SQL)},
+{_kmeans_sub_cte()},
+pairs AS (
+  SELECT a.c_id AS a, b.c_id AS b
+  FROM hleaves a JOIN hleaves b ON a.leaf = b.leaf AND a.c_id < b.c_id
+  WHERE list_dot_product(a.c_vec, b.c_vec) /
+          (sqrt(list_dot_product(a.c_vec, a.c_vec)) *
+           sqrt(list_dot_product(b.c_vec, b.c_vec)))
+        >= {COSINE_DUP_THRESHOLD}
+),
+lower_dups AS (
+  SELECT b AS id, CAST(count(*) AS BIGINT) AS n_lower_dups
+  FROM pairs GROUP BY 1)
+SELECT hleaves.c_id AS vec_id, CAST(hleaves.leaf AS BIGINT) AS cell,
+       CAST(coalesce(lower_dups.n_lower_dups, 0) AS BIGINT) AS n_lower_dups,
+       coalesce(lower_dups.n_lower_dups, 0) = 0 AS is_kept
+FROM hleaves LEFT JOIN lower_dups ON hleaves.c_id = lower_dups.id
+"""
+
+
 #: Fixed synchronous label-propagation rounds — a fixed-round
 #: contract (like QL_TRAIN_ROUNDS), not a convergence loop, so both
 #: engines run the identical computation with no driver-side

@@ -342,6 +342,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    training loop — VERDICT r7 #6; carries this round's local
     #    driver-mimic evidence, rotates into the r9 prefix.
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
+    # -- r8: output-bounded range join (the events_near_pairs growth
+    #    lever — VERDICT r7 'What's wrong' #4).
+    ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
+    # -- r8: the n^1.5 derived-k clustering path (two-stage Lloyd;
+    #    VERDICT r7 #5 — bound-pruned assignment measured NOT to
+    #    help at d_eff≈64, so the index is restructured instead).
+    ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

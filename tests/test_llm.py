@@ -3478,3 +3478,91 @@ def test_quality_logit_holdout_eval(spark):
     assert r["auc_val"] >= 0.95, r["auc_val"]
     assert r["acc_val"] >= 0.85, r["acc_val"]
     assert 0.0 <= r["auc_val"] <= 1.0
+
+
+def test_semdedup_hierarchical_oracle_and_semantics(spark):
+    """r8 (VERDICT r7 #5): the two-stage (n^1.5) SemDeDup index —
+    oracle parity, leaf math, and the same recall/no-false-drop
+    semantics as the flat operator."""
+    import math
+
+    assert_matches_oracle(spark, "semdedup_hierarchical", SF_SMOKE)
+
+    from big_data_code_spark.plans.llm import (
+        SEMDEDUP_TARGET_CELL,
+        _vector_corpus,
+        semdedup_hierarchical,
+    )
+
+    rows = semdedup_hierarchical(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    n = len(rows)
+    leaves = max(1.0, math.ceil(n / SEMDEDUP_TARGET_CELL))
+    k1 = max(1, math.ceil(math.sqrt(leaves)))
+    k2 = max(1, math.ceil(leaves / k1))
+    cells = {r["cell"] for r in rows}
+    # composite leaf ids live in [0, k1*k2); the partition must use
+    # more than one coarse cell AND more than one fine cell
+    assert all(0 <= c < k1 * k2 for c in cells)
+    assert len({c // k2 for c in cells}) > 1
+    assert len({c % k2 for c in cells}) > 1
+    # leaf-size discipline: the hierarchy exists to bound Σ|leaf|²
+    from collections import Counter
+
+    sizes = Counter(r["cell"] for r in rows)
+    assert max(sizes.values()) <= SEMDEDUP_TARGET_CELL * 8
+    # seeded recall (the flat operator's contract): co-leafed
+    # perturbed copies must all be dropped
+    seeded = [v for v in by_id if v >= 1_000_000]
+    assert seeded
+    co = [v for v in seeded if by_id[v]["cell"] == by_id[v - 1_000_000]["cell"]]
+    assert len(co) > len(seeded) // 2
+    assert all(not by_id[v]["is_kept"] for v in co)
+    # no false drops (spot-check): dropped vectors have a lower-id
+    # leaf-mate above the threshold
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in _vector_corpus(spark, SF_SMOKE).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    dropped = [r for r in rows if not r["is_kept"]][:20]
+    for r in dropped:
+        mates = [
+            v
+            for v, rr in by_id.items()
+            if rr["cell"] == r["cell"] and v < r["vec_id"]
+        ]
+        assert any(cos(vecs[r["vec_id"]], vecs[v]) >= 0.95 for v in mates)
+
+
+def test_ivf_two_level_kernel_exact_when_enabled(spark):
+    """The bound-pruned two-level prefilter (default-off — the r8
+    measured negative result documented at IVF_TWO_LEVEL_MIN_CELLS)
+    must stay BIT-IDENTICAL to the flat kernel when force-enabled,
+    including its flat-dgemm bailout rows."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_code_spark.operators import ann
+
+    rng = np.random.RandomState(11)
+    k, d, n = 512, 64, 4000
+    C = rng.randn(k, d)
+    C[100] = C[40]  # exact-tie probe
+    cents = [list(map(float, r)) for r in C]
+    X = rng.randn(n, d)
+    s = pd.Series(list(X))
+    flat = np.asarray(ann.ivf_assign_cells_arrow(cents).func(s))
+    old = ann.IVF_TWO_LEVEL_MIN_CELLS
+    ann.IVF_TWO_LEVEL_MIN_CELLS = 256
+    try:
+        two = np.asarray(ann.ivf_assign_cells_arrow(cents).func(s))
+    finally:
+        ann.IVF_TWO_LEVEL_MIN_CELLS = old
+    assert (flat == two).all()

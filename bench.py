@@ -310,6 +310,7 @@ BENCH_QUERIES = (
     "quality_logit_holdout_eval",
     "events_near_pairs_capped",
     "semdedup_hierarchical",
+    "order_value_quantiles_exact",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -4254,6 +4254,79 @@ SELECT g.*, tot.chi2_total FROM g CROSS JOIN tot
 """
 
 
+#: Quantile grid for the exact order-statistics report (integer
+#: percents — shared plan↔oracle so both engines target identical
+#: ranks).
+EXACT_QUANTILE_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def order_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-grain order statistics at scale (r8) — the
+    scalable exact member that completes the percentile family:
+    `value_percentiles` buffers per-group values (exact but
+    per-group memory-bound), `value_percentiles_approx` is the
+    KLL-sketch tolerance contract; this one serves exact
+    lower-order statistics of the FULL orders table with no
+    single-task sort and no per-group buffering, via the two-pass
+    partition-offset rank: value = the row whose global rank equals
+    floor((n−1)·pct/100) + 1 (pure integer rank math on the cents
+    BIGINT grid — no interpolation, so the verdict is engine-exact).
+
+    100 TB shape: one range shuffle + per-slice local sorts (the
+    `two_pass_ranks` contract), one 7-way literal-grid explode +
+    filter (map-side), 7 output rows.
+
+    Returns (pct, rank_at, n_orders, value).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    ranked = two_pass_ranks(
+        orders,
+        [F.col("cents"), F.col("o_orderkey")],
+        [{"partition": (), "rank": "rk", "n": "n"}],
+    )
+    target = F.expr("CAST(floor((n - 1) * pct / 100.0) AS BIGINT) + 1")
+    return (
+        ranked.select(
+            "cents",
+            "rk",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p) for p in EXACT_QUANTILE_PCTS])
+            ).alias("pct"),
+        )
+        .where(F.col("rk") == target)
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            target.alias("rank_at"),
+            F.col("n").alias("n_orders"),
+            (F.col("cents") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+ORDER_VALUE_QUANTILES_EXACT_SQL = f"""
+WITH ranked AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+           AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM orders),
+q AS (SELECT unnest([{", ".join(str(p) for p in EXACT_QUANTILE_PCTS)}]) AS pct)
+SELECT CAST(q.pct AS BIGINT) AS pct,
+       CAST(floor((ranked.n - 1) * q.pct / 100.0) AS BIGINT) + 1 AS rank_at,
+       ranked.n AS n_orders,
+       ranked.cents / 100.0 AS value
+FROM ranked JOIN q
+  ON ranked.rk = CAST(floor((ranked.n - 1) * q.pct / 100.0) AS BIGINT) + 1
+"""
+
+
 #: Trim fraction per tail for the robust mean (5% + 5%).
 TRIM_FRAC_PCT = 5
 

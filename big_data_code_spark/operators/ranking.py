@@ -58,8 +58,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: Range slices for the two-pass rank. 32 matches the test/bench
-#: shuffle parallelism; production sets it ~ cluster cores. The
+#: Fallback range-slice count for the two-pass rank when the session
+#: exposes no shuffle parallelism. The DEFAULT derives from
+#: ``spark.sql.shuffle.partitions`` at call time, so the slice count
+#: scales with the deployment exactly like every other shuffle —
+#: legal because ranks are bucket-count-INVARIANT (local position +
+#: earlier-slice mass is the global rank wherever the monotone
+#: boundaries fall), so the oracle never sees the choice. The
 #: offsets frame is buckets × |groups| rows — keep it broadcastable.
 RANK_BUCKETS = 32
 
@@ -74,7 +79,7 @@ def two_pass_ranks(
     df: DataFrame,
     order_by: Sequence[Column],
     specs: Sequence[dict[str, Any]],
-    buckets: int = RANK_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Add exact rank / group-count / running-sum columns to ``df``
     without any corpus-grain single-task sort.
@@ -95,6 +100,13 @@ def two_pass_ranks(
 
     from ..cacheutil import track_persisted
 
+    if buckets is None:
+        try:
+            buckets = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            buckets = RANK_BUCKETS
     rp = track_persisted(
         df.repartitionByRange(buckets, *order_by)
         .withColumn(PID, F.spark_partition_id())

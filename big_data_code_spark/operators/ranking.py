@@ -107,8 +107,15 @@ def two_pass_ranks(
             )
         except Exception:
             buckets = RANK_BUCKETS
+    # persist the INPUT too: repartitionByRange EVALUATES its child
+    # twice (once for the boundary-sampling pass, once for the
+    # shuffle write), so expensive upstream work — regex token
+    # counts, rollups — would run double without it (measured 3× on
+    # sequence_packing at sf10). Call sites pass pre-projected
+    # narrow frames, so the cache is cheap.
+    src = track_persisted(df.persist(StorageLevel.MEMORY_AND_DISK))
     rp = track_persisted(
-        df.repartitionByRange(buckets, *order_by)
+        src.repartitionByRange(buckets, *order_by)
         .withColumn(PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

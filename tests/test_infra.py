@@ -717,3 +717,34 @@ def test_multimodal_framesample_and_resize_registry(spark):
         assert 1 <= r["n_bytes"] <= max(len(content), 1)
         if content:
             assert r["head_hex"] == content[:1].hex().upper()
+
+
+def test_export_training_shards_roundtrip(spark, tmp_path):
+    """r8: the training-shard sink must write one directory per
+    shard with rows in exact (pos) stream order, conserving the
+    corpus — the artifact end of corpus_shuffle/sequence_packing."""
+    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.sources.training_export import (
+        export_training_shards,
+    )
+
+    shuffled = QUERIES["corpus_shuffle"](spark, SF_SMOKE)
+    out = str(tmp_path / "shards")
+    export_training_shards(shuffled, out)
+
+    import os
+
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert len(shard_dirs) > 1
+    back = spark.read.parquet(out)
+    src = {(r["shard"], r["pos"]): r["doc_id"] for r in shuffled.collect()}
+    got = {(r["shard"], r["pos"]): r["doc_id"] for r in back.collect()}
+    assert got == src  # nothing lost, duplicated, or reassigned
+    # stream order INSIDE each shard directory (file row order, no
+    # sort at read time)
+    for d in shard_dirs:
+        rows = spark.read.parquet(os.path.join(out, d)).collect()
+        pos = [r["pos"] for r in rows]
+        assert pos == sorted(pos) and len(pos) > 0

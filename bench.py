@@ -311,6 +311,8 @@ BENCH_QUERIES = (
     "events_near_pairs_capped",
     "semdedup_hierarchical",
     "order_value_quantiles_exact",
+    "gini_user_concentration",
+    "hill_tail_index",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -5301,3 +5301,158 @@ SELECT l_suppkey, n_shipments, n_late, on_time_rate, wilson_lb,
             AS BIGINT) AS rank
 FROM scored
 """
+
+
+def gini_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user event volume (r8) — the
+    single-number inequality complement to `pareto_user_concentration`'s
+    decile table (capacity planners quote "Gini 0.6 and rising" the
+    way economists do): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    ascending order statistics xᵢ of per-user counts.
+
+    Exactness: ranks come from the two-pass partition-offset rank on
+    the unique (n_ev, user_id) order; every term is a BIGINT product
+    summed exactly, divided once into a double. Overflow audit:
+    Σ i·xᵢ ≤ n²·mean — BIGINT-safe below ~3e9 users at mean 1e3
+    events (re-grid the rank·count products past that, the
+    `neyman_allocation` convention).
+
+    100 TB shape: one combinable per-user count shuffle, the
+    two-pass rank (range shuffle + broadcast offsets), one scalar
+    agg. Returns 1 row: (n_users, n_events, gini).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev")
+    )
+    ranked = two_pass_ranks(
+        per_user,
+        [F.col("n_ev"), F.col("user_id")],
+        [{"partition": (), "rank": "rk"}],
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum(F.col("rk") * F.col("n_ev")).cast("long").alias("rx"),
+    ).select(
+        "n_users",
+        "n_events",
+        (
+            (2.0 * F.col("rx") - (F.col("n_users") + 1.0) * F.col("n_events"))
+            / (F.col("n_users").cast("double") * F.col("n_events"))
+        ).alias("gini"),
+    )
+
+
+GINI_USER_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT n_ev,
+         CAST(row_number() OVER (ORDER BY n_ev, user_id) AS BIGINT) AS rk
+  FROM per_user),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_ev) AS BIGINT) AS n_events,
+         CAST(sum(rk * n_ev) AS BIGINT) AS rx
+  FROM ranked)
+SELECT n_users, n_events,
+       (2e0 * rx - (n_users + 1e0) * n_events)
+         / (CAST(n_users AS DOUBLE) * n_events) AS gini
+FROM agg
+"""
+
+
+#: Top-order-statistics count for the Hill tail-index estimator.
+HILL_TOP_K = 100
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of per-user event
+    volume (r8) — the quantitative skew diagnosis behind
+    `join_skew_report`'s heuristics: alpha ≈ 1 / (mean over the top
+    HILL_TOP_K order statistics of ln(x_(i) / x_(k+1))). Small alpha
+    = heavy tail = salt your shuffles; alpha > 2 = bounded variance,
+    plain hash partitioning holds.
+
+    Exactness: order statistics via the two-pass rank on the unique
+    (n_ev desc, user_id) order; the threshold x_(k+1) is a 1-row
+    broadcast; each ln term is quantized to the 1e-6 grid BEFORE the
+    (order-free) BIGINT sum — the `unigram_logprob` cross-engine ln
+    contract.
+
+    100 TB shape: per-user count shuffle + two-pass rank + a k-row
+    filter, one 1-row threshold broadcast, one scalar agg.
+    Returns 1 row: (k, x_threshold, alpha_inv, alpha).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev")
+    )
+    ranked = two_pass_ranks(
+        per_user,
+        [F.desc("n_ev"), F.col("user_id")],
+        [{"partition": (), "rank": "rk", "n": "n"}],
+    )
+    # k adapts to small populations: k_eff = min(K, n_users − 1), so
+    # the threshold order statistic always exists (both engines
+    # derive it from the same count)
+    k_eff = F.least(F.lit(HILL_TOP_K).cast("long"), F.col("n") - 1)
+    thr = ranked.where(F.col("rk") == k_eff + 1).select(
+        F.col("n_ev").alias("x_thr"), k_eff.alias("k_eff")
+    )
+    top = ranked.crossJoin(F.broadcast(thr)).where(
+        F.col("rk") <= F.col("k_eff")
+    )
+    terms = top.select(
+        "x_thr",
+        "k_eff",
+        F.expr(
+            "CAST(round(ln(CAST(n_ev AS DOUBLE) / x_thr) * 1e6) AS BIGINT)"
+        ).alias("t_fp"),
+    )
+    return terms.agg(
+        F.max("k_eff").cast("long").alias("k"),
+        F.max("x_thr").cast("long").alias("x_threshold"),
+        (F.sum("t_fp") / F.lit(1e6) / F.max("k_eff")).alias("alpha_inv"),
+    ).select(
+        "k",
+        "x_threshold",
+        "alpha_inv",
+        F.when(F.col("alpha_inv") > 0, 1.0 / F.col("alpha_inv")).alias(
+            "alpha"
+        ),
+    )
+
+
+HILL_TAIL_INDEX_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT n_ev,
+         CAST(row_number() OVER (ORDER BY n_ev DESC, user_id) AS BIGINT)
+           AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_user),
+thr AS (SELECT n_ev AS x_thr, least({HILL_TOP_K}, n - 1) AS k_eff
+        FROM ranked WHERE rk = least({HILL_TOP_K}, n - 1) + 1),
+terms AS (
+  SELECT x_thr, k_eff,
+         CAST(round(ln(CAST(n_ev AS DOUBLE) / x_thr) * 1e6) AS BIGINT)
+           AS t_fp
+  FROM ranked CROSS JOIN thr WHERE rk <= k_eff),
+agg AS (
+  SELECT CAST(max(k_eff) AS BIGINT) AS k,
+         CAST(max(x_thr) AS BIGINT) AS x_threshold,
+         sum(t_fp) / 1e6 / max(k_eff) AS alpha_inv
+  FROM terms)
+SELECT k, x_threshold, alpha_inv,
+       CASE WHEN alpha_inv > 0 THEN 1e0 / alpha_inv END AS alpha
+FROM agg
+"""

@@ -113,6 +113,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    two_pass_ranks or touched by the r8 cache/oracle work.
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
+    ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),
+    ("hill_tail_index", advanced.hill_tail_index, advanced.HILL_TAIL_INDEX_SQL),
     ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
     ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
     ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),

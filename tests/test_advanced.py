@@ -1779,3 +1779,38 @@ def test_two_pass_ranks_matches_plain_windows(spark):
     e = {r["event_id"]: tuple(r[c] for c in cols) for r in exp.collect()}
     assert g == e
     release_persisted()
+
+
+def test_gini_and_hill_semantics(spark):
+    """r8: the concentration pair — Gini matches a brute-force
+    python computation exactly; Hill's alpha is positive-finite on
+    the heavy-ish synthetic activity and its threshold really is
+    the (k+1)-th order statistic."""
+    from collections import Counter
+
+    from big_data_code_spark.plans.advanced import (
+        HILL_TOP_K,
+        gini_user_concentration,
+        hill_tail_index,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    counts = Counter(r["user_id"] for r in ev.select("user_id").collect())
+    xs = sorted(counts.values())
+    n, s = len(xs), sum(xs)
+    brute = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s) / (
+        n * s
+    )
+    row = gini_user_concentration(spark, SF_SMOKE).collect()[0]
+    assert row["n_users"] == n and row["n_events"] == s
+    assert abs(row["gini"] - brute) < 1e-12
+    assert 0.0 <= row["gini"] < 1.0
+
+    h = hill_tail_index(spark, SF_SMOKE).collect()[0]
+    desc = sorted(xs, reverse=True)
+    k_eff = min(HILL_TOP_K, n - 1)
+    assert h["k"] == k_eff
+    assert h["x_threshold"] == desc[k_eff]  # the (k_eff+1)-th stat
+    assert h["alpha_inv"] >= 0.0
+    if h["alpha_inv"] > 0:
+        assert h["alpha"] > 0.0

@@ -260,6 +260,9 @@ BNLJ_ALLOWED = {
                                  # val-stats / train-count scalar
                                  # broadcasts into the 1-row report
                                  # (the itemcf_eval shape)
+    "hill_tail_index",           # r8: one-row x_(k+1) threshold
+                                 # broadcast onto the k-row top
+                                 # slice (the rfm threshold shape)
 }
 
 

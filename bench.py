@@ -217,7 +217,6 @@ BENCH_QUERIES = (
     "triangle_count_knn",
     "dsir_importance_sample",
     "quality_logit_calibration",
-    "semdedup_kmeans",
     "label_propagation_knn",
     "source_quality_report",
     "audience_overlap",

@@ -269,9 +269,13 @@ IVF_ASSIGN_ARROW_MIN_CELLS = 17
 #: no pruning luck.
 IVF_TWO_LEVEL_MIN_CELLS = 1 << 16
 
-#: Absolute distance slack absorbing BLAS-vs-fold float error in the
-#: triangle-inequality pruning (distances are O(1) for unit-ish
-#: embeddings; observed BLAS error ~1e-13 relative).
+#: RELATIVE distance slack absorbing BLAS-vs-fold float error in the
+#: triangle-inequality pruning: applied as
+#: ``margin * (1 + d)`` so it scales with the row's distance
+#: magnitude (r9, ADVICE — BLAS error grows with |x|², so a purely
+#: absolute 1e-6 could be exceeded by large-magnitude vectors and
+#: void the bound-proved candidate guarantee; observed BLAS error is
+#: ~1e-13 relative, leaving 7 orders of headroom at any scale).
 _TWO_LEVEL_MARGIN = 1e-6
 
 #: Probe columns before the flat-dgemm fallback: bound pruning is
@@ -451,7 +455,7 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
                         )
                         active = active[
                             lb_sorted[active, p]
-                            <= mth + _TWO_LEVEL_MARGIN
+                            <= mth + _TWO_LEVEL_MARGIN * (1.0 + mth)
                         ]
                     if active.size == 0:
                         break
@@ -499,7 +503,7 @@ def ivf_assign_cells_arrow(centroids: list[list[float]], n_prefilter: int = 6):
                         )
                         active = active[
                             lb_sorted[active, min(_TWO_LEVEL_BAIL, s - 1)]
-                            <= mth + _TWO_LEVEL_MARGIN
+                            <= mth + _TWO_LEVEL_MARGIN * (1.0 + mth)
                         ]
                     else:
                         active = active[:0]

@@ -91,7 +91,11 @@ def two_pass_ranks(
       ``rank``: output name for ``row_number()`` (or None),
       ``n``: output name for the group's total row count (or None),
       ``cumsum``: list of (value_column, output_name) inclusive
-      running totals over the same order (or absent).
+      running totals over the same order (or absent). INTEGER-ONLY
+      contract: the value column must be an integral type — the
+      slice sums are cast to long so the offset arithmetic is exact,
+      and a fractional column would be silently truncated, so it is
+      rejected here (r9, ADVICE).
 
     Every spec shares ONE range shuffle; each adds a tiny broadcast
     join + a per-slice local window.
@@ -128,6 +132,16 @@ def two_pass_ranks(
 
         aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")]
         for col, _ in cumsums:
+            # integer-only contract (see docstring): the long cast
+            # keeps offset arithmetic exact for integral columns but
+            # would TRUNCATE fractional ones — fail loudly instead.
+            dt = rp.schema[col].dataType.typeName()
+            if dt not in ("byte", "short", "integer", "long"):
+                raise TypeError(
+                    f"two_pass_ranks cumsum column {col!r} has "
+                    f"non-integral type {dt}; running sums are "
+                    "exact-long only"
+                )
             aggs.append(F.sum(col).cast("long").alias(f"__sum_{col}"))
         counts = rp.groupBy(PID, *part).agg(*aggs)
 

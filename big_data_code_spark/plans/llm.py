@@ -7632,7 +7632,19 @@ def semdedup_kmeans(
     """SemDeDup (r6) — Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication": the
     CLUSTER-bucketed member of the embedding-dedup family (the
-    banded-LSH member is `dedup_semantic_final`). k-means the
+    banded-LSH member is `dedup_semantic_final`).
+
+    TESTS-ONLY PARITY TWIN since r9 (`registry.PARITY_TWINS`): the
+    flat n·k·d assignment with derived k ∝ n is quadratic in n —
+    its own sf100 probe measured 28.8× warm per decade
+    (PROBE_r8_sf100.json) — so the REGISTERED scale path is
+    `semdedup_hierarchical` (two-stage Lloyd, ~2√leaves centroids
+    per row, 8.7×/decade ≈ linear, 5.1× faster absolute at sf100).
+    This exact-flat-k-means reference stays oracle-checked in the
+    suite so the hierarchical twin always has an exact semantics
+    anchor. Capping the derived k would NOT rescue it: the pair
+    sweep is Σ|cell|² ≈ n·(n/k), so a k cap just moves the n² term
+    from the assignment into the pair stage. k-means the
     dup-seeded vector corpus into cells with the same deterministic
     md5-init Lloyd trainer as the IVF index (`operators/ann.py::
     ivf_train`), compute exact cosine pairs WITHIN each cell only,
@@ -11489,7 +11501,11 @@ def _staging_dir(sf_dir: str, table: str, prefix: str) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
+        # nanosecond mtime (r9, ADVICE): whole-second truncation
+        # would serve stale staged data for a corpus regenerated
+        # within the same second at identical size — match the
+        # `_ivf_cache_key` full-resolution convention.
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "0_0"
     h = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
@@ -11545,7 +11561,12 @@ def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(build, out_dir)
         except OSError:
-            pass  # lost the race to a concurrent builder — theirs wins
+            # lost the race to a concurrent builder — theirs wins,
+            # but reap our build dir (r9, ADVICE: a full text copy
+            # of the corpus would otherwise leak per collision)
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -11918,7 +11939,12 @@ def master_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(build, out)
         except OSError:
-            pass  # lost the race to a concurrent builder — theirs wins
+            # lost the race to a concurrent builder — theirs wins,
+            # but reap our build dir (r9, ADVICE: the staged copy
+            # would otherwise leak per collision/rerun)
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     store = MasterDataset(out)
     facts = store.read(spark)
     return facts.groupBy(

@@ -157,7 +157,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    round-driver union r1-r7 = 184/184 green and none fails its
     #    latest check.
     ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
-    ("semdedup_kmeans", llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
+    # semdedup_kmeans DEMOTED to tests-only parity twin r9 (see
+    # PARITY_TWINS below): its own sf100 probe (PROBE_r8_sf100.json)
+    # measured the flat derived-k warm path super-linear (28.8× per
+    # decade) — the registered scale path for cluster-bucketed
+    # semantic dedup is `semdedup_hierarchical` above.
     ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
     ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
     ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
@@ -345,3 +349,17 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →
 #: the driver records a rows-only check.
 ORACLES: dict[str, str | None] = {name: sql for name, _, sql in _ENTRIES}
+
+#: Tests-only PARITY TWINS — exact, oracle-restated operators kept
+#: OUT of the registered surface because a measurement proved they
+#: do not survive the 100-TB contract (the `streaming_bounce_rate`
+#: demotion pattern, r4, applied at registry grain). They stay
+#: oracle-checked in the suite (`tests/conftest.assert_matches_oracle`
+#: falls back here) so the exact-reference semantics never rot.
+PARITY_TWINS: dict[str, tuple[QueryFn, str | None]] = {
+    # flat exact k-means SemDeDup: n·k·d assignment with derived
+    # k ∝ n is quadratic in n — sf100 probe measured 28.8× warm per
+    # decade vs 8.7× for the registered `semdedup_hierarchical`
+    # (PROBE_r8_sf100.json; VERDICT r8 "What's wrong" #1).
+    "semdedup_kmeans": (llm.semdedup_kmeans, llm.SEMDEDUP_KMEANS_SQL),
+}

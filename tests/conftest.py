@@ -38,16 +38,25 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def assert_matches_oracle(spark, name: str, sf_dir: str = SF_SMOKE) -> None:
-    """Run a registered query and its oracle, compare as sorted rows
-    (the same order-insensitive check the driver performs)."""
-    from big_data_code_spark.plans.registry import ORACLES, QUERIES
+    """Run a registered query (or a tests-only parity twin) and its
+    oracle, compare as sorted rows (the same order-insensitive check
+    the driver performs)."""
+    from big_data_code_spark.plans.registry import (
+        ORACLES,
+        PARITY_TWINS,
+        QUERIES,
+    )
 
-    sdf = QUERIES[name](spark, sf_dir)
+    if name in QUERIES:
+        fn, sql = QUERIES[name], ORACLES[name]
+    else:
+        fn, sql = PARITY_TWINS[name]
+    sdf = fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     con = duck_con(sf_dir)
-    res = con.sql(ORACLES[name])
+    res = con.sql(sql)
     duck_cols = res.columns
     duck_rows = [tuple(r) for r in res.fetchall()]
 

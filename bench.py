@@ -312,6 +312,13 @@ BENCH_QUERIES = (
     "order_value_quantiles_exact",
     "gini_user_concentration",
     "hill_tail_index",
+    # r9 operators:
+    "cuped_abtest",
+    "cusum_changepoint",
+    "weighted_sample_es",
+    "zipf_slope_fit",
+    "boilerplate_ngrams",
+    "embedding_decontaminate",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -5456,3 +5456,308 @@ SELECT k, x_threshold, alpha_inv,
        CASE WHEN alpha_inv > 0 THEN 1e0 / alpha_inv END AS alpha
 FROM agg
 """
+
+
+# --------------------------------------------- r9: CUPED + CUSUM
+
+
+def _cuped_chain() -> dict[str, str]:
+    """The shared CUPED double-arithmetic chain over the exact
+    per-arm moment sums (n_{a,b}, sx/sy BIGINT event-grain sums,
+    sxx/sxy/syy BIGINT per-user-product sums on the 1e-6 grid) —
+    ONE textual definition rendered into both the Spark plan and
+    the DuckDB oracle, the `abtest_value_ztest` convention."""
+    mx = "((sx_a + sx_b) / 1e6 / (n_a + n_b))"
+    my = "((sy_a + sy_b) / 1e6 / (n_a + n_b))"
+    # pooled covariance / variance of the pre covariate
+    cov = f"((sxy_a + sxy_b) / 1e6 / (n_a + n_b) - {mx} * {my})"
+    varx = f"((sxx_a + sxx_b) / 1e6 / (n_a + n_b) - {mx} * {mx})"
+    theta = f"({cov} / {varx})"
+    mxv = "(sx_{v} / 1e6 / n_{v})"
+    myv = "(sy_{v} / 1e6 / n_{v})"
+    covv = f"(sxy_{{v}} / 1e6 / n_{{v}} - {mxv} * {myv})"
+    varxv = f"(sxx_{{v}} / 1e6 / n_{{v}} - {mxv} * {mxv})"
+    varyv = f"(syy_{{v}} / 1e6 / n_{{v}} - {myv} * {myv})"
+    madj = f"({myv} - {theta} * ({mxv} - {mx}))"
+    vadj = (
+        f"({varyv} + {theta} * {theta} * {varxv}"
+        f" - 2 * {theta} * {covv})"
+    )
+    out = {
+        "theta": theta,
+        "mean_adj_a": madj.format(v="a"),
+        "mean_adj_b": madj.format(v="b"),
+    }
+    va, vb = vadj.format(v="a"), vadj.format(v="b")
+    ya, yb = varyv.format(v="a"), varyv.format(v="b")
+    mya, myb = myv.format(v="a"), myv.format(v="b")
+    out["z_raw"] = (
+        f"(({mya}) - ({myb})) / sqrt({ya} / n_a + {yb} / n_b)"
+    )
+    out["z_cuped"] = (
+        f"(({out['mean_adj_a']}) - ({out['mean_adj_b']}))"
+        f" / sqrt({va} / n_a + {vb} / n_b)"
+    )
+    out["var_reduction"] = (
+        f"(1e0 - ({va} * n_a + {vb} * n_b)"
+        f" / ({ya} * n_a + {yb} * n_b))"
+    )
+    return out
+
+
+def cuped_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (r9) — Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data": the standard experimentation
+    upgrade over `abtest_value_ztest`. Each user's PRE-period
+    purchase value (even epoch-days — a span-agnostic split, so the
+    plan is identical whether the corpus covers a month or a decade)
+    is the covariate X; the POST-period value (odd epoch-days) is
+    the metric Y; theta = cov(X,Y)/var(X) pooled over both arms;
+    the test compares arm means of Y - theta·(X - mean(X)).
+
+    Exactness: event values quantized to the 1e-6 grid and summed
+    as BIGINT; per-user (x, y) doubles are exact quotients of those
+    sums; the per-user cross products are re-quantized to the grid
+    before the (order-free) BIGINT arm sums; everything after is
+    ONE textual double chain (`_cuped_chain`) shared with the
+    oracle. Variances of the adjusted metric come from the moment
+    identity var(Y-θX) = var(Y)+θ²var(X)-2θcov — no second pass.
+
+    100 TB shape: one per-user combinable agg + one 2-arm scalar
+    agg; no joins, no windows. Returns ONE row.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    day = (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    v_fp = F.expr("CAST(round(value * 1e6) AS BIGINT)")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.when(day % 2 == 0, v_fp).otherwise(F.lit(0)).alias("x_fp"),
+            F.when(day % 2 == 1, v_fp).otherwise(F.lit(0)).alias("y_fp"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("x_fp").cast("long").alias("sx"),
+            F.sum("y_fp").cast("long").alias("sy"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            "sx",
+            "sy",
+            F.expr(
+                "CAST(round((sx / 1e6) * (sx / 1e6) * 1e6) AS BIGINT)"
+            ).alias("xx_fp"),
+            F.expr(
+                "CAST(round((sx / 1e6) * (sy / 1e6) * 1e6) AS BIGINT)"
+            ).alias("xy_fp"),
+            F.expr(
+                "CAST(round((sy / 1e6) * (sy / 1e6) * 1e6) AS BIGINT)"
+            ).alias("yy_fp"),
+        )
+    )
+    arm = lambda c, v: F.sum(  # noqa: E731
+        F.when(F.col("is_a") if v == "a" else ~F.col("is_a"), F.col(c))
+    ).cast("long").alias(f"{c if c != 'cnt' else 'n'}_{v}")
+    moments = per_user.select(
+        "is_a", F.lit(1).alias("cnt"), "sx", "sy", "xx_fp", "xy_fp", "yy_fp"
+    ).agg(
+        *[
+            arm(c, v)
+            for v in ("a", "b")
+            for c in ("cnt", "sx", "sy", "xx_fp", "xy_fp", "yy_fp")
+        ]
+    )
+    moments = moments.select(
+        *[
+            F.col(f"{c}_{v}").alias(f"{dst}_{v}")
+            for v in ("a", "b")
+            for c, dst in (
+                ("n", "n"),
+                ("sx", "sx"),
+                ("sy", "sy"),
+                ("xx_fp", "sxx"),
+                ("xy_fp", "sxy"),
+                ("yy_fp", "syy"),
+            )
+        ]
+    )
+    ch = _cuped_chain()
+    return moments.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.expr(ch["theta"]).alias("theta"),
+        F.expr(ch["mean_adj_a"]).alias("mean_adj_a"),
+        F.expr(ch["mean_adj_b"]).alias("mean_adj_b"),
+        F.expr(ch["z_raw"]).alias("z_raw"),
+        F.expr(ch["z_cuped"]).alias("z_cuped"),
+        F.expr(ch["var_reduction"]).alias("var_reduction"),
+    )
+
+
+def _cuped_sql() -> str:
+    ch = _cuped_chain()
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 = 0
+                       THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sx,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 = 1
+                       THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sy
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+terms AS (
+  SELECT user_id % 2 = 0 AS is_a, sx, sy,
+         CAST(round((sx / 1e6) * (sx / 1e6) * 1e6) AS BIGINT) AS xx_fp,
+         CAST(round((sx / 1e6) * (sy / 1e6) * 1e6) AS BIGINT) AS xy_fp,
+         CAST(round((sy / 1e6) * (sy / 1e6) * 1e6) AS BIGINT) AS yy_fp
+  FROM per_user),
+moments AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN sx END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN is_a THEN sy END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN is_a THEN xx_fp END) AS BIGINT) AS sxx_a,
+         CAST(sum(CASE WHEN is_a THEN xy_fp END) AS BIGINT) AS sxy_a,
+         CAST(sum(CASE WHEN is_a THEN yy_fp END) AS BIGINT) AS syy_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN NOT is_a THEN sx END) AS BIGINT) AS sx_b,
+         CAST(sum(CASE WHEN NOT is_a THEN sy END) AS BIGINT) AS sy_b,
+         CAST(sum(CASE WHEN NOT is_a THEN xx_fp END) AS BIGINT) AS sxx_b,
+         CAST(sum(CASE WHEN NOT is_a THEN xy_fp END) AS BIGINT) AS sxy_b,
+         CAST(sum(CASE WHEN NOT is_a THEN yy_fp END) AS BIGINT) AS syy_b
+  FROM terms)
+SELECT n_a, n_b,
+       {ch['theta']} AS theta,
+       {ch['mean_adj_a']} AS mean_adj_a,
+       {ch['mean_adj_b']} AS mean_adj_b,
+       {ch['z_raw']} AS z_raw,
+       {ch['z_cuped']} AS z_cuped,
+       {ch['var_reduction']} AS var_reduction
+FROM moments
+"""
+
+
+CUPED_ABTEST_SQL = _cuped_sql()
+
+
+#: CUSUM reference slack (in per-type std units) and alarm
+#: threshold — the textbook k=0.5/h=4 tabular-CUSUM defaults.
+CUSUM_SLACK = 0.5
+CUSUM_H = 4.0
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM changepoint monitor (r9) over daily
+    event volume per event_type — the sequential drift detector
+    behind ops alerting (Page 1954). The recursion
+    S⁺_t = max(0, S⁺_(t-1) + z_t - k) is rewritten as the window
+    identity S⁺_t = C_t - min(0, min_(s<=t) C_s) with C the running
+    sum of (z - k) — two plain window passes instead of a
+    sequential fold, so the plan stays declarative.
+
+    Exactness: daily counts are BIGINT; per-type mean/std come from
+    exact count sums; each standardized increment is quantized to
+    the 1e-6 grid BEFORE the running BIGINT sums, so the windows
+    are order-exact integers in both engines.
+
+    100 TB shape: one combinable (type, day) count shuffle, one
+    tiny per-type moment agg broadcast back, then windows
+    partitioned by event_type over the CALENDAR-DAY rollup —
+    bounded by the time span, not the corpus (the
+    `open_orders_over_time` allowlist class). Returns one row per
+    (event_type, day_id).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (epoch_us(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    daily = ev.select(F.col("event_type"), day.alias("day_id")).groupBy(
+        "event_type", "day_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    z = (
+        "(n_events - s1 / CAST(n_days AS DOUBLE))"
+        " / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)"
+        " - (s1 / CAST(n_days AS DOUBLE)) * (s1 / CAST(n_days AS DOUBLE))), 0)"
+    )
+    d = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.expr(f"CAST(round(({z} - {CUSUM_SLACK}) * 1e6) AS BIGINT)").alias("dp"),
+        F.expr(f"CAST(round(({z} + {CUSUM_SLACK}) * 1e6) AS BIGINT)").alias("dn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.sum("dp").over(w).alias("cp"),
+        F.sum("dn").over(w).alias("cn"),
+    )
+    sp = F.col("cp") - F.least(F.lit(0).cast("long"), F.min("cp").over(w))
+    sn = F.greatest(F.lit(0).cast("long"), F.max("cn").over(w)) - F.col("cn")
+    return c.select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.round(sp / 1e6, 6).alias("cusum_pos"),
+        F.round(sn / 1e6, 6).alias("cusum_neg"),
+        ((sp / 1e6 > CUSUM_H) | (sn / 1e6 > CUSUM_H)).alias("alarm"),
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.event_type, day_id, n_events,
+         CAST(round(((n_events - s1 / CAST(n_days AS DOUBLE))
+           / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)
+               - (s1 / CAST(n_days AS DOUBLE)) * (s1 / CAST(n_days AS DOUBLE))), 0)
+           - {CUSUM_SLACK}) * 1e6) AS BIGINT) AS dp,
+         CAST(round(((n_events - s1 / CAST(n_days AS DOUBLE))
+           / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)
+               - (s1 / CAST(n_days AS DOUBLE)) * (s1 / CAST(n_days AS DOUBLE))), 0)
+           + {CUSUM_SLACK}) * 1e6) AS BIGINT) AS dn
+  FROM daily JOIN stats ON daily.event_type = stats.event_type),
+c AS (
+  SELECT event_type, day_id, n_events,
+         CAST(sum(dp) OVER (PARTITION BY event_type ORDER BY day_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         CAST(sum(dn) OVER (PARTITION BY event_type ORDER BY day_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+  FROM d),
+s AS (
+  SELECT event_type, day_id, n_events,
+         cp - least(CAST(0 AS BIGINT),
+                    CAST(min(cp) OVER (PARTITION BY event_type ORDER BY day_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS sp,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(max(cn) OVER (PARTITION BY event_type ORDER BY day_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)) - cn AS sn
+  FROM c)
+SELECT event_type, day_id, n_events,
+       round(sp / 1e6, 6) AS cusum_pos,
+       round(sn / 1e6, 6) AS cusum_neg,
+       (sp / 1e6 > {CUSUM_H}) OR (sn / 1e6 > {CUSUM_H}) AS alarm
+FROM s
+"""

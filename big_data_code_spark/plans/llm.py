@@ -12061,3 +12061,364 @@ FROM (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
       FROM per_lang GROUP BY 1) t
 JOIN major m ON m.doc_id = t.doc_id AND m.rn = 1
 """
+
+
+# ------------------------------------------------- r9 wave 1:
+# weighted sampling, Zipf fit, boilerplate detection,
+# embedding-space decontamination
+
+
+#: Global sample size for the Efraimidis–Spirakis weighted draw.
+WEIGHTED_SAMPLE_K = 50
+#: Fixed-point grid for the ES key ln(u)/w — 1e12 because the key
+#: lives in (-40, 0) and a coarser grid would collide distinct keys.
+_ES_KEY_GRID = 1e12
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (r9) — Efraimidis &
+    Spirakis 2006 "Weighted random sampling with a reservoir",
+    algorithm A-Res: each item draws u ~ U(0,1) and keeps key
+    u^(1/w); the global top-K keys ARE a weighted sample without
+    replacement. The engine ranks by the monotone-equivalent
+    ln(u)/w (descending) so the key is one ln instead of a pow.
+    This is the one-pass distributed answer to "sample 50 docs
+    proportional to length/quality" — the naive cumulative-weight
+    inverse-CDF needs a global running sum per draw.
+
+    Determinism: u comes from 52 md5 bits of 'ws:'||doc_id (the
+    `dp_noisy_counts` seeded-release convention — production swaps
+    a real RNG, the plan is identical); the key is quantized to the
+    1e-12 grid and the top-K order is the unique total order
+    (key_fp DESC, doc_id). ln on identical doubles is bit-identical
+    cross-engine (the `unigram_logprob` verified contract).
+
+    100 TB shape: one map-side expression pass + TakeOrdered
+    (per-partition heaps, no global sort, no shuffle of the corpus).
+    Weight = n_chars. Returns (doc_id, source, n_chars, es_key_fp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "conv(substring(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
+        ).cast("long")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", u.alias("u")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            f"CAST(round(ln(u) / n_chars * {_ES_KEY_GRID}) AS BIGINT)"
+        ).alias("es_key_fp"),
+    )
+    return keyed.orderBy(
+        F.desc("es_key_fp"), F.asc("doc_id")
+    ).limit(WEIGHTED_SAMPLE_K)
+
+
+WEIGHTED_SAMPLE_ES_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(round(ln(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 13))::BIGINT
+               / 4503599627370496e0) / n_chars * {_ES_KEY_GRID}) AS BIGINT)
+           AS es_key_fp
+  FROM documents)
+SELECT doc_id, source, n_chars, es_key_fp
+FROM keyed ORDER BY es_key_fp DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+#: Rank depth for the per-source Zipf log-log fit.
+ZIPF_TOP_K = 50
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source (r9): OLS slope of ln(frequency) on
+    ln(rank) over each source's top-ZIPF_TOP_K terms — the
+    rank-frequency power-law diagnostic (natural text ≈ -1;
+    template/boilerplate-heavy sources flatten, gibberish steepens).
+    The quantitative companion to `vocab_coverage` and the corpus-
+    health row a data card quotes.
+
+    Exactness: per-source ranks come from the two-pass partition-
+    offset rank on the unique (n DESC, term) order; each ln is
+    computed on identical doubles cross-engine, the four OLS moment
+    terms are quantized to the 1e-6 grid and BIGINT-summed
+    (order-free), and slope/intercept are one fixed double chain.
+
+    100 TB shape: one (source, term) combinable count shuffle, the
+    two-pass rank, a ≤ |sources|·K moment agg. Returns one row per
+    source: (source, k_terms, zipf_slope, intercept).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = two_pass_ranks(
+        tf,
+        [F.desc("n"), F.col("term")],
+        [{"partition": ("source",), "rank": "rk"}],
+    ).where(F.col("rk") <= ZIPF_TOP_K)
+    terms = ranked.select(
+        "source",
+        F.expr("ln(CAST(rk AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(n AS DOUBLE))").alias("y"),
+    ).select(
+        "source",
+        F.expr("CAST(round(x * 1e6) AS BIGINT)").alias("sx_fp"),
+        F.expr("CAST(round(y * 1e6) AS BIGINT)").alias("sy_fp"),
+        F.expr("CAST(round(x * x * 1e6) AS BIGINT)").alias("sxx_fp"),
+        F.expr("CAST(round(x * y * 1e6) AS BIGINT)").alias("sxy_fp"),
+    )
+    slope = (
+        "(k * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))"
+        " / (k * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))"
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("sx_fp").cast("long").alias("sx"),
+            F.sum("sy_fp").cast("long").alias("sy"),
+            F.sum("sxx_fp").cast("long").alias("sxx"),
+            F.sum("sxy_fp").cast("long").alias("sxy"),
+        )
+        .select(
+            "source",
+            F.col("k").alias("k_terms"),
+            F.expr(slope).alias("zipf_slope"),
+            F.expr(f"(sy / 1e6 - ({slope}) * (sx / 1e6)) / k").alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+def _zipf_sql() -> str:
+    slope = (
+        "(k * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))"
+        " / (k * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))"
+    )
+    return f"""
+WITH tf AS (
+  SELECT source, t.term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest({_TOKENS}) AS term FROM documents) t(source, term)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT source, n,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term)
+              AS BIGINT) AS rk
+  FROM tf),
+terms AS (
+  SELECT source,
+         CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS sx_fp,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS sy_fp,
+         CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1e6)
+              AS BIGINT) AS sxx_fp,
+         CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e6)
+              AS BIGINT) AS sxy_fp
+  FROM ranked WHERE rk <= {ZIPF_TOP_K}),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(sx_fp) AS BIGINT) AS sx,
+         CAST(sum(sy_fp) AS BIGINT) AS sy,
+         CAST(sum(sxx_fp) AS BIGINT) AS sxx,
+         CAST(sum(sxy_fp) AS BIGINT) AS sxy
+  FROM terms GROUP BY 1)
+SELECT source, k AS k_terms,
+       {slope} AS zipf_slope,
+       (sy / 1e6 - ({slope}) * (sx / 1e6)) / k AS intercept
+FROM m
+"""
+
+
+ZIPF_SLOPE_FIT_SQL = _zipf_sql()
+
+
+#: Boilerplate shingle width and the document-frequency share above
+#: which a shingle counts as boilerplate.
+BOILER_NGRAM_N = 2
+BOILER_DF_SHARE_NUM, BOILER_DF_SHARE_DEN = 5, 100  # 5% of docs
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate / template detection (r9) — the cross-document
+    complement of `doc_repetition` (within-doc) and `chunk_dedup`
+    (exact blocks): a 2-gram shingle appearing in ≥ 5% of documents
+    is boilerplate (nav bars, license headers, cookie banners), and
+    each document reports what fraction of ITS distinct shingles is
+    boilerplate. High-coverage docs are templates the quality
+    pipeline should down-weight; the per-doc signal feeds the same
+    keep/drop policies as `doc_quality_filter`.
+
+    The DF threshold derives from the corpus count in-plan (the
+    `semdedup_kmeans` derived-k convention), so one SQL string is
+    exact at every SF.
+
+    100 TB shape: one distinct (doc, shingle) explode, one
+    combinable shingle-DF shuffle, a threshold join back (the DF
+    table is vocabulary-grain, not corpus-grain), one per-doc
+    rollup. No windows, no all-pairs anywhere. Returns
+    (doc_id, n_shingles, n_boiler, coverage, is_template) for every
+    doc with ≥ BOILER_NGRAM_N tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            word_shingles(tokenize(F.col("text")), n=BOILER_NGRAM_N)
+        ).alias("s"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df") * BOILER_DF_SHARE_DEN
+            >= F.col("n_docs") * BOILER_DF_SHARE_NUM
+        )
+        .select("s", F.lit(1).alias("is_b"))
+    )
+    return (
+        sh.join(df, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias(
+                "coverage"
+            ),
+            (2 * F.col("n_boiler") >= F.col("n_shingles")).alias("is_template"),
+        )
+    )
+
+
+BOILERPLATE_NGRAMS_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(tokens)),
+             i -> tokens[i] || ' ' || tokens[i+1]))) AS s
+  FROM tok WHERE len(tokens) >= {BOILER_NGRAM_N}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+  SELECT s FROM sh CROSS JOIN n
+  GROUP BY s, n_docs
+  HAVING CAST(count(*) AS BIGINT) * {BOILER_DF_SHARE_DEN}
+         >= n_docs * {BOILER_DF_SHARE_NUM}),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM sh LEFT JOIN df ON sh.s = df.s
+  GROUP BY 1)
+SELECT doc_id, n_shingles, n_boiler,
+       round(n_boiler * 1.0 / n_shingles, 6) AS coverage,
+       2 * n_boiler >= n_shingles AS is_template
+FROM per_doc
+"""
+
+
+#: Every DECON_EVAL_MOD-th base vector is the held-out eval set for
+#: embedding-space decontamination.
+DECON_EVAL_MOD = 5
+
+
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (r9) — the semantic member of
+    the decontamination family (`decontaminate_corpus` is the
+    n-gram-overlap member): training vectors with cosine ≥ 0.95 to
+    ANY held-out eval vector are flagged before training, catching
+    paraphrase-grade leakage n-gram overlap misses. Eval set =
+    every DECON_EVAL_MOD-th base vector (deterministic stand-in for
+    a real benchmark suite); candidates come from the SAME
+    production LSH banding as `dedup_semantic_final` (64 md5
+    hyperplanes, 4×16-bit bands) — never an all-pairs sweep — so
+    the oracle reuses the shared plan-equivalence restatement
+    (`_SEMANTIC_PAIRS_CTES`) and recall carries the same documented
+    per-band contract.
+
+    The seeded +0.01 perturbed copies of eval vectors (cos ≈ 0.997)
+    are the guaranteed positives: an identical-signature pair shares
+    every band, so every exact-grade contamination is caught.
+
+    100 TB shape: signature map pass, band equi-join, cosine filter,
+    one combinable per-vector hit count, one left join back onto
+    the train slice. Returns (vec_id, n_eval_hits, is_contaminated)
+    for every NON-eval corpus vector.
+    """
+    vc = _vector_corpus(spark, sf_dir)
+    is_eval = (F.col("vec_id") < DUP_SEED_OFFSET) & (
+        F.col("vec_id") % DECON_EVAL_MOD == 0
+    )
+    pairs = ann.cosine_dup_pairs_lsh(
+        vc,
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=SEMANTIC_N_PLANES,
+        n_bands=SEMANTIC_N_BANDS,
+        arrow_sig=True,
+    )
+    both = pairs.select(
+        F.col("vec_id_a").alias("target"), F.col("vec_id_b").alias("partner")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_id_b").alias("target"),
+            F.col("vec_id_a").alias("partner"),
+        )
+    )
+    ev = lambda c: (F.col(c) < DUP_SEED_OFFSET) & (  # noqa: E731
+        F.col(c) % DECON_EVAL_MOD == 0
+    )
+    hits = (
+        both.where(ev("partner") & ~ev("target"))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_hits"))
+    )
+    return (
+        vc.where(~is_eval)
+        .select("vec_id")
+        .join(hits.withColumnRenamed("target", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias(
+                "n_eval_hits"
+            ),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+EMBEDDING_DECONTAMINATE_SQL = f"""
+WITH {_VECTOR_CORPUS_CTE},
+{_SEMANTIC_PAIRS_CTES},
+both_dirs AS (
+  SELECT va AS target, vb AS partner FROM pairs
+  UNION ALL
+  SELECT vb AS target, va AS partner FROM pairs
+),
+hits AS (
+  SELECT target AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+  FROM both_dirs
+  WHERE partner < {DUP_SEED_OFFSET} AND partner % {DECON_EVAL_MOD} = 0
+    AND NOT (target < {DUP_SEED_OFFSET} AND target % {DECON_EVAL_MOD} = 0)
+  GROUP BY 1)
+SELECT c.vec_id,
+       COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+       COALESCE(h.n_eval_hits, 0) > 0 AS is_contaminated
+FROM vcorpus c LEFT JOIN hits h ON c.vec_id = h.vec_id
+WHERE NOT (c.vec_id < {DUP_SEED_OFFSET} AND c.vec_id % {DECON_EVAL_MOD} = 0)
+"""

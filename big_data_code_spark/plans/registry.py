@@ -37,17 +37,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r9 prefix (50). ORDER: (a) positions 1-21 are the 21
-    #    entries NO round driver has ever sampled (the r8
+    # -- r9 prefix (50). ORDER: the 6 NEW r9 operators first
+    #    (changed-first convention), then (a) positions 7-27 are
+    #    the 21 entries NO round driver has ever sampled (the r8
     #    additions + the last of the r7 wave-8 batch) — sampling
     #    them completes 100% cumulative driver coverage of the
-    #    registry (VERDICT r8 'What's missing' #1); (b) 22-23 are
+    #    registry (VERDICT r8 'What's missing' #1); (b) 28-29 are
     #    the two queries whose staging path changed this round
-    #    (st_mtime_ns fingerprint + rename-race cleanup); (c)
-    #    24-50 are oldest-evidence-next: every remaining entry
+    #    (st_mtime_ns fingerprint + rename-race cleanup); (c) the
+    #    window then fills with oldest-evidence-next entries, all
     #    last sampled in r4 and never since, in prior registry
-    #    order. New r9 operators are inserted at the TOP of
-    #    block (a) as they are added (changed-first convention).
+    #    order (the last 6 of that r4-vintage block sit just past
+    #    the window and keep their r4 evidence).
+    # -- NEW r9 operators (changed-first)
+    ("cuped_abtest", advanced.cuped_abtest, advanced.CUPED_ABTEST_SQL),
+    ("cusum_changepoint", advanced.cusum_changepoint, advanced.CUSUM_CHANGEPOINT_SQL),
+    ("weighted_sample_es", llm.weighted_sample_es, llm.WEIGHTED_SAMPLE_ES_SQL),
+    ("zipf_slope_fit", llm.zipf_slope_fit, llm.ZIPF_SLOPE_FIT_SQL),
+    ("boilerplate_ngrams", llm.boilerplate_ngrams, llm.BOILERPLATE_NGRAMS_SQL),
+    ("embedding_decontaminate", llm.embedding_decontaminate, llm.EMBEDDING_DECONTAMINATE_SQL),
+    # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
     ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),

@@ -3566,3 +3566,126 @@ def test_ivf_two_level_kernel_exact_when_enabled(spark):
     finally:
         ann.IVF_TWO_LEVEL_MIN_CELLS = old
     assert (flat == two).all()
+
+
+# --------------------------------------- r9: weighted sample, Zipf,
+# boilerplate, embedding decontamination
+
+
+def test_weighted_sample_es_oracle_and_brute_force(spark):
+    """Oracle match, plus an independent Python recompute of the
+    full A-Res top-K from the raw parquet (hashlib md5, not Spark),
+    proving the seeded-uniform + key contract end to end."""
+    import hashlib
+    import math
+
+    from big_data_code_spark.plans.llm import (
+        WEIGHTED_SAMPLE_K,
+        weighted_sample_es,
+    )
+
+    assert_matches_oracle(spark, "weighted_sample_es", SF_SMOKE)
+    assert_matches_oracle(spark, "weighted_sample_es", SF_CORRECT)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    keys = []
+    for r in docs:
+        h = hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()
+        u = int(h[:13], 16) / 4503599627370496.0
+        keys.append(
+            (round(math.log(u) / r["n_chars"] * 1e12), -r["doc_id"])
+        )
+    expect = sorted(keys, reverse=True)[:WEIGHTED_SAMPLE_K]
+    expect_ids = {-d for _, d in expect}
+    got = weighted_sample_es(spark, SF_SMOKE).collect()
+    assert len(got) == WEIGHTED_SAMPLE_K
+    assert {r["doc_id"] for r in got} == expect_ids
+    # heavier docs must be overrepresented vs a uniform draw:
+    # E[key] grows with w, so the sample's mean weight should beat
+    # the corpus mean (deterministic given the seeded uniforms)
+    corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
+    sample_mean = sum(r["n_chars"] for r in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_zipf_slope_fit_oracle_and_ols(spark):
+    """Oracle match + slopes negative (rank-frequency always decays)
+    + one source's slope recomputed by brute-force OLS."""
+    import math
+    from collections import Counter
+
+    from big_data_code_spark.plans.llm import ZIPF_TOP_K, zipf_slope_fit
+
+    assert_matches_oracle(spark, "zipf_slope_fit", SF_SMOKE)
+    assert_matches_oracle(spark, "zipf_slope_fit", SF_CORRECT)
+
+    rows = {r["source"]: r for r in zipf_slope_fit(spark, SF_SMOKE).collect()}
+    assert all(r["zipf_slope"] < 0 for r in rows.values())
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    src = docs[0]["source"]
+    tf = Counter()
+    for r in docs:
+        if r["source"] != src:
+            continue
+        import re
+
+        tf.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_K]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(n) for _, n in top]
+    k = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert rows[src]["k_terms"] == k
+    assert abs(rows[src]["zipf_slope"] - slope) < 1e-4
+
+
+def test_boilerplate_ngrams_oracle_and_bounds(spark):
+    """Oracle match + structural bounds + the DF threshold really
+    is document-frequency: a shingle counted once per doc."""
+    from big_data_code_spark.plans.llm import boilerplate_ngrams
+
+    assert_matches_oracle(spark, "boilerplate_ngrams", SF_SMOKE)
+    assert_matches_oracle(spark, "boilerplate_ngrams", SF_CORRECT)
+
+    rows = boilerplate_ngrams(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs  # every doc has >= 2 tokens here
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["is_template"] == (2 * r["n_boiler"] >= r["n_shingles"])
+
+
+def test_embedding_decontaminate_oracle_and_seeded_recall(spark):
+    """Oracle match + the seeded positives: every +0.01 perturbed
+    copy of an EVAL base vector (vec_id % 10 == 0 implies % 5 == 0)
+    is true contamination at cos ≈ 0.997, and the production
+    banding must catch >= 90% of them (the `dedup_semantic_final`
+    recall contract)."""
+    from big_data_code_spark.plans.llm import (
+        DECON_EVAL_MOD,
+        DUP_SEED_OFFSET,
+        embedding_decontaminate,
+    )
+
+    assert_matches_oracle(spark, "embedding_decontaminate", SF_SMOKE)
+
+    rows = embedding_decontaminate(spark, SF_SMOKE).collect()
+    ids = {r["vec_id"] for r in rows}
+    # the eval slice itself is excluded from the output
+    assert not any(
+        v < DUP_SEED_OFFSET and v % DECON_EVAL_MOD == 0 for v in ids
+    )
+    seeded = [
+        r
+        for r in rows
+        if r["vec_id"] >= DUP_SEED_OFFSET
+        and (r["vec_id"] - DUP_SEED_OFFSET) % DECON_EVAL_MOD == 0
+    ]
+    assert seeded, "no seeded eval-dup probes found"
+    caught = sum(1 for r in seeded if r["is_contaminated"])
+    assert caught / len(seeded) >= 0.9, (caught, len(seeded))

@@ -141,6 +141,9 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",           # r4: single-row doc-count scalar
                                  # broadcast (replaced the driver-side
                                  # docs.count() job — VERDICT r3 #8)
+    "boilerplate_ngrams",        # r9: single-row doc-count scalar
+                                 # broadcast deriving the DF threshold
+                                 # in-plan (same class as tfidf)
     "temperature_mix",           # single-row normalizer Z broadcast
     "ccnet_buckets",             # inherits unigram_logprob's (N, V)
                                  # scalar broadcast
@@ -340,6 +343,7 @@ WINDOW_SORT_ALLOWED = {
     "cross_source_dedup_matrix": "rank over the |sources|^2 pair matrix",
     "market_basket_lift": "rank over the <=|brands|^2 lift cells",
     "open_orders_over_time": "running net over the calendar-day rollup",
+    "cusum_changepoint": "running-extrema windows over the calendar-day rollup",
     "revenue_pattern_match": "pattern windows over the calendar-day rollup",
     "lang_id_confusion": "row-share over the |lang|^2 confusion cells",
     "ks_source_drift": "CDF windows over the bounded value grid per source",

@@ -55,15 +55,20 @@ def main() -> None:
         .getOrCreate()
     )
     from big_data_code_spark.cacheutil import release_persisted
-    from big_data_code_spark.plans.registry import QUERIES
+    from big_data_code_spark.plans.registry import PARITY_TWINS, QUERIES
     from big_data_code_spark.session import tune_session
+
+    # demoted parity twins (e.g. the flat semdedup_kmeans, r9) stay
+    # probe-able so their scaling numbers can keep being measured
+    lookup = dict(QUERIES)
+    lookup.update({k: fn for k, (fn, _) in PARITY_TWINS.items()})
 
     tune_session(spark)
     out = {}
     for name in names:
         release_persisted()
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+        lookup[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
         out[name] = round(time.time() - t0, 3)

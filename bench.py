@@ -319,6 +319,10 @@ BENCH_QUERIES = (
     "zipf_slope_fit",
     "boilerplate_ngrams",
     "embedding_decontaminate",
+    "srm_check",
+    "mrr_eval",
+    "ppr_knn_graph",
+    "orc_roundtrip_counts",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

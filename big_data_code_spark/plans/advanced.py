@@ -5761,3 +5761,56 @@ SELECT event_type, day_id, n_events,
        (sp / 1e6 > {CUSUM_H}) OR (sn / 1e6 > {CUSUM_H}) AS alarm
 FROM s
 """
+
+
+#: chi-square(1 dof) critical value at alpha = 0.05 for the SRM
+#: guardrail.
+SRM_CHI2_CRIT = 3.841459
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (r9) — the experimentation
+    sanity check that runs BEFORE `abtest_value_ztest` /
+    `cuped_abtest` are allowed to mean anything: under the 50/50
+    user_id-parity assignment, a chi-square(1) test on the arm
+    sizes detects broken randomization (bot filtering, logging
+    loss, redirect bugs eat one arm). chi² = (n_a − n_b)²/n for an
+    even split; alarm at the 0.05 critical value.
+
+    100 TB shape: one distinct-user shuffle (combinable) + one
+    2-group scalar agg; integer arithmetic until the final double
+    division. Returns ONE row (n_a, n_b, chi2, srm_detected).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2 == 0).alias("is_a")
+    )
+    return arms.agg(
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)"
+        ).alias("chi2"),
+        F.expr(
+            f"(n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)"
+            f" > {SRM_CHI2_CRIT}"
+        ).alias("srm_detected"),
+    )
+
+
+SRM_CHECK_SQL = f"""
+WITH arms AS (
+  SELECT DISTINCT user_id, user_id % 2 = 0 AS is_a FROM events),
+m AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms)
+SELECT n_a, n_b,
+       (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE) AS chi2,
+       (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)
+         > {SRM_CHI2_CRIT} AS srm_detected
+FROM m
+"""

@@ -12422,3 +12422,238 @@ SELECT c.vec_id,
 FROM vcorpus c LEFT JOIN hits h ON c.vec_id = h.vec_id
 WHERE NOT (c.vec_id < {DUP_SEED_OFFSET} AND c.vec_id % {DECON_EVAL_MOD} = 0)
 """
+
+
+# ------------------------------------------------- r9 wave 2:
+# MRR retrieval eval, personalized PageRank, ORC format roundtrip
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the approximate ANN paths (r9) —
+    completes the retrieval-eval triple (`ann_recall_eval` = flat
+    hits, `ndcg_retrieval_eval` = graded order, MRR = how fast the
+    FIRST relevant neighbor appears; the metric that matters when a
+    downstream consumer only reads one result). Relevant = the
+    exact brute-force top-k set per query; rr = 1/position of the
+    first hit in the approximate list, 0 when the index misses
+    entirely.
+
+    Reciprocal ranks are quantized to the 1e-6 grid before the
+    order-free BIGINT sum; misses enter the mean as exact zeros
+    (divide by the query COUNT, not the hit count). Costs two tiny
+    (queries × k) joins on top of the index scans it audits.
+
+    Returns one row per method: (method, n_queries, n_hit, mrr).
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    qn = exact.select("q_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    parts = []
+    for method, fn in (("ivf", ann_ivf), ("lsh", ann_lsh)):
+        ap = fn(spark, sf_dir).select(
+            "q_id", F.col("rank").alias("pos"), "vec_id"
+        )
+        first = (
+            ap.join(exact, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.min("pos").alias("first_pos"))
+        )
+        agg = first.select(
+            F.expr("CAST(round(1e6 / first_pos) AS BIGINT)").alias("rr_fp")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+            F.sum("rr_fp").cast("long").alias("s_rr"),
+        )
+        parts.append(
+            agg.crossJoin(F.broadcast(qn)).select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                (
+                    F.coalesce("s_rr", F.lit(0)) / 1e6
+                    / F.col("n_queries")
+                ).alias("mrr"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+MRR_EVAL_SQL = f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({ANN_COSINE_TOPK_SQL})),
+qn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM exact),
+ivf AS (SELECT q_id, rank AS pos, vec_id FROM ({ANN_IVF_SQL})),
+lsh AS (SELECT q_id, rank AS pos, vec_id FROM ({ANN_LSH_SQL})),
+fi AS (
+  SELECT a.q_id, min(a.pos) AS first_pos
+  FROM ivf a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1),
+fl AS (
+  SELECT a.q_id, min(a.pos) AS first_pos
+  FROM lsh a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1),
+mi AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+              CAST(sum(CAST(round(1e6 / first_pos) AS BIGINT)) AS BIGINT)
+                AS s_rr FROM fi),
+ml AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+              CAST(sum(CAST(round(1e6 / first_pos) AS BIGINT)) AS BIGINT)
+                AS s_rr FROM fl)
+SELECT 'ivf' AS method, n_queries,
+       COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(s_rr, 0) / 1e6 / n_queries AS mrr
+FROM mi CROSS JOIN qn
+UNION ALL
+SELECT 'lsh' AS method, n_queries,
+       COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(s_rr, 0) / 1e6 / n_queries AS mrr
+FROM ml CROSS JOIN qn
+"""
+
+
+#: Every PPR_SEED_MOD-th base vector seeds the personalized walk.
+PPR_SEED_MOD = 20
+
+
+def ppr_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the kNN graph (r9) — the
+    seed-anchored variant of `pagerank_knn_graph`: restart mass
+    0.15 returns to the SEED set (every PPR_SEED_MOD-th vector, a
+    deterministic stand-in for "documents the curator marked good")
+    instead of spreading uniformly, so rank measures proximity to
+    the seeds. THE standard recommendation/expansion primitive:
+    "find more like these" over a similarity graph.
+
+    Same fixed-round, fixed-point discipline as PageRank: rank
+    init = 1/|S| on seeds, PAGERANK_ITERATIONS rounds of one
+    edge × rank join + one order-free BIGINT contribution agg; the
+    update is `0.15·1(v∈S)/|S| + 0.85·(Σ/1e9)` — an identical op
+    chain cross-engine; dangling mass dropped like the uniform
+    twin (documented).
+
+    Returns (vec_id, is_seed, ppr) for every base vector.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    edges = track_persisted(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = _embeddings(spark, sf_dir).select(
+        "vec_id", (F.col("vec_id") % PPR_SEED_MOD == 0).alias("is_seed")
+    )
+    ns = nodes.where("is_seed").agg(
+        F.count(F.lit(1)).alias("n_seeds")
+    )
+    pr = nodes.crossJoin(F.broadcast(ns)).select(
+        "vec_id",
+        "is_seed",
+        F.expr(
+            "CASE WHEN is_seed THEN 1e0 / n_seeds ELSE 0e0 END"
+        ).alias("pr"),
+    )
+    upd = (
+        "CASE WHEN is_seed THEN 0.15e0 / n_seeds ELSE 0e0 END"
+        " + 0.85e0 * (s / 1e9)"
+    )
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = (
+            edges.join(
+                pr.select(F.col("vec_id").alias("src"), "pr"), "src"
+            )
+            .join(deg, "src")
+            .select("dst", F.expr(_PR_CONTRIB_EXPR).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("s")
+        )
+        pr = (
+            nodes.join(
+                sums.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+            )
+            .select(
+                "vec_id", "is_seed", F.coalesce("s", F.lit(0)).alias("s")
+            )
+            .crossJoin(F.broadcast(ns))
+            .select("vec_id", "is_seed", F.expr(upd).alias("pr"))
+        )
+    return pr.select("vec_id", "is_seed", F.col("pr").alias("ppr"))
+
+
+def _ppr_sql() -> str:
+    upd = (
+        "CASE WHEN is_seed THEN 0.15e0 / n_seeds ELSE 0e0 END"
+        " + 0.85e0 * (s / 1e9)"
+    )
+    body = f"""WITH edges AS (SELECT src, dst FROM ({KNN_GRAPH_SQL})),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT vec_id, vec_id % {PPR_SEED_MOD} = 0 AS is_seed
+          FROM embeddings),
+ns AS (SELECT count(*) AS n_seeds FROM nodes WHERE is_seed),
+pr0 AS (SELECT vec_id, is_seed,
+               CASE WHEN is_seed THEN 1e0 / n_seeds ELSE 0e0 END AS pr
+        FROM nodes CROSS JOIN ns),"""
+    prev = "pr0"
+    for it in range(1, PAGERANK_ITERATIONS + 1):
+        body += f"""
+c{it} AS (
+  SELECT e.dst, {_PR_CONTRIB_EXPR} AS c
+  FROM edges e JOIN {prev} p ON e.src = p.vec_id
+  JOIN deg d ON e.src = d.src),
+s{it} AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c{it} GROUP BY 1),
+pr{it} AS (
+  SELECT n.vec_id, n.is_seed, {upd} AS pr
+  FROM (SELECT nodes.vec_id, nodes.is_seed, coalesce(s{it}.s, 0) AS s
+        FROM nodes LEFT JOIN s{it} ON nodes.vec_id = s{it}.dst) n
+  CROSS JOIN ns),"""
+        prev = f"pr{it}"
+    body = body.rstrip(",")
+    return body + f"\nSELECT vec_id, is_seed, pr AS ppr FROM {prev}\n"
+
+
+PPR_KNN_GRAPH_SQL = _ppr_sql()
+
+
+def orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format roundtrip through the registry (r9) — the format-
+    breadth twin of `jsonl_ingest_quarantine`: documents staged
+    once as a Spark-native ORC directory (zstd, the same one-time
+    build-under-temp-name + atomic-rename staging contract), read
+    BACK through `spark.read.orc`, and rolled up per source against
+    the parquet oracle. Proves the engine's source layer is
+    format-plural: the lakehouse's second-class citizens (ORC
+    feeds from Hive-era pipelines) flow through the same plans.
+
+    100 TB shape: staging is a one-time per-corpus write; the
+    registered read is one columnar ORC scan (predicate/column
+    pushdown intact — ORC is a native vectorized source) + one
+    combinable rollup. Returns (source, n_rows, n_chars_sum).
+    """
+    import os
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _staging_dir(sf_dir, "documents", "orc_rt")
+    if not os.path.exists(out):
+        build = f"{out}_build_{uuid.uuid4().hex[:8]}"
+        docs.write.mode("overwrite").option(
+            "compression", "zstd"
+        ).orc(build)
+        try:
+            os.rename(build, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.orc(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )
+
+
+ORC_ROUNDTRIP_COUNTS_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents GROUP BY 1
+"""

@@ -56,6 +56,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("zipf_slope_fit", llm.zipf_slope_fit, llm.ZIPF_SLOPE_FIT_SQL),
     ("boilerplate_ngrams", llm.boilerplate_ngrams, llm.BOILERPLATE_NGRAMS_SQL),
     ("embedding_decontaminate", llm.embedding_decontaminate, llm.EMBEDDING_DECONTAMINATE_SQL),
+    ("srm_check", advanced.srm_check, advanced.SRM_CHECK_SQL),
+    ("mrr_eval", llm.mrr_eval, llm.MRR_EVAL_SQL),
+    ("ppr_knn_graph", llm.ppr_knn_graph, llm.PPR_KNN_GRAPH_SQL),
+    ("orc_roundtrip_counts", llm.orc_roundtrip_counts, llm.ORC_ROUNDTRIP_COUNTS_SQL),
     # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),

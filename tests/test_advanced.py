@@ -1907,3 +1907,26 @@ def test_cusum_changepoint_oracle_and_recursion_identity(spark):
             assert abs(r["cusum_pos"] - sp / 1e6) < 1e-9, (et, r)
             assert abs(r["cusum_neg"] - sn / 1e6) < 1e-9, (et, r)
             assert r["cusum_pos"] >= 0.0 and r["cusum_neg"] >= 0.0
+
+
+def test_srm_check_oracle_and_semantics(spark):
+    """Oracle match + chi² recomputed from the distinct-user arm
+    sizes; the synthetic parity split must NOT trip the alarm."""
+    from big_data_code_spark.plans.advanced import srm_check
+
+    assert_matches_oracle(spark, "srm_check", SF_SMOKE)
+    assert_matches_oracle(spark, "srm_check", SF_CORRECT)
+
+    row = srm_check(spark, SF_SMOKE).collect()[0]
+    users = {
+        r["user_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .collect()
+    }
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    chi2 = (n_a - n_b) ** 2 / len(users)
+    assert abs(row["chi2"] - chi2) < 1e-12
+    assert row["srm_detected"] == (chi2 > 3.841459)

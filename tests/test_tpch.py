@@ -266,6 +266,12 @@ BNLJ_ALLOWED = {
     "hill_tail_index",           # r8: one-row x_(k+1) threshold
                                  # broadcast onto the k-row top
                                  # slice (the rfm threshold shape)
+    "mrr_eval",                  # r9: audits ann_cosine_topk (the
+                                 # ndcg_retrieval_eval shape) + a
+                                 # one-row query-count broadcast
+    "ppr_knn_graph",             # r9: one-row seed-count scalar
+                                 # broadcast per round (the
+                                 # pagerank_knn_graph shape)
 }
 
 

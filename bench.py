@@ -323,6 +323,7 @@ BENCH_QUERIES = (
     "mrr_eval",
     "ppr_knn_graph",
     "orc_roundtrip_counts",
+    "streaming_cusum_monitor",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

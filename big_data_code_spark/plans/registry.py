@@ -60,6 +60,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("mrr_eval", llm.mrr_eval, llm.MRR_EVAL_SQL),
     ("ppr_knn_graph", llm.ppr_knn_graph, llm.PPR_KNN_GRAPH_SQL),
     ("orc_roundtrip_counts", llm.orc_roundtrip_counts, llm.ORC_ROUNDTRIP_COUNTS_SQL),
+    ("streaming_cusum_monitor", speed.streaming_cusum_monitor, speed.STREAMING_CUSUM_MONITOR_SQL),
     # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),

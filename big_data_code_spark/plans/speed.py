@@ -1322,3 +1322,146 @@ JOIN day_tot t ON t.day = g.day
 LEFT JOIN ref_bins r ON r.bin = g.bin
 CROSS JOIN scal s
 """
+
+
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor (r9) — `cusum_changepoint`'s
+    production speed-layer twin, completing the lambda pair the way
+    `streaming_psi_monitor` twins `psi_value_drift`: per-type daily
+    volumes stream in and are CUSUM-tracked against the REFERENCE
+    period's mean/std (days < EV_PSI_SPLIT_DAY, batch-computed — the
+    "last known-good" snapshot; the batch op standardizes on the
+    full series, the monitor must not peek at the days it judges).
+
+    Stream state is one row per (event_type, day) — constant in
+    event volume; the CUSUM recursion runs POST-SINK over the
+    calendar-day rollup via the same window identity
+    S_t = C_t − min(0, min_{s≤t} C_s) on 1e-6-grid BIGINT
+    increments (order-exact). On the bounded harness stream the
+    complete-mode counts equal the batch rollup → exact oracle.
+
+    Returns (event_type, day_id, n_events, cusum_pos, cusum_neg,
+    alarm) for every monitored day.
+    """
+    from pyspark.sql.window import Window
+
+    from .advanced import CUSUM_H, CUSUM_SLACK
+
+    ev = load_table(spark, sf_dir, "events")
+    day_b = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ref = (
+        ev.select("event_type", day_b.alias("day_id"))
+        .where(F.col("day_id") < EV_PSI_SPLIT_DAY)
+        .groupBy("event_type", "day_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        )
+    )
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    monitored = (
+        stream.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias(
+                "day_id"
+            ),
+        )
+        .where(F.col("day_id") >= EV_PSI_SPLIT_DAY)
+        .groupBy("event_type", "day_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    counts = sl.run_stream_to_table(monitored, "complete").localCheckpoint(
+        eager=True
+    )
+    z = (
+        "(n_events - s1 / CAST(n_days AS DOUBLE))"
+        " / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)"
+        " - (s1 / CAST(n_days AS DOUBLE)) * (s1 / CAST(n_days AS DOUBLE))), 0)"
+    )
+    d = counts.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.expr(f"CAST(round(({z} - {CUSUM_SLACK}) * 1e6) AS BIGINT)").alias(
+            "dp"
+        ),
+        F.expr(f"CAST(round(({z} + {CUSUM_SLACK}) * 1e6) AS BIGINT)").alias(
+            "dn"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.sum("dp").over(w).alias("cp"),
+        F.sum("dn").over(w).alias("cn"),
+    )
+    sp = F.col("cp") - F.least(F.lit(0).cast("long"), F.min("cp").over(w))
+    sn = F.greatest(F.lit(0).cast("long"), F.max("cn").over(w)) - F.col("cn")
+    return c.select(
+        "event_type",
+        "day_id",
+        "n_events",
+        F.round(sp / 1e6, 6).alias("cusum_pos"),
+        F.round(sn / 1e6, 6).alias("cusum_neg"),
+        ((sp / 1e6 > CUSUM_H) | (sn / 1e6 > CUSUM_H)).alias("alarm"),
+    )
+
+
+def _streaming_cusum_sql() -> str:
+    from .advanced import CUSUM_H, CUSUM_SLACK
+
+    z = (
+        "(n_events - s1 / CAST(n_days AS DOUBLE))"
+        " / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)"
+        " - (s1 / CAST(n_days AS DOUBLE)) * (s1 / CAST(n_days AS DOUBLE))), 0)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM daily WHERE day_id < {EV_PSI_SPLIT_DAY} GROUP BY 1),
+d AS (
+  SELECT daily.event_type, day_id, n_events,
+         CAST(round(({z} - {CUSUM_SLACK}) * 1e6) AS BIGINT) AS dp,
+         CAST(round(({z} + {CUSUM_SLACK}) * 1e6) AS BIGINT) AS dn
+  FROM daily JOIN ref ON daily.event_type = ref.event_type
+  WHERE day_id >= {EV_PSI_SPLIT_DAY}),
+c AS (
+  SELECT event_type, day_id, n_events,
+         CAST(sum(dp) OVER (PARTITION BY event_type ORDER BY day_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         CAST(sum(dn) OVER (PARTITION BY event_type ORDER BY day_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+  FROM d),
+s AS (
+  SELECT event_type, day_id, n_events,
+         cp - least(CAST(0 AS BIGINT),
+                    CAST(min(cp) OVER (PARTITION BY event_type ORDER BY day_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS sp,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(max(cn) OVER (PARTITION BY event_type ORDER BY day_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)) - cn AS sn
+  FROM c)
+SELECT event_type, day_id, n_events,
+       round(sp / 1e6, 6) AS cusum_pos,
+       round(sn / 1e6, 6) AS cusum_neg,
+       (sp / 1e6 > {CUSUM_H}) OR (sn / 1e6 > {CUSUM_H}) AS alarm
+FROM s
+"""
+
+
+STREAMING_CUSUM_MONITOR_SQL = _streaming_cusum_sql()

@@ -667,3 +667,55 @@ def test_streaming_psi_monitor_matches_batch_and_sums(spark):
     got = {d: sum(r["n_day"] for r in v) for d, v in by_day.items()}
     assert got == want
     assert all(abs(r["psi_contrib"]) < 10 for r in rows)
+
+
+def test_streaming_cusum_monitor_matches_batch_and_reference_stats(spark):
+    """Stream ≡ batch oracle + lambda-twin semantics: only monitored
+    days appear, the CUSUM recursion recomputed sequentially from
+    the REFERENCE period's per-type mean/std matches, and statistics
+    never peek past the split day."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "streaming_cusum_monitor", SF_SMOKE)
+
+    from big_data_code_spark.plans.advanced import CUSUM_SLACK
+    from big_data_code_spark.plans.speed import (
+        EV_PSI_SPLIT_DAY,
+        streaming_cusum_monitor,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    rows = streaming_cusum_monitor(spark, SF_SMOKE).collect()
+    assert rows and all(r["day_id"] >= EV_PSI_SPLIT_DAY for r in rows)
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .count()
+        .collect()
+    )
+    ref: dict = {}
+    for r in daily:
+        if r["d"] < EV_PSI_SPLIT_DAY:
+            ref.setdefault(r["event_type"], []).append(r["count"])
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day_id"])
+        xs = ref[et]
+        mean = sum(xs) / len(xs)
+        var = sum(c * c for c in xs) / len(xs) - mean * mean
+        std = var**0.5
+        sp = sn = 0.0
+        for r in rs:
+            z = (r["n_events"] - mean) / std
+            sp = max(0.0, sp + round((z - CUSUM_SLACK) * 1e6))
+            sn = max(0.0, sn - round((z + CUSUM_SLACK) * 1e6))
+            assert abs(r["cusum_pos"] - sp / 1e6) < 1e-9, (et, r)
+            assert abs(r["cusum_neg"] - sn / 1e6) < 1e-9, (et, r)

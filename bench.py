@@ -324,6 +324,7 @@ BENCH_QUERIES = (
     "ppr_knn_graph",
     "orc_roundtrip_counts",
     "streaming_cusum_monitor",
+    "user_id_normalization_incremental",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

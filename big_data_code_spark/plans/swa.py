@@ -901,3 +901,117 @@ SELECT coalesce(c.key, p.key) AS key,
 FROM cur c FULL JOIN prev p ON c.key = p.key
 WHERE p.key IS NULL OR c.total_views <> p.total_views
 """
+
+
+#: Users with user_id % 10 == EQUIV_DELTA_RESIDUE play the "newly
+#: observed ids" delta batch for the incremental normalization.
+EQUIV_DELTA_RESIDUE = 3
+
+
+def user_id_normalization_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental user-ID normalization (r9) — the absorb step the
+    reference's append-only master implies for ITS core batch view
+    (`normalizeUserIds`, `BatchWorkflow.java:623-687`; the book's
+    ch. 6 incremental-vs-recompute discussion made concrete): when
+    a batch of newly observed ids lands with fresh equiv edges, do
+    NOT re-run connected components over the whole graph — collapse
+    the stored base mapping to its representatives, rewrite the
+    delta edges through it, and run CC on that contracted graph
+    only (base reps + delta nodes — delta-sized, not corpus-sized).
+
+    Exactness: CC is CONFLUENT — merging the delta into the
+    contracted graph yields the identical fixpoint as a full
+    recompute (each base representative is already the min id of
+    its cluster, so the min over the contracted merged cluster IS
+    the global min) — which makes the oracle the FULL-recompute
+    closure itself: the strongest possible incremental contract,
+    same shape as `sessionize_incremental`'s rebuild-equality.
+
+    100 TB shape: one CC over the base (the stored mapping's local
+    stand-in, exactly like `sessionize_incremental` recomputes the
+    master slice), one broadcast-rewrite of the delta edges, one CC
+    over the contracted delta graph, one mapping compose join. The
+    per-ingest cost is the delta's, not the graph's.
+
+    Returns (user_id, canonical_id, is_new) — `is_new` marks the
+    delta batch's ids.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = events.select(F.col("user_id").alias("u")).distinct()
+    is_delta = F.col("u") % 10 == EQUIV_DELTA_RESIDUE
+    base_u = users.where(~is_delta)
+    delta_u = users.where(is_delta)
+
+    def _edges(us: DataFrame) -> DataFrame:
+        star = us.select(
+            F.col("u").alias("src"), (F.col("u") - F.col("u") % 10).alias("dst")
+        )
+        chain = us.where(F.col("u") % 10 < 5).select(
+            F.col("u").alias("src"), (F.col("u") + 1).alias("dst")
+        )
+        return star.union(chain)
+
+    base_map = connected_components(_edges(base_u), "src", "dst").select(
+        F.col("node").alias("user_id"), F.col("component").alias("base_id")
+    )
+    # rewrite delta edges through the base mapping (endpoints the
+    # base graph never saw — genuinely new ids — pass through
+    # unchanged); the contracted merge graph is delta-sized
+    de = _edges(delta_u)
+    rw = (
+        de.join(
+            base_map.select(F.col("user_id").alias("src"), F.col("base_id").alias("bs")),
+            "src",
+            "left",
+        )
+        .join(
+            base_map.select(F.col("user_id").alias("dst"), F.col("base_id").alias("bd")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("bs", F.col("src")).alias("src"),
+            F.coalesce("bd", F.col("dst")).alias("dst"),
+        )
+    )
+    merge = connected_components(rw, "src", "dst").select(
+        F.col("node").alias("rep"), F.col("component").alias("merged_id")
+    )
+    # ONE uniform compose over the full node grain (a delta-residue
+    # id can already sit in the base graph via a base user's chain
+    # edge, so node->rep->merged must be resolved per node, never
+    # per batch): rep = base mapping if known else the node itself;
+    # canonical = merged component of the rep if the delta touched
+    # it, else the rep. Output grain matches the full-CC oracle
+    # (every edge endpoint, self-loop hubs included).
+    all_e = _edges(users)
+    nodes = (
+        all_e.select(F.col("src").alias("node"))
+        .unionByName(all_e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(
+            base_map.withColumnRenamed("user_id", "node"), "node", "left"
+        )
+        .select("node", F.coalesce("base_id", F.col("node")).alias("rep"))
+        .join(merge, "rep", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.coalesce("merged_id", F.col("rep")).alias("canonical_id"),
+            (F.col("node") % 10 == EQUIV_DELTA_RESIDUE).alias("is_new"),
+        )
+    )
+
+
+USER_ID_NORMALIZATION_INCREMENTAL_SQL = (
+    "WITH RECURSIVE "
+    + EQUIV_EDGES_CTE
+    + f"""
+SELECT user_id, canonical_id,
+       user_id % 10 = {EQUIV_DELTA_RESIDUE} AS is_new
+FROM mapping
+"""
+)

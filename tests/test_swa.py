@@ -154,3 +154,38 @@ def test_keyvalue_export_delta_oracle_and_invariants(spark):
             assert r["new_views"] > r["old_views"]  # append-only grows
     # at least one key was unchanged and therefore not shipped
     assert set(full) - shipped
+
+
+def test_user_id_normalization_incremental_equals_full_rebuild(spark):
+    """The incremental absorb must reproduce the full recompute
+    EXACTLY (CC is confluent — this is the contract), the flag must
+    mark exactly the delta-residue ids, and the merge CC must run
+    on a delta-sized contracted graph."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(spark, "user_id_normalization_incremental", SF_SMOKE)
+
+    from big_data_code_spark.plans.swa import (
+        EQUIV_DELTA_RESIDUE,
+        user_id_normalization,
+        user_id_normalization_incremental,
+    )
+
+    inc = {
+        r["user_id"]: (r["canonical_id"], r["is_new"])
+        for r in user_id_normalization_incremental(spark, SF_SMOKE).collect()
+    }
+    full = {
+        r["user_id"]: r["canonical_id"]
+        for r in user_id_normalization(spark, SF_SMOKE).collect()
+    }
+    assert set(inc) == set(full)
+    for n, (c, is_new) in inc.items():
+        assert c == full[n], (n, c, full[n])
+        assert is_new == (n % 10 == EQUIV_DELTA_RESIDUE)
+    # the merge really fused something: some base-resident node
+    # shares a component with a delta id
+    comps_of_delta = {c for n, (c, f) in inc.items() if f}
+    assert any(
+        c in comps_of_delta for n, (c, f) in inc.items() if not f
+    )

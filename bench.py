@@ -325,6 +325,7 @@ BENCH_QUERIES = (
     "orc_roundtrip_counts",
     "streaming_cusum_monitor",
     "user_id_normalization_incremental",
+    "csv_ingest_quarantine",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

@@ -12657,3 +12657,102 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
 FROM documents GROUP BY 1
 """
+
+
+#: Every doc_id divisible by this gets its CSV key mangled with a
+#: non-numeric prefix during staging — the schema-drift/garbage-key
+#: failure mode (the JSONL twin tears lines instead).
+CSV_CORRUPT_MOD = 41
+
+
+def csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV raw-feed ingestion through the registry (r9) — the CSV
+    member of the format-plural ingest family (`jsonl_ingest_
+    quarantine` = torn lines, this = schema drift): documents are
+    staged as a comma-delimited drop with every doc_id %
+    CSV_CORRUPT_MOD == 0 row's key mangled to a non-numeric token
+    ('X'-prefixed), re-read schema-enforced in PERMISSIVE mode with
+    `_corrupt_record` capture (a LongType conversion failure puts
+    the whole raw line in the corrupt column — verified Spark CSV
+    semantics, same for under-token rows), split clean/quarantine,
+    rolled up per source. Ingestion stays TOTAL: garbage keys are
+    counted and quarantined, never dropped silently and never
+    fatal.
+
+    The corpus text is comma/quote/newline-free (asserted in
+    tests), so the CSV framing is unambiguous and the quarantine
+    set is exactly the seeded ids — which the oracle restates from
+    the parquet side. One-time atomic staging; one schema-enforced
+    scan + one combinable rollup.
+
+    Returns (source, n_rows, n_chars_sum) per source plus one
+    ('__quarantine__', mangled-row count, 0) row.
+    """
+    import os
+    import uuid
+
+    from ..sources import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = _staging_dir(sf_dir, "documents", "csv_ingest")
+    if not os.path.exists(out_dir):
+        key = F.when(
+            F.col("doc_id") % CSV_CORRUPT_MOD == 0,
+            F.concat(F.lit("X"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("doc_id").cast("string"))
+        line = F.concat_ws(
+            ",", key, F.col("lang"), F.col("source"),
+            F.col("n_chars").cast("string"), F.col("text"),
+        )
+        build = f"{out_dir}_build_{uuid.uuid4().hex[:8]}"
+        docs.select(line.alias("value")).write.mode("overwrite").text(build)
+        try:
+            os.rename(build, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    clean, quarantine = ingest.split_quarantine(
+        # headerless drop — header=True would eat one data row per
+        # staged part file
+        ingest.read_csv(spark, out_dir, schema, header=False)
+    )
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )
+    qrow = quarantine.agg(
+        F.lit("__quarantine__").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_chars_sum"),
+    )
+    return per_source.unionByName(qrow)
+
+
+CSV_INGEST_QUARANTINE_SQL = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents WHERE doc_id % {CSV_CORRUPT_MOD} <> 0
+GROUP BY 1
+UNION ALL
+SELECT '__quarantine__' AS source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_chars_sum
+FROM documents WHERE doc_id % {CSV_CORRUPT_MOD} = 0
+"""

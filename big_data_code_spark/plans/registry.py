@@ -62,6 +62,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orc_roundtrip_counts", llm.orc_roundtrip_counts, llm.ORC_ROUNDTRIP_COUNTS_SQL),
     ("streaming_cusum_monitor", speed.streaming_cusum_monitor, speed.STREAMING_CUSUM_MONITOR_SQL),
     ("user_id_normalization_incremental", swa.user_id_normalization_incremental, swa.USER_ID_NORMALIZATION_INCREMENTAL_SQL),
+    ("csv_ingest_quarantine", llm.csv_ingest_quarantine, llm.CSV_INGEST_QUARANTINE_SQL),
     # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),

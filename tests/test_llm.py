@@ -3751,3 +3751,29 @@ def test_orc_roundtrip_counts_oracle_and_format(spark):
     assert any(f.endswith(".orc") for f in os.listdir(out)), os.listdir(out)
     n = spark.read.orc(out).count()
     assert n == spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+
+
+def test_csv_ingest_quarantine_oracle_and_totality(spark):
+    """Oracle match + the ingestion-is-total identity (clean +
+    quarantined = every staged row) + the CSV framing precondition
+    (corpus text carries no comma/quote/newline)."""
+    from big_data_code_spark.plans.llm import (
+        CSV_CORRUPT_MOD,
+        csv_ingest_quarantine,
+    )
+
+    assert_matches_oracle(spark, "csv_ingest_quarantine", SF_SMOKE)
+    assert_matches_oracle(spark, "csv_ingest_quarantine", SF_CORRECT)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    assert all(
+        "," not in r["text"] and '"' not in r["text"] and "\n" not in r["text"]
+        for r in docs
+    )
+    rows = {r["source"]: r for r in csv_ingest_quarantine(spark, SF_SMOKE).collect()}
+    n_bad = sum(1 for r in docs if r["doc_id"] % CSV_CORRUPT_MOD == 0)
+    assert rows["__quarantine__"]["n_rows"] == n_bad
+    total_clean = sum(
+        r["n_rows"] for k, r in rows.items() if k != "__quarantine__"
+    )
+    assert total_clean + n_bad == len(docs)

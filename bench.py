@@ -326,6 +326,8 @@ BENCH_QUERIES = (
     "streaming_cusum_monitor",
     "user_id_normalization_incremental",
     "csv_ingest_quarantine",
+    "ewma_backtest_mape",
+    "kfold_assign",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

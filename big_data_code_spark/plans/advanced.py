@@ -5814,3 +5814,117 @@ SELECT n_a, n_b,
          > {SRM_CHI2_CRIT} AS srm_detected
 FROM m
 """
+
+
+def ewma_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA forecast backtest (r9) — the evaluation loop for
+    `ewma_daily_forecast`, the way `quality_logit_holdout_eval`
+    closed the classifier's and `mrr_eval` the retriever's: for
+    every day t ≥ 2, forecast it from the STRICT prefix (the
+    alpha = 1/2 fold over days < t — exact in IEEE, no grid needed
+    for the fold itself) and score |x_t − f_t|/x_t; report per-type
+    MAPE, sMAPE-denominator-free mean absolute error, and the
+    naive-baseline (persistence: f_t = x_{t−1}) MAPE the smoother
+    must beat to earn its keep.
+
+    Per-term ratios are quantized to the 1e-6 grid before the
+    order-free BIGINT sums. The per-t prefix folds are O(days²)
+    per type on arrays bounded by the CALENDAR, not the corpus
+    (the `ewma_daily_forecast` collect_list contract).
+
+    Returns one row per event_type: (event_type, n_evals, mae,
+    mape, naive_mape, beats_naive).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("day", F.col("cnt").cast("double").alias("v"))
+            )
+        ).alias("xs")
+    )
+    fold_prefix = (
+        "aggregate(slice(xs, 1, t - 1), CAST(NULL AS DOUBLE),"
+        " (a, s) -> CASE WHEN a IS NULL THEN s.v"
+        " ELSE a * 0.5d + s.v * 0.5d END)"
+    )
+    terms = (
+        "transform(sequence(2, size(xs)), t -> named_struct("
+        f" 'ae', abs(xs[t-1].v - ({fold_prefix})),"
+        f" 'ape', CAST(round(abs(xs[t-1].v - ({fold_prefix}))"
+        "   / xs[t-1].v * 1e6) AS BIGINT),"
+        "  'nape', CAST(round(abs(xs[t-1].v - xs[t-2].v)"
+        "   / xs[t-1].v * 1e6) AS BIGINT)))"
+    )
+    t = arrs.select(
+        "event_type",
+        F.expr(f"size(xs) - 1").cast("long").alias("n_evals"),
+        F.expr(terms).alias("ts"),
+    ).where(F.col("n_evals") >= 1)
+    return t.select(
+        "event_type",
+        "n_evals",
+        F.expr(
+            "aggregate(ts, 0.0d, (a, s) -> a + s.ae) / n_evals"
+        ).alias("mae"),
+        F.expr(
+            "aggregate(ts, 0L, (a, s) -> a + s.ape) / 1e6 / n_evals"
+        ).alias("mape"),
+        F.expr(
+            "aggregate(ts, 0L, (a, s) -> a + s.nape) / 1e6 / n_evals"
+        ).alias("naive_mape"),
+        F.expr(
+            "aggregate(ts, 0L, (a, s) -> a + s.ape)"
+            " < aggregate(ts, 0L, (a, s) -> a + s.nape)"
+        ).alias("beats_naive"),
+    )
+
+
+def _ewma_backtest_sql() -> str:
+    # DuckDB restatement: same day-sorted struct array, same exact
+    # alpha = 1/2 prefix folds, same 1e-6 grid sums. list_reduce
+    # has no NULL init, so the prefix fold seeds with the first
+    # element and folds the rest (identical recursion).
+    fold_prefix = (
+        "CASE WHEN t = 2 THEN xs[1].v ELSE"
+        " list_reduce(list_transform(xs[1 : t - 1], s -> s.v),"
+        " (a, b) -> a * 0.5 + b * 0.5) END"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+arrs AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(day := day, v := CAST(cnt AS DOUBLE))))
+           AS xs
+  FROM daily GROUP BY 1),
+terms AS (
+  SELECT event_type, CAST(len(xs) - 1 AS BIGINT) AS n_evals,
+         list_transform(range(2, len(xs) + 1), t -> struct_pack(
+           ae := abs(xs[t].v - ({fold_prefix})),
+           ape := CAST(round(abs(xs[t].v - ({fold_prefix}))
+                    / xs[t].v * 1e6) AS BIGINT),
+           nape := CAST(round(abs(xs[t].v - xs[t-1].v)
+                    / xs[t].v * 1e6) AS BIGINT))) AS ts
+  FROM arrs WHERE len(xs) >= 2)
+SELECT event_type, n_evals,
+       list_reduce(list_transform(ts, s -> s.ae), (a, b) -> a + b)
+         / n_evals AS mae,
+       list_reduce(list_transform(ts, s -> s.ape), (a, b) -> a + b)
+         / 1e6 / n_evals AS mape,
+       list_reduce(list_transform(ts, s -> s.nape), (a, b) -> a + b)
+         / 1e6 / n_evals AS naive_mape,
+       list_reduce(list_transform(ts, s -> s.ape), (a, b) -> a + b)
+         < list_reduce(list_transform(ts, s -> s.nape), (a, b) -> a + b)
+         AS beats_naive
+FROM terms
+"""
+
+
+EWMA_BACKTEST_MAPE_SQL = _ewma_backtest_sql()

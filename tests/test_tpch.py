@@ -272,6 +272,9 @@ BNLJ_ALLOWED = {
     "ppr_knn_graph",             # r9: one-row seed-count scalar
                                  # broadcast per round (the
                                  # pagerank_knn_graph shape)
+    "kfold_assign",              # r9: one-row corpus-count scalar
+                                 # broadcast for the share column
+                                 # (the tfidf_top_terms shape)
 }
 
 

@@ -328,6 +328,9 @@ BENCH_QUERIES = (
     "csv_ingest_quarantine",
     "ewma_backtest_mape",
     "kfold_assign",
+    # r10 operators:
+    "training_export_roundtrip",
+    "audience_overlap_sketch",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —
@@ -370,6 +373,40 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # --- per-query regression ledger (r10, VERDICT r9 #4): the
+    # committed BENCH_LEDGER.json holds the best-known min per query
+    # under THIS protocol (sf0.1, min-of-reps). Anything >1.5× its
+    # ledger min is flagged mechanically — separating real drift
+    # from this host's documented one-sided noise band — and the
+    # ledger is refreshed ONLY on improvement, so it can never
+    # ratchet upward to absorb a regression.
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LEDGER.json"
+    )
+    regressions: dict[str, dict[str, float]] = {}
+    if sf == 0.1:
+        try:
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        except OSError:
+            ledger = {"protocol": "per-query best-known MIN at sf0.1", "best_sec": {}}
+        best_sec = ledger.setdefault("best_sec", {})
+        improved = False
+        for name, t in timings.items():
+            b = best_sec.get(name)
+            if b is None or t < b:
+                best_sec[name] = t
+                improved = True
+            elif t > 1.5 * b:
+                regressions[name] = {"sec": t, "best": b, "ratio": round(t / b, 2)}
+        if improved:
+            with open(ledger_path, "w") as f:
+                json.dump(
+                    {k: ledger[k] for k in ("protocol", "best_sec") if k in ledger},
+                    f,
+                    indent=1,
+                )
     # Full per-query map → a file (246 queries ≈ 8 KB, which
     # overflows the driver's truncated-stdout capture — r7 verdict
     # #3); the final stdout line stays ONE compact parseable JSON
@@ -385,6 +422,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "regressions_vs_best": regressions,
             },
             f,
             indent=1,
@@ -402,6 +440,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
+                "regressions_vs_best": regressions,
+                "n_regressions": len(regressions),
             }
         )
     )

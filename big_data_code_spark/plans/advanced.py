@@ -5472,7 +5472,12 @@ def _cuped_chain() -> dict[str, str]:
     # pooled covariance / variance of the pre covariate
     cov = f"((sxy_a + sxy_b) / 1e6 / (n_a + n_b) - {mx} * {my})"
     varx = f"((sxx_a + sxx_b) / 1e6 / (n_a + n_b) - {mx} * {mx})"
-    theta = f"({cov} / {varx})"
+    # nullif/greatest guards (ADVICE r9): a zero-variance covariate
+    # or a quantization-induced slightly-negative adjusted variance
+    # must degrade to NULL IDENTICALLY in both engines — Spark and
+    # DuckDB disagree on x/0e0 and sqrt(<0) (NULL/NaN vs inf/error),
+    # so the shared text never evaluates either.
+    theta = f"({cov} / nullif({varx}, 0))"
     mxv = "(sx_{v} / 1e6 / n_{v})"
     myv = "(sy_{v} / 1e6 / n_{v})"
     covv = f"(sxy_{{v}} / 1e6 / n_{{v}} - {mxv} * {myv})"
@@ -5492,15 +5497,16 @@ def _cuped_chain() -> dict[str, str]:
     ya, yb = varyv.format(v="a"), varyv.format(v="b")
     mya, myb = myv.format(v="a"), myv.format(v="b")
     out["z_raw"] = (
-        f"(({mya}) - ({myb})) / sqrt({ya} / n_a + {yb} / n_b)"
+        f"(({mya}) - ({myb}))"
+        f" / nullif(sqrt(greatest({ya} / n_a + {yb} / n_b, 0)), 0)"
     )
     out["z_cuped"] = (
         f"(({out['mean_adj_a']}) - ({out['mean_adj_b']}))"
-        f" / sqrt({va} / n_a + {vb} / n_b)"
+        f" / nullif(sqrt(greatest({va} / n_a + {vb} / n_b, 0)), 0)"
     )
     out["var_reduction"] = (
         f"(1e0 - ({va} * n_a + {vb} * n_b)"
-        f" / ({ya} * n_a + {yb} * n_b))"
+        f" / nullif({ya} * n_a + {yb} * n_b, 0))"
     )
     return out
 

@@ -2924,13 +2924,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model (c_t) joins back by token. N and V are one-row scalar
     aggregates (broadcast — the allowlisted scalar-subquery shape).
 
-    Float determinism: ln is bit-identical across Spark/DuckDB/libm
-    on identical doubles (verified), but double SUMS are
-    order-dependent, so the per-doc sum folds a token-SORTED array
-    sequentially (`array_sort(collect_list(...))` + `aggregate`),
-    which the oracle mirrors with `list_sum(list(... ORDER BY
-    tok))` — same order, same bits. The mean is one divide at the
-    end. Returns (doc_id, n_tokens, logprob_sum, mean_logprob).
+    Float determinism (r10 revision): JVM Math.log and libm/DuckDB
+    ln DISAGREE by 1 ulp on rare inputs (measured this round:
+    ln(922/(N+V)) at the sf0.001 corpus — the old "ln is
+    bit-identical (verified)" claim held only for the inputs then
+    sampled), so each per-token ln is quantized to the 1e-6 grid
+    BEFORE use (flip probability per distinct token ≈ ulp/grid ≈
+    4e-10 — negligible at any corpus size), the per-term
+    contribution becomes an exact BIGINT on the same grid, and the
+    per-doc sum is an order-free integer sum — which also retires
+    the old collect_list + sorted-fold machinery (bounded but
+    per-doc-array work the 100 TB plan is better off without). The
+    mean is one shared divide chain at the end.
+    Returns (doc_id, n_tokens, logprob_sum, mean_logprob).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
@@ -2939,21 +2945,18 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars = ct.agg(
         F.sum("c").alias("tot_n"), F.count(F.lit(1)).alias("vocab_v")
     )
-    term = F.col("n") * F.log(
-        (F.col("c") + 1.0) / (F.col("tot_n") + F.col("vocab_v"))
+    t_fp = F.expr(
+        "CAST(round(n * round(ln((c + 1.0) / (tot_n + vocab_v)), 6) * 1e6)"
+        " AS BIGINT)"
     )
     folded = (
         dt.join(F.broadcast(ct), "tok")
         .crossJoin(F.broadcast(scalars))
-        .select("doc_id", "n", F.struct(F.col("tok"), term.alias("t")).alias("s"))
+        .select("doc_id", "n", t_fp.alias("t_fp"))
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.aggregate(
-                F.array_sort(F.collect_list("s")),
-                F.lit(0.0),
-                lambda acc, s: acc + s["t"],
-            ).alias("logprob_sum"),
+            (F.sum("t_fp").cast("long") / 1e6).alias("logprob_sum"),
         )
     )
     # docs with zero tokens drop out of the explode — restore them
@@ -2985,8 +2988,8 @@ scal AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM ct),
 folded AS (
   SELECT dt.doc_id,
          CAST(sum(dt.n) AS BIGINT) AS n_tokens,
-         list_sum(list(dt.n * ln((ct.c + 1.0) / (scal.N + scal.V))
-                       ORDER BY dt.tok)) AS logprob_sum
+         CAST(sum(CAST(round(dt.n * round(ln((ct.c + 1.0) / (scal.N + scal.V)), 6)
+                             * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS logprob_sum
   FROM dt JOIN ct ON dt.tok = ct.tok CROSS JOIN scal
   GROUP BY dt.doc_id
 )
@@ -8249,6 +8252,217 @@ JOIN sizes sa ON t.type_a = sa.event_type
 JOIN sizes sb ON t.type_b = sb.event_type
 """
 
+#: KMV signature size for the sketch-grade audience overlap. 1024
+#: gives ~1/sqrt(K) ≈ 3% relative error on distinct counts — far
+#: inside the 0.05 absolute Jaccard accuracy contract below.
+AUDIENCE_KMV_K = 1024
+#: "1.0" on the 52-bit md5 hash grid (2^52) — the same normalization
+#: as `weighted_sample_es`'s u.
+_KMV_ONE = 4_503_599_627_370_496
+
+
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-grade audience overlap (r10, VERDICT r9 #9) — the
+    mergeable SET-INTERSECTION path the HLL family cannot provide
+    (HLL unions; it can't intersect): each event type's audience is
+    summarized by a KMV/theta-style signature — the K smallest
+    52-bit md5 hashes of its distinct users (Beyer et al. 2007 "On
+    synopses for distinct-value estimation under multiset
+    operations"; the DataSketches theta sketch is the production
+    twin). Signatures are trivially mergeable (union = K smallest
+    of the concatenation), so at 100 TB each partition/day/segment
+    sketches independently and the serving layer intersects ANY
+    pair of audiences from K-row signatures — never rescanning the
+    events.
+
+    Estimators on the u/2^52 ∈ (0,1) grid: a full sketch estimates
+    its audience as (K-1)/u_(K); pair intersection is theta-style —
+    θ = min of the two sketch thresholds (1.0 for a non-full
+    sketch), est = |{common hashes < θ}| / θ. Everything is a
+    deterministic function of md5, so the oracle restates the WHOLE
+    sketch computation hash-exactly (the md5-hash discipline —
+    `weighted_sample_es`'s verified 52-bit contract); the exact
+    overlap rides along and the in-plan |jaccard_est − jaccard| ≤
+    0.05 flag is the accuracy contract (the
+    `streaming_uniques_hourly_hll` tolerance pattern, here itself
+    exactly checkable).
+
+    100 TB shape: one distinct on (user, type), one map-side hash
+    pass, the two-pass partition-offset rank (event_type is
+    low-card — a plain per-type window would be a corpus-grain
+    sort) filtered to K rows/type; everything after runs on
+    |types|×K rows (broadcast joins). The exact side is
+    `audience_overlap`'s bounded self-join, kept as the contract.
+    Returns (type_a, type_b, n_both, jaccard, est_a, est_b,
+    est_both, jaccard_est, within_005).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('ao:', CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    hd = ut.select("event_type", u.alias("u")).distinct()
+    sk = two_pass_ranks(
+        hd,
+        [F.col("u")],
+        [{"partition": ("event_type",), "rank": "r"}],
+    ).where(F.col("r") <= AUDIENCE_KMV_K)
+    st = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_x"),
+        F.max("u").alias("u_k"),
+    )
+    est = F.when(
+        F.col("k_x") < AUDIENCE_KMV_K, F.col("k_x").cast("double")
+    ).otherwise(F.lit(float(AUDIENCE_KMV_K - 1)) * _KMV_ONE / F.col("u_k"))
+    theta = F.when(
+        F.col("k_x") < AUDIENCE_KMV_K, F.lit(_KMV_ONE).cast("long")
+    ).otherwise(F.col("u_k"))
+    stats = st.select("event_type", est.alias("est"), theta.alias("theta"))
+    # common hashes per pair: equi-join of the K-row signatures
+    pair_matches = (
+        sk.select(F.col("event_type").alias("type_a"), "u")
+        .join(sk.select(F.col("event_type").alias("type_b"), "u"), "u")
+        .where(F.col("type_a") < F.col("type_b"))
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("theta").alias("theta_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta").alias("theta_b"),
+                )
+            ),
+            "type_b",
+        )
+        .where(F.col("u") < F.least("theta_a", "theta_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    exact = audience_overlap(spark, sf_dir).select(
+        "type_a", "type_b", "n_both", "jaccard"
+    )
+    out = (
+        exact.join(F.broadcast(pair_matches), ["type_a", "type_b"], "left")
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("est").alias("est_a"),
+                    F.col("theta").alias("theta_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("est").alias("est_b"),
+                    F.col("theta").alias("theta_b"),
+                )
+            ),
+            "type_b",
+        )
+        .withColumn(
+            "est_both",
+            F.coalesce("n_matches", F.lit(0))
+            * F.lit(float(_KMV_ONE))
+            / F.least("theta_a", "theta_b"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.col("est_both")
+            / F.expr("nullif(est_a + est_b - est_both, 0)"),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "jaccard",
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_both", 6).alias("est_both"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        (
+            F.abs(F.coalesce("jaccard_est", F.lit(0.0)) - F.col("jaccard"))
+            <= 0.05
+        ).alias("within_005"),
+    )
+
+
+AUDIENCE_OVERLAP_SKETCH_SQL = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+hd AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('ao:' || user_id::VARCHAR), 1, 13))::BIGINT AS u
+  FROM ut),
+rk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+  FROM hd),
+sk AS (SELECT event_type, u FROM rk WHERE r <= {AUDIENCE_KMV_K}),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k_x, max(u) AS u_k
+  FROM sk GROUP BY 1),
+stats AS (
+  SELECT event_type,
+         CASE WHEN k_x < {AUDIENCE_KMV_K} THEN CAST(k_x AS DOUBLE)
+              ELSE {AUDIENCE_KMV_K - 1}e0 * {_KMV_ONE} / u_k END AS est,
+         CASE WHEN k_x < {AUDIENCE_KMV_K} THEN CAST({_KMV_ONE} AS BIGINT)
+              ELSE u_k END AS theta
+  FROM st),
+pm AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_matches
+  FROM sk a
+  JOIN sk b ON a.u = b.u AND a.event_type < b.event_type
+  JOIN stats sa ON sa.event_type = a.event_type
+  JOIN stats sb ON sb.event_type = b.event_type
+  WHERE a.u < least(sa.theta, sb.theta)
+  GROUP BY 1, 2),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+exact AS (
+  SELECT t.type_a, t.type_b, t.n_both,
+         t.n_both / (sa.n + sb.n - t.n_both) AS jaccard
+  FROM both_t t
+  JOIN sizes sa ON t.type_a = sa.event_type
+  JOIN sizes sb ON t.type_b = sb.event_type),
+merged AS (
+  SELECT e.type_a, e.type_b, e.n_both, e.jaccard,
+         sa.est AS est_a, sb.est AS est_b,
+         coalesce(p.n_matches, 0) * {_KMV_ONE}e0
+           / least(sa.theta, sb.theta) AS est_both
+  FROM exact e
+  LEFT JOIN pm p ON p.type_a = e.type_a AND p.type_b = e.type_b
+  JOIN stats sa ON sa.event_type = e.type_a
+  JOIN stats sb ON sb.event_type = e.type_b)
+SELECT type_a, type_b, n_both, jaccard,
+       round(est_a, 6) AS est_a,
+       round(est_b, 6) AS est_b,
+       round(est_both, 6) AS est_both,
+       round(est_both / nullif(est_a + est_b - est_both, 0), 6)
+         AS jaccard_est,
+       abs(coalesce(est_both / nullif(est_a + est_b - est_both, 0), 0e0)
+           - jaccard) <= 0.05 AS within_005
+FROM merged
+"""
+
+
 # ------------------------------------------------- r7 wave 2: eval + audit
 
 
@@ -11966,6 +12180,76 @@ SELECT 'equiv', 'ALL',
 """
 
 
+def training_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export sink THROUGH the registry (r10,
+    VERDICT r9 #2 — promotes `sources/training_export.py` from
+    tests-only to oracle-checked, the `master_roundtrip_counts`
+    staging move): `corpus_shuffle`'s (doc_id, shard, pos) stream
+    is WRITTEN through `export_training_shards` (one-time
+    per-corpus staging, built under a temp name and atomically
+    renamed so a torn build never serves), read BACK through the
+    store layout, and rolled up per shard — (shard, n_rows,
+    min_pos, max_pos, monotone_ok) — proving nothing was lost or
+    duplicated AND that every shard file holds its rows in exact
+    serving order.
+
+    The order proof needs no window: each shard directory is one
+    parquet file (repartition(shard) puts a shard's rows in exactly
+    one task; the partitioned write emits one file per (task,
+    shard)), parquet preserves intra-file row order, and pos is the
+    1..n row_number per shard — so the layout is correct iff every
+    row's pos equals its file `_metadata.row_index + 1`, a pure
+    map-side predicate folded with bool_and. Reference parity: the
+    sharded ElephantDB domain write, `BatchWorkflow.java:341-426`
+    (each shard internally ordered for its store).
+
+    100 TB shape: one shuffle to write (the sink's repartition), a
+    map-side read-back agg; min/max/count catch loss/duplication,
+    the row_index identity catches ordering regressions.
+    """
+    import os
+    import uuid
+
+    from ..sources.training_export import export_training_shards
+
+    out = _staging_dir(sf_dir, "documents", "train_export")
+    if not os.path.exists(out):
+        build = f"{out}_build_{uuid.uuid4().hex[:8]}"
+        export_training_shards(corpus_shuffle(spark, sf_dir), build)
+        try:
+            os.rename(build, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.parquet(out).select(
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+        F.bool_and(F.col("pos") == F.col("ri") + 1).alias("monotone_ok"),
+    )
+
+
+TRAINING_EXPORT_ROUNDTRIP_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 7))::BIGINT
+              % {CORPUS_SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS min_pos,
+       CAST(count(*) AS BIGINT) AS max_pos,
+       true AS monotone_ok
+FROM keyed GROUP BY shard
+"""
+
+
 def chunk_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-language document detection: `lang_id`'s stopword
     argmax applied at CHUNK grain (`doc_chunking`'s windows), then
@@ -12104,6 +12388,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(4503599627370496.0)  # 2^52
     )
+    # clamp u away from 0 (ADVICE r9): a 52-bit u of exactly 0
+    # (p≈2e-16/doc — real at 1e12-doc scale) makes Spark ln(0) NULL
+    # but DuckDB ln(0) -inf; greatest(u, 2^-53) — the same decimal
+    # literal parses to the same double in both engines — keeps the
+    # key finite and the engines identical on that row.
     keyed = docs.select(
         "doc_id", "source", "n_chars", u.alias("u")
     ).select(
@@ -12111,7 +12400,8 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.expr(
-            f"CAST(round(ln(u) / n_chars * {_ES_KEY_GRID}) AS BIGINT)"
+            "CAST(round(ln(greatest(u, 1.1102230246251565e-16))"
+            f" / n_chars * {_ES_KEY_GRID}) AS BIGINT)"
         ).alias("es_key_fp"),
     )
     return keyed.orderBy(
@@ -12122,8 +12412,8 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_ES_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         CAST(round(ln(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 13))::BIGINT
-               / 4503599627370496e0) / n_chars * {_ES_KEY_GRID}) AS BIGINT)
+         CAST(round(ln(greatest(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 13))::BIGINT
+               / 4503599627370496e0, 1.1102230246251565e-16)) / n_chars * {_ES_KEY_GRID}) AS BIGINT)
            AS es_key_fp
   FROM documents)
 SELECT doc_id, source, n_chars, es_key_fp

@@ -88,6 +88,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
     ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
     ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
+    ("training_export_roundtrip", llm.training_export_roundtrip, llm.TRAINING_EXPORT_ROUNDTRIP_SQL),
+    ("audience_overlap_sketch", llm.audience_overlap_sketch, llm.AUDIENCE_OVERLAP_SKETCH_SQL),
     # -- (b) r9-changed staging queries
     ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
     ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
@@ -347,6 +349,11 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "kcore_knn_graph": llm.kcore_knn_graph_audit_plans,
     "hits_knn_graph": llm.hits_knn_graph_audit_plans,
     "quality_logit_holdout_eval": llm.quality_logit_holdout_eval_audit_plans,
+    # r10 (VERDICT r9 #1): static audit twins for EVERY streaming
+    # query — the streamed transformation chains rebuilt over the
+    # static tables through the same plan-builder code, unexecuted,
+    # so the registry-wide plan audits sweep them like batch plans.
+    **speed.STREAMING_AUDIT_PLANS,
 }
 
 #: name → DuckDB SQL; None ⇒ not SQL-expressible / approximate →

@@ -24,6 +24,23 @@ from ..sources.tables import load_table
 from ..streaming import speed_layer as sl
 
 
+def _static_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static twin of `sl.events_file_stream`'s output frame: same
+    4 columns, same LTZ timestamp (the stream applies ntz_to_ltz;
+    session tz is UTC, so a plain cast is the identical value).
+    Feeding this through the SAME transform functions the streaming
+    queries use yields their batch-equivalent plans — what the
+    registry-wide CI plan audits sweep via `STREAMING_AUDIT_PLANS`
+    (watermarks are no-ops in batch; every stream op here except
+    `applyInPandasWithState` is batch-executable, verified r10)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _events_src(sf_dir: str) -> str:
     """FileStreamSource needs a *directory*; stage the events
     parquet into one via symlink (falling back to copy)."""
@@ -41,12 +58,21 @@ def _events_src(sf_dir: str) -> str:
     return out_dir
 
 
-def streaming_pageviews_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_pageviews_hourly(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """File-stream → 1h event-time window count, complete mode.
 
     ≙ `TridentSpeedLayer.pageviewsOverTime`; equals the batch
     hourly rollup on a bounded stream.
+
+    ``_static=True`` (audit mode, r10): build the SAME transform
+    over `_static_events` and return it unexecuted — the CI plan
+    audits sweep this twin so the streamed frame's shape can never
+    regress unseen.
     """
+    if _static:
+        return sl.pageviews_over_time_stream(_static_events(spark, sf_dir))
     stream = sl.events_file_stream(spark, _events_src(sf_dir))
     agg = sl.pageviews_over_time_stream(stream)
     return sl.run_stream_to_table(agg, "complete")
@@ -61,7 +87,9 @@ GROUP BY 1, 2
 """
 
 
-def streaming_uniques_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_uniques_hourly_hll(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """File-stream → 1h window HLL-sketch uniques (lgK=14), made
     oracle-checkable via a tolerance contract: the streamed
     estimates are joined to the exact batch distinct counts and the
@@ -69,10 +97,14 @@ def streaming_uniques_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in-plan; the oracle restates the exact count and
     asserts ``true``. The serving path is the streamed sketch alone
     (`sl.uniques_over_time_stream`); this query is its accuracy
-    contract."""
-    stream = sl.events_file_stream(spark, _events_src(sf_dir))
-    agg = sl.uniques_over_time_stream(stream)
-    est = sl.run_stream_to_table(agg, "complete")
+    contract. ``_static=True``: the same sketch agg + contract join
+    over `_static_events`, unexecuted, for the CI plan audits."""
+    if _static:
+        est = sl.uniques_over_time_stream(_static_events(spark, sf_dir))
+    else:
+        stream = sl.events_file_stream(spark, _events_src(sf_dir))
+        agg = sl.uniques_over_time_stream(stream)
+        est = sl.run_stream_to_table(agg, "complete")
     exact = (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -190,7 +222,9 @@ def _chunked_events_dir(
     return out_dir
 
 
-def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_bounce_rate(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Stateful visit tracking with 30-min event-time timeout over
     deterministic micro-batches, then count+sum per domain.
 
@@ -204,7 +238,30 @@ def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly passed last+30 min; visits never split while data keeps
     arriving in adjacent batches). Exact timeout semantics are also
     unit-tested in `tests/test_streaming.py`.
+
+    ``_static=True``: `applyInPandasWithState` cannot execute in a
+    batch query, so the audit twin is the kernel's batch-equivalent
+    — 30-min gap sessionization mapped onto the visit schema — fed
+    through the SAME `sl.bounce_counts` aggregation the streamed
+    path serves from, so both the state-adjacent frames and the
+    kernel's semantics-equivalent plan are swept by CI.
     """
+    if _static:
+        sessions = sl.sessionize_stream(
+            _static_events(spark, sf_dir), gap="30 minutes"
+        )
+        visits = sessions.select(
+            F.col("event_type").alias("domain"),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_views"),
+            (F.col("session_start_us") == F.col("session_last_us")).alias(
+                "is_bounce"
+            ),
+            us_to_ts(F.col("session_start_us"))
+            .cast("timestamp_ntz")
+            .alias("visit_start"),
+        )
+        return sl.bounce_counts(visits)
     src = _chunked_events_dir(spark, sf_dir, flush=True)
     stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
     visits = sl.visits_stream(stream)
@@ -265,7 +322,9 @@ GROUP BY 1
 """
 
 
-def streaming_bounce_rate_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_bounce_rate_native(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """JVM-native streaming bounce rate (r4) — the HEADLINE bounce
     query: native ``session_window`` with the reference's 30-min
     visit gap, bounce ⇔ visit start == last (`AnalyzeVisits`,
@@ -278,11 +337,17 @@ def streaming_bounce_rate_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     THIS is the plan a 100 TB deployment runs.
 
     Complete mode on a bounded stream ≡ batch 30-min gap-islands →
-    exact oracle.
+    exact oracle. ``_static=True``: the same session_window chain
+    over `_static_events`, unexecuted, for the CI plan audits.
     """
-    stream = sl.events_file_stream(spark, _events_src(sf_dir))
-    sessions = sl.sessionize_stream(stream, gap="30 minutes")
-    table = sl.run_stream_to_table(sessions, "complete")
+    if _static:
+        table = sl.sessionize_stream(
+            _static_events(spark, sf_dir), gap="30 minutes"
+        )
+    else:
+        stream = sl.events_file_stream(spark, _events_src(sf_dir))
+        sessions = sl.sessionize_stream(stream, gap="30 minutes")
+        table = sl.run_stream_to_table(sessions, "complete")
     return table.groupBy(F.col("event_type").alias("domain")).agg(
         F.count(F.lit(1)).alias("num_visits"),
         F.sum(
@@ -316,7 +381,9 @@ GROUP BY 1
 """
 
 
-def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_sessions(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """File-stream → native ``session_window`` sessionization
     (15-min gap) per event_type × user. Complete mode on a bounded
     stream ≡ batch gap-islands sessionization → exact oracle.
@@ -324,8 +391,11 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≙ the gap rule of `AnalyzeVisits` (`TridentSpeedLayer.java:
     143-235`) without the custom state loop — the built-in operator
     covers the simple case; `streaming_bounce_rate` keeps the
-    custom-timeout variant.
+    custom-timeout variant. ``_static=True``: same chain over
+    `_static_events`, unexecuted, for the CI plan audits.
     """
+    if _static:
+        return sl.sessionize_stream(_static_events(spark, sf_dir))
     stream = sl.events_file_stream(spark, _events_src(sf_dir))
     return sl.run_stream_to_table(sl.sessionize_stream(stream), "complete")
 
@@ -352,11 +422,17 @@ GROUP BY event_type, user_id, sid
 """
 
 
-def streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_view_attribution(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Stream-stream inner join (purchase ⋈ prior views ≤1h, same
     user) in append mode; bounded input ≡ batch interval join →
     exact oracle. State on both sides is watermark-bounded — the
-    100 TB posture for streaming attribution."""
+    100 TB posture for streaming attribution. ``_static=True``:
+    same join chain over `_static_events`, unexecuted, for the CI
+    plan audits."""
+    if _static:
+        return sl.view_purchase_join_stream(_static_events(spark, sf_dir))
     stream = sl.events_file_stream(spark, _events_src(sf_dir))
     return sl.run_stream_to_table(sl.view_purchase_join_stream(stream), "append")
 
@@ -375,7 +451,9 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-def streaming_funnel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_funnel_hourly(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming hourly view→purchase funnel (r4): the
     three-stateful-operator append chain (interval join →
     watermark-evicted dedup → hourly window agg,
@@ -388,8 +466,11 @@ def streaming_funnel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: all three state stores are watermark-bounded
     (join buffers by the interval predicate, dedup keys by p_ts,
     windows close as the watermark passes) — no unbounded state at
-    100 TB/day event rates.
+    100 TB/day event rates. ``_static=True``: the same three-stage
+    chain over `_static_events`, unexecuted, for the CI plan audits.
     """
+    if _static:
+        return sl.funnel_hourly_stream(_static_events(spark, sf_dir))
     src = _chunked_events_dir(spark, sf_dir, flush=True, flush_mins=(180, 360))
     stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
     funnel = sl.funnel_hourly_stream(stream)
@@ -496,15 +577,22 @@ CATEGORY_MAP = (
 )
 
 
-def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_enriched_counts(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Stream-static broadcast join (event stream ⋈ event_type→
     category dimension) + windowed count per category×hour. On a
     bounded stream the complete-mode result equals the batch join +
-    rollup → exact oracle."""
-    stream = sl.events_file_stream(spark, _events_src(sf_dir))
+    rollup → exact oracle. ``_static=True``: same join + rollup over
+    `_static_events`, unexecuted, for the CI plan audits."""
     categories = spark.createDataFrame(
         list(CATEGORY_MAP), "event_type string, category string"
     )
+    if _static:
+        return sl.enrich_with_static_stream(
+            _static_events(spark, sf_dir), categories
+        )
+    stream = sl.events_file_stream(spark, _events_src(sf_dir))
     return sl.run_stream_to_table(
         sl.enrich_with_static_stream(stream, categories), "complete"
     )
@@ -587,7 +675,52 @@ def _prune_stale_sinks(prefix: str) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
-def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ingest_dedup_verdicts(
+    batch_df: DataFrame,
+    master: DataFrame,
+    master_hashes: DataFrame,
+    master_sigs: DataFrame,
+) -> DataFrame:
+    """The per-micro-batch verdict frame of `streaming_ingest_dedup`
+    — module-level so the foreachBatch body and the CI audit twin
+    run the IDENTICAL plan builder (exact md5 semi-join + banded
+    cross-corpus LSH against the precomputed master signatures)."""
+    from ..operators import dedup as dd
+    from .llm import MINHASH_LSH_THRESHOLD
+
+    exact_ids = (
+        batch_df.select("doc_id", F.md5("text").alias("h"))
+        .join(master_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    near_ids = (
+        dd.minhash_lsh_pairs_cross(
+            batch_df, master, MINHASH_LSH_THRESHOLD, master_sigs=master_sigs
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch_df.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("is_near", F.lit(False)).alias("is_near_dup"),
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
+def streaming_ingest_dedup(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming corpus-ingest dedup (r3): documents arrive as
     micro-batches (file stream, 1 file/trigger) and `foreachBatch`
     flags each batch against the STATIC master with the same
@@ -610,16 +743,25 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..cacheutil import track_persisted
     from ..operators import dedup as dd
-    from .llm import MINHASH_LSH_THRESHOLD, _corpus
+    from .llm import _corpus
 
+    master = _corpus(spark, sf_dir).where(F.col("doc_id") < 1_000_000)
+    master_hashes = master.select(F.md5("text").alias("h")).distinct()
+    if _static:
+        # audit twin: the IDENTICAL verdict builder applied to the
+        # full static batch side in one shot (per-batch ≡ union of
+        # batches — verdicts depend only on (doc, master)), with the
+        # signature table unpersisted so the hook stays lazy.
+        batch = _corpus(spark, sf_dir).where(F.col("doc_id") >= 1_000_000)
+        return _ingest_dedup_verdicts(
+            batch, master, master_hashes, dd.minhash_signatures(master)
+        )
     # the sink is ephemeral staging, deleted before this call
     # returns (the result is localCheckpoint-ed off it — see below),
     # so no sink list is needed.
     _prune_stale_sinks("ingest_dedup_")
 
     src = _chunked_docs_dir(spark, sf_dir)
-    master = _corpus(spark, sf_dir).where(F.col("doc_id") < 1_000_000)
-    master_hashes = master.select(F.md5("text").alias("h")).distinct()
     # "read the master's stored signature table" — computed once,
     # shared by every micro-batch.
     master_sigs = track_persisted(
@@ -634,36 +776,9 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(sink)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        exact_ids = (
-            batch_df.select("doc_id", F.md5("text").alias("h"))
-            .join(master_hashes, "h", "left_semi")
-            .select("doc_id")
-            .withColumn("is_exact", F.lit(True))
-        )
-        near_ids = (
-            dd.minhash_lsh_pairs_cross(
-                batch_df, master, MINHASH_LSH_THRESHOLD, master_sigs=master_sigs
-            )
-            .select(F.col("batch_id").alias("doc_id"))
-            .distinct()
-            .withColumn("is_near", F.lit(True))
-        )
-        (
-            batch_df.select("doc_id")
-            .join(exact_ids, "doc_id", "left")
-            .join(near_ids, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("is_exact", F.lit(False)).alias("is_exact_dup"),
-                F.coalesce("is_near", F.lit(False)).alias("is_near_dup"),
-                F.when(F.col("is_exact"), F.lit("exact"))
-                .when(F.col("is_near"), F.lit("near"))
-                .otherwise(F.lit("unique"))
-                .alias("verdict"),
-            )
-            .write.mode("append")
-            .parquet(sink)
-        )
+        _ingest_dedup_verdicts(
+            batch_df, master, master_hashes, master_sigs
+        ).write.mode("append").parquet(sink)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -687,19 +802,24 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-def streaming_top_pages_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_top_pages_hourly(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Per-hour top-3 pages from the speed layer (r3) — the classic
     Storm/Trident rolling top-N serving view: the complete-mode
     hourly windowed counts (same stream as
     `streaming_pageviews_hourly`) ranked per hour on the bounded
     sink, ties broken on page id. On a bounded stream this equals
     the batch rank over the hourly rollup → exact oracle.
+    ``_static=True``: the same rank over the static hourly agg,
+    unexecuted, for the CI plan audits (the window partitions by
+    hour_bucket — calendar-bounded keys, never corpus-grain).
 
     Returns (hour_bucket, rank, event_type, n_views).
     """
     from pyspark.sql.window import Window
 
-    table = streaming_pageviews_hourly(spark, sf_dir)
+    table = streaming_pageviews_hourly(spark, sf_dir, _static=_static)
     w = Window.partitionBy("hour_bucket").orderBy(
         F.desc("n_views"), "event_type"
     )
@@ -767,7 +887,25 @@ def _chunked_all_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -
     return out_dir
 
 
-def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cms_partial_cells(batch_df: DataFrame) -> DataFrame:
+    """Per-micro-batch partial CMS (4×256 cell sums) of
+    `streaming_heavy_hitters_cms` — module-level so the
+    foreachBatch body and the CI audit twin run the IDENTICAL plan
+    builder."""
+    from ..functions.text import tokenize
+    from .llm import _cms_explode
+
+    tf = (
+        batch_df.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _cms_explode(tf).groupBy("i", "bucket").agg(F.sum("n").alias("cell"))
+
+
+def streaming_heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming count-min sketch (r4): every micro-batch folds its
     term counts into a partial 4×256 sketch appended to the sink;
     the serve step MERGES the partials (cell-wise sum — CMS is a
@@ -790,6 +928,22 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
     from .llm import _cms_explode, _cms_topk
 
+    if _static:
+        # audit twin: the IDENTICAL per-batch sketch builder over
+        # the full static corpus (cell sums are exact BIGINT adds,
+        # so one batch ≡ merged partials) feeding the IDENTICAL
+        # serve step — both plan shapes swept lazily by CI.
+        docs = load_table(spark, sf_dir, "documents")
+        cells = _cms_partial_cells(docs).select(
+            "i", "bucket", F.col("cell").cast("long").alias("cell")
+        )
+        tf_all = (
+            docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return _cms_topk(_cms_explode(tf_all), cells)
+
     src = _chunked_all_docs_dir(spark, sf_dir)
     sink = os.path.join(
         tempfile.gettempdir(), f"cms_stream_{_uuid.uuid4().hex[:10]}"
@@ -799,18 +953,7 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(sink)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        tf = (
-            batch_df.select(F.explode(tokenize(F.col("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        (
-            _cms_explode(tf)
-            .groupBy("i", "bucket")
-            .agg(F.sum("n").alias("cell"))
-            .write.mode("append")
-            .parquet(sink)
-        )
+        _cms_partial_cells(batch_df).write.mode("append").parquet(sink)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -879,7 +1022,9 @@ def _chunked_scd2_updates_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def streaming_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_scd2_customers(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """STREAMING SCD2 dimension maintenance (r4): CDC update
     batches arrive as micro-batches and `foreachBatch` folds each
     into the versioned dimension store with the batch operator
@@ -904,6 +1049,27 @@ def streaming_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import scd2_apply
     from ..sources.tables import load_table
     from ..streaming.speed_layer import read_store
+
+    if _static:
+        # audit twin: the IDENTICAL foreachBatch fold (scd2_apply of
+        # one CDC round onto the base dimension), unexecuted — the
+        # plan CI must sweep is the per-batch MERGE, not the store
+        # I/O around it.
+        cust = load_table(spark, sf_dir, "customer")
+        base = cust.select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit(0).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        batch1 = cust.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        )
+        return scd2_apply(
+            base, batch1, "c_custkey", ["acctbal"], SCD2_STREAM_TS0 + 1
+        )
 
     src = _chunked_scd2_updates_dir(spark, sf_dir)
     store = os.path.join(
@@ -1064,7 +1230,41 @@ GROUP BY 1, 2
 """
 
 
-def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _novelty_scores(batch_df: DataFrame, master_sh: DataFrame) -> DataFrame:
+    """Per-micro-batch novelty frame of `streaming_ngram_novelty` —
+    module-level so the foreachBatch body and the CI audit twin run
+    the IDENTICAL plan builder (shingle explode → anti-join against
+    the master shingle set → per-doc novelty share)."""
+    from ..operators.dedup import _shingle_table
+
+    ex = _shingle_table(batch_df, "doc_id", "text", 3)
+    per = (
+        ex.join(master_sh, "sh", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    sizes = ex.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        batch_df.select("doc_id")
+        .join(sizes.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(per.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"),
+            ).alias("novelty"),
+        )
+    )
+
+
+def streaming_ngram_novelty(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming novelty scoring on ingest (r7 w2) — the streaming
     member of the novelty family (`ngram_novelty` is the batch
     profile): the seeded copies arrive as file micro-batches and
@@ -1094,10 +1294,21 @@ def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _shingle_table
     from .llm import DUP_SEED_OFFSET, _corpus
 
+    master = _corpus(spark, sf_dir).where(F.col("doc_id") < DUP_SEED_OFFSET)
+    if _static:
+        # audit twin: the IDENTICAL scorer applied to the full
+        # static batch side (verdicts depend only on (doc, master)),
+        # master shingle set unpersisted so the hook stays lazy.
+        batch = _corpus(spark, sf_dir).where(
+            F.col("doc_id") >= DUP_SEED_OFFSET
+        )
+        return _novelty_scores(
+            batch, _shingle_table(master, "doc_id", "text", 3).select("sh").distinct()
+        )
+
     _prune_stale_sinks("ingest_novelty_")
 
     src = _chunked_docs_dir(spark, sf_dir)
-    master = _corpus(spark, sf_dir).where(F.col("doc_id") < DUP_SEED_OFFSET)
     master_sh = track_persisted(
         _shingle_table(master, "doc_id", "text", 3)
         .select("sh")
@@ -1113,31 +1324,7 @@ def streaming_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(sink)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        ex = _shingle_table(batch_df, "doc_id", "text", 3)
-        per = (
-            ex.join(master_sh, "sh", "left_anti")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
-        )
-        sizes = ex.groupBy("id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles")
-        )
-        (
-            batch_df.select("doc_id")
-            .join(sizes.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-            .join(per.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
-                F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
-                F.when(
-                    F.coalesce("n_shingles", F.lit(0)) > 0,
-                    F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"),
-                ).alias("novelty"),
-            )
-            .write.mode("append")
-            .parquet(sink)
-        )
+        _novelty_scores(batch_df, master_sh).write.mode("append").parquet(sink)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -1167,7 +1354,9 @@ EV_PSI_SPLIT_DAY = 19738
 EV_PSI_N_BINS = 10
 
 
-def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_psi_monitor(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming drift monitor — `psi_value_drift`'s production
     shape: event VALUES streaming in are binned against the
     reference period's histogram (batch-computed bounds + bin
@@ -1222,29 +1411,51 @@ def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    # a NEW StructType — .add() would mutate the shared schema
-    wide = StructType(
-        list(sl.EVENTS_STREAM_SCHEMA.fields)
-        + [StructField("value", DoubleType())]
-    )
-    stream = sl.events_file_stream(spark, _events_src(sf_dir), schema=wide)
-    monitored = (
-        stream.select(
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
-            "value",
-            F.lit(1).alias("k"),
+    def monitored_agg(frame: DataFrame) -> DataFrame:
+        # shared by the streamed path and the static audit twin —
+        # the windowless (day, bin) count whose state is one row per
+        # day×bin regardless of event volume
+        return (
+            frame.select(
+                F.floor(F.unix_timestamp("ts") / 86400)
+                .cast("long")
+                .alias("day"),
+                "value",
+                F.lit(1).alias("k"),
+            )
+            .where(F.col("day") >= EV_PSI_SPLIT_DAY)
+            .join(
+                F.broadcast(scal.withColumnRenamed("k", "k2")),
+                F.expr("k = k2"),
+            )
+            .select("day", bin_expr)
+            .groupBy("day", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_day"))
         )
-        .where(F.col("day") >= EV_PSI_SPLIT_DAY)
-        .join(F.broadcast(scal.withColumnRenamed("k", "k2")), F.expr("k = k2"))
-        .select("day", bin_expr)
-        .groupBy("day", "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_day"))
-    )
-    # checkpoint the sink before the grid self-join (memory-sink
-    # views share attribute ids — a direct self-join fails analysis)
-    counts = sl.run_stream_to_table(monitored, "complete").localCheckpoint(
-        eager=True
-    )
+
+    if _static:
+        # audit twin: the IDENTICAL pre-sink agg + post-sink PSI
+        # grid over the static table, one lazy frame end-to-end
+        # (static lineages don't share sink attribute ids, so the
+        # self-join analyzes without the checkpoint).
+        counts = monitored_agg(
+            ev.select("ts", "value").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        )
+    else:
+        # a NEW StructType — .add() would mutate the shared schema
+        wide = StructType(
+            list(sl.EVENTS_STREAM_SCHEMA.fields)
+            + [StructField("value", DoubleType())]
+        )
+        stream = sl.events_file_stream(spark, _events_src(sf_dir), schema=wide)
+        # checkpoint the sink before the grid self-join (memory-sink
+        # views share attribute ids — a direct self-join fails
+        # analysis)
+        counts = sl.run_stream_to_table(
+            monitored_agg(stream), "complete"
+        ).localCheckpoint(eager=True)
     days = counts.select("day").distinct()
     bins = spark.range(EV_PSI_N_BINS).select(F.col("id").cast("long").alias("bin"))
     grid = days.crossJoin(F.broadcast(bins))
@@ -1324,7 +1535,9 @@ CROSS JOIN scal s
 """
 
 
-def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_cusum_monitor(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
     """Streaming CUSUM drift monitor (r9) — `cusum_changepoint`'s
     production speed-layer twin, completing the lambda pair the way
     `streaming_psi_monitor` twins `psi_value_drift`: per-type daily
@@ -1361,21 +1574,29 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
         )
     )
-    stream = sl.events_file_stream(spark, _events_src(sf_dir))
-    monitored = (
-        stream.select(
-            "event_type",
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias(
-                "day_id"
-            ),
+    def monitored_agg(frame: DataFrame) -> DataFrame:
+        # shared by the streamed path and the static audit twin
+        return (
+            frame.select(
+                "event_type",
+                F.floor(F.unix_timestamp("ts") / 86400)
+                .cast("long")
+                .alias("day_id"),
+            )
+            .where(F.col("day_id") >= EV_PSI_SPLIT_DAY)
+            .groupBy("event_type", "day_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         )
-        .where(F.col("day_id") >= EV_PSI_SPLIT_DAY)
-        .groupBy("event_type", "day_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    )
-    counts = sl.run_stream_to_table(monitored, "complete").localCheckpoint(
-        eager=True
-    )
+
+    if _static:
+        # audit twin: IDENTICAL pre-sink agg + post-sink CUSUM
+        # recursion over the static table, one lazy frame
+        counts = monitored_agg(_static_events(spark, sf_dir))
+    else:
+        stream = sl.events_file_stream(spark, _events_src(sf_dir))
+        counts = sl.run_stream_to_table(
+            monitored_agg(stream), "complete"
+        ).localCheckpoint(eager=True)
     z = (
         "(n_events - s1 / CAST(n_days AS DOUBLE))"
         " / nullif(sqrt(s2 / CAST(n_days AS DOUBLE)"
@@ -1465,3 +1686,45 @@ FROM s
 
 
 STREAMING_CUSUM_MONITOR_SQL = _streaming_cusum_sql()
+
+
+# ----------------------------------------- CI plan-audit twins (r10)
+
+#: Static audit twins for EVERY streaming registry query (VERDICT
+#: r8 #3 / r9 #1 — the last systematic CI blind spot): each hook
+#: rebuilds the query's transformation chain over the static tables
+#: THROUGH THE SAME plan-builder code the stream runs (`_static=True`
+#: branches above), and returns it UNEXECUTED so the registry-wide
+#: plan audits in `tests/test_tpch.py` sweep the streamed frames'
+#: shapes — cartesian/row-UDF/corpus-grain-sort regressions inside a
+#: streaming plan now fail CI like any batch plan. `registry.py`
+#: merges this into AUDIT_PLAN_HOOKS; the audit tests additionally
+#: assert every `streaming_*` registry entry appears here, so a new
+#: streaming query cannot ship unaudited.
+def _static_twin(fn):
+    def hook(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+        return [fn(spark, sf_dir, _static=True)]
+
+    return hook
+
+
+STREAMING_AUDIT_PLANS: dict = {
+    name: _static_twin(fn)
+    for name, fn in (
+        ("streaming_pageviews_hourly", streaming_pageviews_hourly),
+        ("streaming_uniques_hourly_hll", streaming_uniques_hourly_hll),
+        ("streaming_bounce_rate", streaming_bounce_rate),
+        ("streaming_bounce_rate_native", streaming_bounce_rate_native),
+        ("streaming_sessions", streaming_sessions),
+        ("streaming_view_attribution", streaming_view_attribution),
+        ("streaming_funnel_hourly", streaming_funnel_hourly),
+        ("streaming_enriched_counts", streaming_enriched_counts),
+        ("streaming_top_pages_hourly", streaming_top_pages_hourly),
+        ("streaming_ingest_dedup", streaming_ingest_dedup),
+        ("streaming_ngram_novelty", streaming_ngram_novelty),
+        ("streaming_heavy_hitters_cms", streaming_heavy_hitters_cms),
+        ("streaming_scd2_customers", streaming_scd2_customers),
+        ("streaming_psi_monitor", streaming_psi_monitor),
+        ("streaming_cusum_monitor", streaming_cusum_monitor),
+    )
+}

@@ -3802,3 +3802,79 @@ def test_kfold_assign_oracle_and_invariance(spark):
     for r in rows:
         assert r["n_docs"] > 0
         assert r["n_docs"] <= 2 * (n_docs // KFOLD_K) + KFOLD_K
+
+
+def test_audience_overlap_sketch_oracle_and_kmv_recompute(spark):
+    """Oracle parity at both SFs, the 0.05 accuracy contract holds,
+    and one pair's KMV intersection estimate is recomputed with
+    hashlib from the raw events — the md5 contract."""
+    import hashlib
+
+    from big_data_code_spark.plans.llm import (
+        _KMV_ONE,
+        AUDIENCE_KMV_K,
+        audience_overlap_sketch,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    assert_matches_oracle(spark, "audience_overlap_sketch", SF_SMOKE)
+    assert_matches_oracle(spark, "audience_overlap_sketch", SF_CORRECT)
+
+    rows = audience_overlap_sketch(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_005"] for r in rows)
+
+    # hand-rebuild the sketches for the first pair
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+
+    def sketch(t):
+        hs = sorted(
+            {int(hashlib.md5(f"ao:{u}".encode()).hexdigest()[:13], 16) for u in users[t]}
+        )
+        return hs[:AUDIENCE_KMV_K]
+
+    r0 = rows[0]
+    sa, sb = sketch(r0["type_a"]), sketch(r0["type_b"])
+    theta_a = sa[-1] if len(sa) == AUDIENCE_KMV_K else _KMV_ONE
+    theta_b = sb[-1] if len(sb) == AUDIENCE_KMV_K else _KMV_ONE
+    theta = min(theta_a, theta_b)
+    matches = len({h for h in sa if h < theta} & {h for h in sb if h < theta})
+    est_both = matches * float(_KMV_ONE) / theta
+    assert r0["est_both"] == pytest.approx(est_both, abs=1e-5)
+
+
+def test_training_export_roundtrip_oracle_and_layout(spark, tmp_path):
+    """Oracle match + the physical layout contract on a fresh
+    export: one file per shard directory, rows inside in exact pos
+    order, nothing lost."""
+    from big_data_code_spark.plans.llm import (
+        CORPUS_SHUFFLE_SHARDS,
+        corpus_shuffle,
+        training_export_roundtrip,
+    )
+    from big_data_code_spark.sources.training_export import (
+        export_training_shards,
+    )
+
+    assert_matches_oracle(spark, "training_export_roundtrip", SF_SMOKE)
+
+    out = str(tmp_path / "shards")
+    export_training_shards(corpus_shuffle(spark, SF_SMOKE), out)
+    import os
+
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == CORPUS_SHUFFLE_SHARDS
+    for d in shard_dirs:
+        files = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: expected one file, got {files}"
+    # read one shard directly: pos must be 1..n in file order
+    import pyarrow.parquet as pq
+
+    p = os.path.join(out, shard_dirs[0])
+    f = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    pos = pq.read_table(os.path.join(p, f), columns=["pos"])["pos"].to_pylist()
+    assert pos == list(range(1, len(pos) + 1))

@@ -256,6 +256,11 @@ BNLJ_ALLOWED = {
                                  # total broadcast (the share
                                  # divisor - market_basket_lift's
                                  # shape)
+    "streaming_psi_monitor",     # r10 static twin: one-row
+                                 # (vmin, vmax, n_ref_tot) reference
+                                 # scalar broadcasts + the 10-row
+                                 # bin-grid dim broadcast (the
+                                 # psi_value_drift shape)
     "bootstrap_ci_order_value",  # r7 w8: one-row CI frame (the
                                  # 64-replicate rollup) broadcast
                                  # into the 1-row report
@@ -303,7 +308,12 @@ def test_no_unintended_scale_red_flags_in_any_plan(spark):
     offenders = {}
     for name, fn in QUERIES.items():
         if name.startswith("streaming_"):
-            continue  # streams are driven by tests/test_streaming.py
+            # calling a streaming query EXECUTES its stream; its
+            # transformation surface is audited via the static twin
+            # in AUDIT_PLAN_HOOKS below — and every streaming entry
+            # MUST have one (r10: no unaudited streaming plans).
+            assert name in AUDIT_PLAN_HOOKS, f"{name}: no audit twin"
+            continue
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         bad = flags(name, plan)
         if bad:
@@ -353,6 +363,7 @@ WINDOW_SORT_ALLOWED = {
     "market_basket_lift": "rank over the <=|brands|^2 lift cells",
     "open_orders_over_time": "running net over the calendar-day rollup",
     "cusum_changepoint": "running-extrema windows over the calendar-day rollup",
+    "streaming_cusum_monitor": "running-extrema windows over the calendar-day rollup (static twin)",
     "revenue_pattern_match": "pattern windows over the calendar-day rollup",
     "lang_id_confusion": "row-share over the |lang|^2 confusion cells",
     "ks_source_drift": "CDF windows over the bounded value grid per source",
@@ -403,12 +414,21 @@ def _window_nodes(plan: str) -> list[tuple[str, str]]:
 def _window_flags(plan: str) -> list[str]:
     import re
 
+    # r10 (VERDICT r9 #7): the recognizer imports the ranking
+    # module's OWN constants — a rename there can no longer silently
+    # desync this audit from the plans it certifies; the prefix
+    # relationship the recognizer relies on is asserted too.
+    from big_data_code_spark.operators.ranking import PID, PID_SMALL
+
+    assert PID_SMALL.startswith(PID)
+
     bad = []
     for part, order in _window_nodes(plan):
         # two_pass_ranks internals: local windows PARTITION by the
-        # slice id (that is the fix); offsets-frame windows ORDER by
-        # it (bounded: <= buckets x groups rows)
-        if "__tpr_pid" in part or "__tpr_pid" in order:
+        # slice id or the size-gated PID_SMALL marker (both carry
+        # the PID prefix — that is the fix); offsets-frame windows
+        # ORDER by it (bounded: <= buckets x groups rows)
+        if PID in part or PID in order:
             continue
         if part == "[]":
             bad.append(f"global-window-sort order={order[:60]}")
@@ -433,6 +453,8 @@ def test_no_corpus_grain_window_sorts(spark):
     offenders: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         if name.startswith("streaming_"):
+            # audited via the static twin in AUDIT_PLAN_HOOKS (r10)
+            assert name in AUDIT_PLAN_HOOKS, f"{name}: no audit twin"
             continue
         plan = physical_plan(fn(spark, SF_SMOKE))
         bad = _window_flags(plan)

@@ -9,16 +9,17 @@ hash-threshold plan with a full oracle, and the seeded-RNG
 ORDER MATTERS: the correctness driver samples the FIRST 50 entries
 in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
-VERDICT r5 #6). The cumulative round-driver union r1-r8 is 234 of
-the 254 carried-over entries: every previously-sampled entry has at
-least one driver green and none fails its latest check. The r9
-prefix leads with the 15 NEW r9 operators (changed-first), then the
-21 entries no round driver has EVER sampled (completing 100%
-cumulative driver coverage of the pre-r9 registry — VERDICT r8
-"What's missing" #1), then this round's changed staging queries,
-then oldest-evidence (r4-vintage) entries — see the inline comments
-at the list, which are the authoritative description. Nothing about
-a query's semantics depends on its position.
+VERDICT r5 #6). The cumulative round-driver union r1-r9 covers all
+269 carried-over entries, none failing its latest check (VERDICT
+r9). The r10 prefix leads with the 2 NEW r10 entries
+(training_export_roundtrip, audience_overlap_sketch), then the 4
+queries whose plan code changed this round, then ALL 15
+oracle-backed streaming queries (plans/speed.py was refactored to
+expose static audit twins), then the 26 remaining r4-vintage and 3
+oldest r5-vintage entries — after r10 no entry's latest driver
+evidence predates r5. See the inline comments at the list, which
+are the authoritative description. Nothing about a query's
+semantics depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -38,22 +39,81 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r9 prefix (50). ORDER: the 15 NEW r9 operators first
-    #    (changed-first convention), then (a) positions 16-36 are
-    #    the 21 entries NO round driver has ever sampled (the r8
-    #    additions + the last of the r7 wave-8 batch) — sampling
-    #    them completes 100% cumulative driver coverage of the
-    #    registry (VERDICT r8 'What's missing' #1); (b) 28-29 are
-    #    the two queries whose staging path changed this round
-    #    (st_mtime_ns fingerprint + rename-race cleanup); (c) the
-    #    window then fills with oldest-evidence-next entries, all
-    #    last sampled in r4 and never since, in prior registry
-    #    order (the last 6 of that r4-vintage block sit just past
-    #    the window and keep their r4 evidence).
-    # -- NEW r9 operators (changed-first)
+    # -- r10 prefix (50). ORDER (changed-first, then
+    #    oldest-evidence-next — the house rotation): positions 1-2
+    #    are the two NEW r10 entries (never driver-sampled);
+    #    3-6 are the queries whose plan code changed this round
+    #    (unigram_logprob exact-BIGINT ln fold, cuped_abtest
+    #    nullif/greatest guards, weighted_sample_es ln(0) clamp,
+    #    pareto_user_concentration via the size-gated
+    #    two_pass_ranks fast path); 7-21 are ALL 15 oracle-backed
+    #    streaming queries (plans/speed.py was refactored this
+    #    round to expose static audit twins through the same
+    #    builder code — changed-first applies), ordered by oldest
+    #    last-green round; 22-47 are the 26 remaining r4-vintage
+    #    entries (after r10 NO registry entry's latest driver
+    #    evidence predates r5); 48-50 are the three oldest
+    #    r5-vintage entries. Nothing about a query's semantics
+    #    depends on its position.
+    # -- NEW r10 (never sampled)
+    ("training_export_roundtrip", llm.training_export_roundtrip, llm.TRAINING_EXPORT_ROUNDTRIP_SQL),
+    ("audience_overlap_sketch", llm.audience_overlap_sketch, llm.AUDIENCE_OVERLAP_SKETCH_SQL),
+    # -- r10-changed plan code
+    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
     ("cuped_abtest", advanced.cuped_abtest, advanced.CUPED_ABTEST_SQL),
-    ("cusum_changepoint", advanced.cusum_changepoint, advanced.CUSUM_CHANGEPOINT_SQL),
     ("weighted_sample_es", llm.weighted_sample_es, llm.WEIGHTED_SAMPLE_ES_SQL),
+    ("pareto_user_concentration", advanced.pareto_user_concentration, advanced.PARETO_USER_CONCENTRATION_SQL),
+    # -- all oracle-backed streaming queries (speed.py refactor), oldest first
+    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
+    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
+    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
+    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
+    ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
+    ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
+    ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
+    ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
+    ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
+    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
+    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
+    ("streaming_ngram_novelty", speed.streaming_ngram_novelty, llm.STREAMING_NGRAM_NOVELTY_SQL),
+    ("streaming_cusum_monitor", speed.streaming_cusum_monitor, speed.STREAMING_CUSUM_MONITOR_SQL),
+    ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
+    # -- oldest-evidence fill: the 26 remaining r4-vintage entries
+    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
+    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
+    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
+    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
+    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
+    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
+    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
+    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
+    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
+    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
+    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
+    ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
+    ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
+    ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
+    ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
+    ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
+    ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
+    ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
+    ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
+    ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
+    ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
+    ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
+    ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
+    ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
+    ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
+    ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
+    # -- oldest r5-vintage
+    ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
+    ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
+    ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
+    # -- 51+: remaining entries, prior relative order; after the
+    #    r10 prefix lands, cumulative round-driver union = all 271
+    #    entries with the OLDEST last-green evidence being r5.
+    ("cusum_changepoint", advanced.cusum_changepoint, advanced.CUSUM_CHANGEPOINT_SQL),
     ("zipf_slope_fit", llm.zipf_slope_fit, llm.ZIPF_SLOPE_FIT_SQL),
     ("boilerplate_ngrams", llm.boilerplate_ngrams, llm.BOILERPLATE_NGRAMS_SQL),
     ("embedding_decontaminate", llm.embedding_decontaminate, llm.EMBEDDING_DECONTAMINATE_SQL),
@@ -61,12 +121,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("mrr_eval", llm.mrr_eval, llm.MRR_EVAL_SQL),
     ("ppr_knn_graph", llm.ppr_knn_graph, llm.PPR_KNN_GRAPH_SQL),
     ("orc_roundtrip_counts", llm.orc_roundtrip_counts, llm.ORC_ROUNDTRIP_COUNTS_SQL),
-    ("streaming_cusum_monitor", speed.streaming_cusum_monitor, speed.STREAMING_CUSUM_MONITOR_SQL),
     ("user_id_normalization_incremental", swa.user_id_normalization_incremental, swa.USER_ID_NORMALIZATION_INCREMENTAL_SQL),
     ("csv_ingest_quarantine", llm.csv_ingest_quarantine, llm.CSV_INGEST_QUARANTINE_SQL),
     ("ewma_backtest_mape", advanced.ewma_backtest_mape, advanced.EWMA_BACKTEST_MAPE_SQL),
     ("kfold_assign", llm.kfold_assign, llm.KFOLD_ASSIGN_SQL),
-    # -- (a) the 21 never-driver-sampled entries
     ("quality_logit_holdout_eval", llm.quality_logit_holdout_eval, llm.QUALITY_LOGIT_HOLDOUT_EVAL_SQL),
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
     ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),
@@ -75,7 +133,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
     ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
-    ("streaming_psi_monitor", speed.streaming_psi_monitor, speed.STREAMING_PSI_MONITOR_SQL),
     ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
     ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
     ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
@@ -88,12 +145,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("join_skew_report", advanced.join_skew_report, advanced.JOIN_SKEW_REPORT_SQL),
     ("touch_attribution", advanced.touch_attribution, advanced.TOUCH_ATTRIBUTION_SQL),
     ("bootstrap_ci_order_value", advanced.bootstrap_ci_order_value, advanced.BOOTSTRAP_CI_ORDER_VALUE_SQL),
-    ("training_export_roundtrip", llm.training_export_roundtrip, llm.TRAINING_EXPORT_ROUNDTRIP_SQL),
-    ("audience_overlap_sketch", llm.audience_overlap_sketch, llm.AUDIENCE_OVERLAP_SKETCH_SQL),
-    # -- (b) r9-changed staging queries
     ("jsonl_ingest_quarantine", llm.jsonl_ingest_quarantine, llm.JSONL_INGEST_QUARANTINE_SQL),
     ("master_roundtrip_counts", llm.master_roundtrip_counts, llm.MASTER_ROUNDTRIP_COUNTS_SQL),
-    # -- (c) oldest-evidence (r4-vintage, never re-sampled)
     ("curriculum_order", llm.curriculum_order, llm.CURRICULUM_ORDER_SQL),
     ("token_budget_mix", llm.token_budget_mix, llm.TOKEN_BUDGET_MIX_SQL),
     ("sequence_packing", llm.sequence_packing, llm.SEQUENCE_PACKING_SQL),
@@ -106,30 +159,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("embedding_pq", llm.embedding_pq_flat, llm.EMBEDDING_PQ_FLAT_SQL),
     ("ann_pq", llm.ann_pq, llm.ANN_PQ_SQL),
     ("ann_ivf_pq", llm.ann_ivf_pq, llm.ANN_IVF_PQ_SQL),
-    ("dedup_cluster_stats", llm.dedup_cluster_stats, llm.DEDUP_CLUSTER_STATS_SQL),
-    ("bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL),
-    ("dedup_semantic_final", llm.dedup_semantic_final, llm.DEDUP_SEMANTIC_FINAL_SQL),
-    ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
-    ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
-    ("streaming_bounce_rate_native", speed.streaming_bounce_rate_native, speed.STREAMING_BOUNCE_RATE_NATIVE_SQL),
-    ("keyvalue_export_hll", swa.keyvalue_export_hll, swa.KEYVALUE_EXPORT_HLL_SQL),
-    ("temperature_mix", llm.temperature_mix, llm.TEMPERATURE_MIX_SQL),
-    ("tokenizer_fertility", llm.tokenizer_fertility, llm.TOKENIZER_FERTILITY_SQL),
-    ("streaming_funnel_hourly", speed.streaming_funnel_hourly, speed.STREAMING_FUNNEL_HOURLY_SQL),
-    ("ann_range_search", llm.ann_range_search, llm.ANN_RANGE_SEARCH_SQL),
-    ("minhash_containment", llm.minhash_containment, llm.MINHASH_CONTAINMENT_SQL),
-    ("multimodal_framesample", llm.multimodal_framesample, llm.MULTIMODAL_FRAMESAMPLE_SQL),
-    ("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_SQL),
-    ("value_percentiles_approx", advanced.value_percentiles_approx, advanced.VALUE_PERCENTILES_APPROX_SQL),
-    # -- 51+: remaining entries, prior relative order; cumulative
-    #    round-driver union r1-r8 = 234/254 green, none failing
-    #    its latest check. semdedup_kmeans was demoted to the
-    #    tests-only PARITY_TWINS surface in r9 (sf100-measured
-    #    super-linear warm path; see PARITY_TWINS below).
     ("session_paths_topk", advanced.session_paths_topk, advanced.SESSION_PATHS_TOPK_SQL),
     ("term_pmi_pairs", llm.term_pmi_pairs, llm.TERM_PMI_PAIRS_SQL),
     ("link_prediction_aa", llm.link_prediction_aa, llm.LINK_PREDICTION_AA_SQL),
-    ("pareto_user_concentration", advanced.pareto_user_concentration, advanced.PARETO_USER_CONCENTRATION_SQL),
     ("source_score_quantile_norm", llm.source_score_quantile_norm, llm.SOURCE_SCORE_QUANTILE_NORM_SQL),
     ("node_jaccard_similarity", llm.node_jaccard_similarity, llm.NODE_JACCARD_SIMILARITY_SQL),
     ("source_quota_thresholds", llm.source_quota_thresholds, llm.SOURCE_QUOTA_THRESHOLDS_SQL),
@@ -180,11 +212,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("vocab_coverage", llm.vocab_coverage, llm.VOCAB_COVERAGE_SQL),
     ("corpus_shuffle", llm.corpus_shuffle, llm.CORPUS_SHUFFLE_SQL),
     ("bpe_pair_stats", llm.bpe_pair_stats, llm.BPE_PAIR_STATS_SQL),
-    ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
     ("quality_logit_train", llm.quality_logit_train, llm.QUALITY_LOGIT_TRAIN_SQL),
     ("ann_cosine_topk", llm.ann_cosine_topk, llm.ANN_COSINE_TOPK_SQL),
     ("knn_graph", llm.knn_graph, llm.KNN_GRAPH_SQL),
-    ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("packing_efficiency", llm.packing_efficiency, llm.PACKING_EFFICIENCY_SQL),
     ("knn_graph_incremental", llm.knn_graph_incremental, llm.KNN_GRAPH_SQL),
     ("triangle_count_knn", llm.triangle_count_knn, llm.TRIANGLE_COUNT_KNN_SQL),
@@ -207,10 +237,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("value_histogram", advanced.value_histogram, advanced.VALUE_HISTOGRAM_SQL),
     ("ann_ivf", llm.ann_ivf, llm.ANN_IVF_SQL),
     ("uniques_over_time_hll", swa.uniques_over_time_hll, swa.UNIQUES_HLL_SQL),
-    ("streaming_uniques_hourly_hll", speed.streaming_uniques_hourly_hll, speed.STREAMING_UNIQUES_HLL_SQL),
-    ("streaming_bounce_rate", speed.streaming_bounce_rate, speed.STREAMING_BOUNCE_RATE_SQL),
     ("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_SQL),
-    ("unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL),
     ("stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL),
     ("simhash_dup_pairs", llm.simhash_dup_pairs, llm.SIMHASH_DUP_PAIRS_SQL),
     ("chunk_dedup", llm.chunk_dedup, llm.CHUNK_DEDUP_SQL),
@@ -225,7 +252,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("quality_logit_pr_curve", llm.quality_logit_pr_curve, llm.QUALITY_LOGIT_PR_CURVE_SQL),
     ("quality_ablation_report", llm.quality_ablation_report, llm.QUALITY_ABLATION_REPORT_SQL),
     ("chunk_bm25_search", llm.chunk_bm25_search, llm.CHUNK_BM25_SEARCH_SQL),
-    ("streaming_ngram_novelty", speed.streaming_ngram_novelty, llm.STREAMING_NGRAM_NOVELTY_SQL),
     ("keyvalue_export_ranged", swa.keyvalue_export_ranged, swa.KEYVALUE_EXPORT_RANGED_SQL),
     ("quality_logit_calibration", llm.quality_logit_calibration, llm.QUALITY_LOGIT_CALIBRATION_SQL),
     ("source_quality_report", llm.source_quality_report, llm.SOURCE_QUALITY_REPORT_SQL),
@@ -246,10 +272,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("hash_split", llm.hash_split, llm.HASH_SPLIT_SQL),
     ("benchmark_contamination", llm.benchmark_contamination, llm.BENCHMARK_CONTAMINATION_SQL),
     ("top_terms_global", llm.top_terms_global, llm.TOP_TERMS_GLOBAL_SQL),
-    ("streaming_pageviews_hourly", speed.streaming_pageviews_hourly, speed.STREAMING_PAGEVIEWS_HOURLY_SQL),
-    ("streaming_sessions", speed.streaming_sessions, speed.STREAMING_SESSIONS_SQL),
-    ("streaming_view_attribution", speed.streaming_view_attribution, speed.STREAMING_VIEW_ATTRIBUTION_SQL),
-    ("streaming_enriched_counts", speed.streaming_enriched_counts, speed.STREAMING_ENRICHED_COUNTS_SQL),
     ("lambda_merged_pageviews", speed.lambda_merged_pageviews, speed.LAMBDA_MERGED_PAGEVIEWS_SQL),
     ("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL),
     ("q7_nation_volume", tpch2.q7_nation_volume, tpch2.Q7_SQL),
@@ -270,8 +292,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL),
     ("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_LSH_SQL),
     ("doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL),
-    ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
-    ("streaming_heavy_hitters_cms", speed.streaming_heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
     ("sql_interface_pricing_summary", tpch.sql_interface_pricing_summary, tpch.Q1_SQL),
     ("source_blocklist_filter", llm.source_blocklist_filter, llm.SOURCE_BLOCKLIST_FILTER_SQL),
     ("bpe_train_merges", llm.bpe_train_merges, llm.BPE_TRAIN_MERGES_SQL),
@@ -314,22 +334,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("scd2_customer_updates", advanced.scd2_customer_updates, advanced.SCD2_CUSTOMER_UPDATES_SQL),
     ("log_compaction", advanced.log_compaction, advanced.LOG_COMPACTION_SQL),
     ("funnel_conversion", advanced.funnel_conversion, advanced.FUNNEL_CONVERSION_SQL),
-    ("gopher_repetition_rules", llm.gopher_repetition_rules, llm.GOPHER_REPETITION_RULES_SQL),
-    ("char_entropy", llm.char_entropy, llm.CHAR_ENTROPY_SQL),
-    ("heavy_hitters_cms", llm.heavy_hitters_cms, llm.HEAVY_HITTERS_CMS_SQL),
-    ("ann_recall_eval", llm.ann_recall_eval, llm.ANN_RECALL_EVAL_SQL),
-    ("tfidf_cosine_pairs", llm.tfidf_cosine_pairs, llm.TFIDF_COSINE_PAIRS_SQL),
-    ("bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL),
-    ("pca_power_iteration", llm.pca_power_iteration, llm.PCA_POWER_ITERATION_SQL),
-    ("dp_noisy_counts", llm.dp_noisy_counts, llm.DP_NOISY_COUNTS_SQL),
-    ("build_term_index", llm.build_term_index, llm.BUILD_TERM_INDEX_SQL),
-    ("table_profile_events", llm.table_profile_events, llm.TABLE_PROFILE_EVENTS_SQL),
-    ("multimodal_phash_dedup", llm.multimodal_phash_dedup, llm.MULTIMODAL_PHASH_DEDUP_SQL),
-    ("streaming_scd2_customers", speed.streaming_scd2_customers, speed.STREAMING_SCD2_CUSTOMERS_SQL),
-    ("skew_salted_quantity", llm.skew_salted_quantity, llm.SKEW_SALTED_QUANTITY_SQL),
-    ("lang_id_confusion", llm.lang_id_confusion, llm.LANG_ID_CONFUSION_SQL),
-    ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
-    ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

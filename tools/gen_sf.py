@@ -23,7 +23,9 @@ preserved per tile.
 
 Usage::
 
-    python tools/gen_sf.py [N] [out_dir]   # default 10 /tmp/sf1
+    python tools/gen_sf.py [N] [out_dir] [table ...]
+    # default 10 /tmp/sf1, all tables; name tables to generate a
+    # subset (sf100 probes only need events + documents — r10)
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 CONSONANTS = "bcdfghjklmnpqrstvwz"
+VOWELS = "aeiou"
 
 
 def cipher_pair(tile: int) -> tuple[str, str]:
@@ -55,22 +58,36 @@ def cipher_pair(tile: int) -> tuple[str, str]:
     (a=1), so N ≤ 19 corpora are bit-identical to earlier rounds'.
     """
     n = len(CONSONANTS)
-    a, b = 1 + tile // n, tile % n
-    assert a < n, f"tile {tile} exceeds the {n * (n - 1)}-tile cipher family"
+    cons_idx, vowel_idx = tile % (n * (n - 1)), tile // (n * (n - 1))
+    a, b = 1 + cons_idx // n, cons_idx % n
     lo = "".join(CONSONANTS[(a * j + b) % n] for j in range(n))
+    # r10 (sf100 = 1000 tiles > the 342-member consonant family):
+    # compose a second AFFINE permutation over the 5 vowels (5 is
+    # prime → 4·5 = 20 members; 342·20 = 6840 tiles total).
+    # vowel_idx = 0 (a=1, b=0) is the identity, so every corpus of
+    # ≤ 342 tiles is bit-identical to earlier rounds'.
+    m = len(VOWELS)
+    va, vb = 1 + vowel_idx // m, vowel_idx % m
+    assert va < m, f"tile {tile} exceeds the {n * (n - 1) * m * (m - 1)}-tile cipher family"
+    vlo = "".join(VOWELS[(va * j + vb) % m] for j in range(m))
     return (
-        CONSONANTS + CONSONANTS.upper(),
-        lo + lo.upper(),
+        CONSONANTS + CONSONANTS.upper() + VOWELS + VOWELS.upper(),
+        lo + lo.upper() + vlo + vlo.upper(),
     )
 
 
 def main() -> None:
     n_tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    only = set(sys.argv[3:])  # empty ⇒ all tables
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-tile UNION ALL nests past DuckDB's default parser depth
+    con.execute(f"SET max_expression_depth TO {max(1000, 10 * n_tiles)}")
 
     def copy(table: str, select_for_tile) -> None:
+        if only and table not in only:
+            return
         parts = " UNION ALL ".join(select_for_tile(i) for i in range(n_tiles))
         con.execute(
             f"COPY ({parts}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
@@ -85,6 +102,8 @@ def main() -> None:
     # dimension tables: single copy (shared across tiles, like
     # region/nation in TPC-H at any SF)
     for t in ("region", "nation"):
+        if only and t not in only:
+            continue
         con.execute(
             f"COPY (SELECT * FROM {src(t)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
@@ -92,37 +111,39 @@ def main() -> None:
 
     copy(
         "customer",
-        lambda i: f"""SELECT c_custkey + {i} * 1000000 AS c_custkey, c_name,
+        lambda i: f"""SELECT c_custkey + {i * 1000000} AS c_custkey, c_name,
             c_nationkey, c_acctbal, c_mktsegment FROM {src('customer')}""",
     )
     copy(
         "supplier",
-        lambda i: f"""SELECT s_suppkey + {i} * 100000 AS s_suppkey, s_name,
+        lambda i: f"""SELECT s_suppkey + {i * 100000} AS s_suppkey, s_name,
             s_nationkey, s_acctbal FROM {src('supplier')}""",
     )
     copy(
         "part",
-        lambda i: f"""SELECT p_partkey + {i} * 1000000 AS p_partkey, p_name,
+        lambda i: f"""SELECT p_partkey + {i * 1000000} AS p_partkey, p_name,
             p_brand, p_type, p_size, p_retailprice FROM {src('part')}""",
     )
     copy(
         "orders",
-        lambda i: f"""SELECT o_orderkey + {i} * 10000000 AS o_orderkey,
-            o_custkey + {i} * 1000000 AS o_custkey, o_orderstatus,
+        lambda i: f"""SELECT o_orderkey + {i * 10000000} AS o_orderkey,
+            o_custkey + {i * 1000000} AS o_custkey, o_orderstatus,
             o_totalprice, o_orderdate, o_orderpriority FROM {src('orders')}""",
     )
     copy(
         "lineitem",
-        lambda i: f"""SELECT l_orderkey + {i} * 10000000 AS l_orderkey,
-            l_partkey + {i} * 1000000 AS l_partkey,
-            l_suppkey + {i} * 100000 AS l_suppkey, l_linenumber, l_quantity,
+        lambda i: f"""SELECT l_orderkey + {i * 10000000} AS l_orderkey,
+            l_partkey + {i * 1000000} AS l_partkey,
+            l_suppkey + {i * 100000} AS l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
             l_shipdate FROM {src('lineitem')}""",
     )
     copy(
         "events",
-        lambda i: f"""SELECT event_id + {i} * 10000000 AS event_id, ts,
-            user_id + {i} * 10000000 AS user_id, event_type, value, props
+        lambda i: f"""SELECT CAST(event_id AS BIGINT) + {i * 10000000}
+              AS event_id, ts,
+            CAST(user_id AS BIGINT) + {i * 10000000} AS user_id,
+            event_type, value, props
             FROM {src('events')}""",
     )
 
@@ -132,8 +153,8 @@ def main() -> None:
         # per tile by offsetting inside each range
         new_id = (
             f"CASE WHEN doc_id >= 1000000 "
-            f"THEN 1000000 + {i} * 50000 + (doc_id - 1000000) "
-            f"ELSE {i} * 50000 + doc_id END"
+            f"THEN 1000000 + {i * 50000} + (CAST(doc_id AS BIGINT) - 1000000) "
+            f"ELSE {i * 50000} + CAST(doc_id AS BIGINT) END"
         )
         return f"""SELECT {new_id} AS doc_id,
             translate(text, '{frm}', '{to}') AS text, lang, source, n_chars
@@ -143,7 +164,7 @@ def main() -> None:
 
     copy(
         "embeddings",
-        lambda i: f"""SELECT vec_id + {i} * 100000 AS vec_id,
+        lambda i: f"""SELECT vec_id + {i * 100000} AS vec_id,
             list_concat(embedding[{i % 64 + 1}:], embedding[:{i % 64}])
               AS embedding,
             label FROM {src('embeddings')}""",

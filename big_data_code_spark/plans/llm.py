@@ -8463,6 +8463,173 @@ FROM merged
 """
 
 
+def uniques_weekly_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV UNION rollup (r10) — the companion to
+    `audience_overlap_sketch` (intersection): weekly unique users
+    estimated by merging per-DAY KMV signatures, never rescanning
+    the week. This is the serve-time shape the reference's uniques
+    views (`uniquesView`, `BatchWorkflow.java:330-363`) need at
+    100 TB: each day (partition) keeps its K smallest 52-bit md5
+    user hashes; any calendar range's uniques come from K-row
+    signatures because KMV merge is EXACT — the K smallest of a
+    union are each within the K smallest of their own day, so
+    re-ranking the concatenated daily tops reproduces the true
+    weekly top-K (no approximation is introduced by merging; only
+    the final (K−1)/u_(K) estimate is approximate).
+
+    The readout exposes why mergeable UNION matters: sum_daily_est
+    (what naive per-day addition would claim) overcounts returning
+    users, est_uniques (the merged estimate) tracks exact_uniques
+    within the ±5% relative contract (K = 1024 ⇒ ~3% rel error).
+    Daily estimates sum on the 1e-6 fixed-point BIGINT grid (the
+    `source_quality_report` order-free discipline). Deterministic
+    md5 ⇒ the oracle restates the WHOLE sketch hash-exactly; the
+    exact weekly uniques ride along as the contract. Monday-aligned
+    integer weeks (the `wow_growth` convention).
+
+    100 TB shape: one distinct on (day, user), one map-side hash,
+    the two-pass rank to K rows/day (day is low-card — a plain
+    per-day window would be a corpus-grain sort); the weekly merge
+    re-ranks ≤ days×K rows (the fast path serves it); everything
+    after is calendar-grain.
+
+    Returns (week_start_day, n_days, exact_uniques, k_x, u_k,
+    est_uniques, sum_daily_est, rel_err, within_005).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('wk:', CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    hd = du.select(
+        "day",
+        ((F.col("day") + F.lit(3)) / 7).cast("long").alias("week"),
+        u.alias("u"),
+    ).distinct()
+    daily = two_pass_ranks(
+        hd,
+        [F.col("u")],
+        [{"partition": ("day",), "rank": "r"}],
+    ).where(F.col("r") <= AUDIENCE_KMV_K)
+    d_est = F.when(
+        F.col("k_d") < AUDIENCE_KMV_K, F.col("k_d").cast("double")
+    ).otherwise(
+        F.lit(float(AUDIENCE_KMV_K - 1)) * _KMV_ONE / F.col("u_d")
+    )
+    dsum = (
+        daily.groupBy("week", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_d"),
+            F.max("u").alias("u_d"),
+        )
+        .select("week", F.round(d_est * 1e6, 0).cast("long").alias("dq"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (F.sum("dq") / 1e6).alias("sum_daily_est"),
+        )
+    )
+    merged = two_pass_ranks(
+        daily.select("week", "u").distinct(),
+        [F.col("u")],
+        [{"partition": ("week",), "rank": "r"}],
+    ).where(F.col("r") <= AUDIENCE_KMV_K)
+    wstats = merged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("k_x"),
+        F.max("u").alias("u_k"),
+    )
+    w_est = F.when(
+        F.col("k_x") < AUDIENCE_KMV_K, F.col("k_x").cast("double")
+    ).otherwise(
+        F.lit(float(AUDIENCE_KMV_K - 1)) * _KMV_ONE / F.col("u_k")
+    )
+    exact = (
+        du.select(
+            ((F.col("day") + F.lit(3)) / 7).cast("long").alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_uniques"))
+    )
+    out = (
+        exact.join(F.broadcast(wstats), "week")
+        .join(F.broadcast(dsum), "week")
+        .withColumn("est_uniques", w_est)
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("est_uniques") / F.col("exact_uniques") - 1.0),
+        )
+    )
+    return out.select(
+        (F.col("week") * 7 - 3).cast("long").alias("week_start_day"),
+        "n_days",
+        "exact_uniques",
+        "k_x",
+        "u_k",
+        F.round("est_uniques", 6).alias("est_uniques"),
+        F.round("sum_daily_est", 6).alias("sum_daily_est"),
+        F.round("rel_err", 6).alias("rel_err"),
+        (F.col("rel_err") <= 0.05).alias("within_005"),
+    )
+
+
+UNIQUES_WEEKLY_KMV_UNION_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events),
+hd AS (
+  SELECT DISTINCT day, CAST((day + 3) // 7 AS BIGINT) AS week,
+         ('0x' || substr(md5('wk:' || user_id::VARCHAR), 1, 13))::BIGINT AS u
+  FROM du),
+rk AS (
+  SELECT week, day, u,
+         row_number() OVER (PARTITION BY day ORDER BY u) AS r
+  FROM hd),
+daily AS (SELECT week, day, u FROM rk WHERE r <= {AUDIENCE_KMV_K}),
+dstats AS (
+  SELECT week, day, CAST(count(*) AS BIGINT) AS k_d, max(u) AS u_d
+  FROM daily GROUP BY 1, 2),
+dsum AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+         sum(CAST(round(
+           (CASE WHEN k_d < {AUDIENCE_KMV_K} THEN CAST(k_d AS DOUBLE)
+                 ELSE {AUDIENCE_KMV_K - 1}e0 * {_KMV_ONE} / u_d END) * 1e6
+         ) AS BIGINT)) / 1e6 AS sum_daily_est
+  FROM dstats GROUP BY 1),
+wk AS (SELECT DISTINCT week, u FROM daily),
+mrk AS (
+  SELECT week, u, row_number() OVER (PARTITION BY week ORDER BY u) AS r
+  FROM wk),
+merged AS (SELECT week, u FROM mrk WHERE r <= {AUDIENCE_KMV_K}),
+wstats AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS k_x, max(u) AS u_k
+  FROM merged GROUP BY 1),
+exact AS (
+  SELECT CAST((day + 3) // 7 AS BIGINT) AS week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques
+  FROM du GROUP BY 1),
+final AS (
+  SELECT e.week, d.n_days, e.exact_uniques, w.k_x, w.u_k,
+         CASE WHEN w.k_x < {AUDIENCE_KMV_K} THEN CAST(w.k_x AS DOUBLE)
+              ELSE {AUDIENCE_KMV_K - 1}e0 * {_KMV_ONE} / w.u_k
+         END AS est_uniques,
+         d.sum_daily_est
+  FROM exact e JOIN wstats w ON e.week = w.week
+  JOIN dsum d ON e.week = d.week)
+SELECT CAST(week * 7 - 3 AS BIGINT) AS week_start_day, n_days,
+       exact_uniques, k_x, u_k,
+       round(est_uniques, 6) AS est_uniques,
+       round(sum_daily_est, 6) AS sum_daily_est,
+       round(abs(est_uniques / exact_uniques - 1.0), 6) AS rel_err,
+       abs(est_uniques / exact_uniques - 1.0) <= 0.05 AS within_005
+FROM final
+"""
+
+
 # ------------------------------------------------- r7 wave 2: eval + audit
 
 

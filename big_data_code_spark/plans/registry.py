@@ -39,10 +39,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
-    # -- r10 prefix (50). ORDER (changed-first, then
-    #    oldest-evidence-next — the house rotation): positions 1-2
-    #    are the two NEW r10 entries (never driver-sampled);
-    #    3-6 are the queries whose plan code changed this round
+    # -- r10 prefix. ORDER (changed-first, then
+    #    oldest-evidence-next — the house rotation): positions 1-3
+    #    are the three NEW r10 entries (never driver-sampled);
+    #    4-7 are the queries whose plan code changed this round
     #    (unigram_logprob exact-BIGINT ln fold, cuped_abtest
     #    nullif/greatest guards, weighted_sample_es ln(0) clamp,
     #    pareto_user_concentration via the size-gated
@@ -50,12 +50,15 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    streaming queries (plans/speed.py was refactored this
     #    round to expose static audit twins through the same
     #    builder code — changed-first applies), ordered by oldest
-    #    last-green round; 22-47 are the 26 remaining r4-vintage
+    #    last-green round; then the 26 remaining r4-vintage
     #    entries (after r10 NO registry entry's latest driver
-    #    evidence predates r5); 48-50 are the three oldest
-    #    r5-vintage entries. Nothing about a query's semantics
-    #    depends on its position.
+    #    evidence predates r5); the window closes with the oldest
+    #    r5-vintage entries (the third of those, added when the
+    #    prefix was 50 long, now sits at position 51 just past the
+    #    window and keeps its r5 evidence). Nothing about a
+    #    query's semantics depends on its position.
     # -- NEW r10 (never sampled)
+    ("uniques_weekly_kmv_union", llm.uniques_weekly_kmv_union, llm.UNIQUES_WEEKLY_KMV_UNION_SQL),
     ("training_export_roundtrip", llm.training_export_roundtrip, llm.TRAINING_EXPORT_ROUNDTRIP_SQL),
     ("audience_overlap_sketch", llm.audience_overlap_sketch, llm.AUDIENCE_OVERLAP_SKETCH_SQL),
     # -- r10-changed plan code

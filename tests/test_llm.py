@@ -3845,6 +3845,66 @@ def test_audience_overlap_sketch_oracle_and_kmv_recompute(spark):
     assert r0["est_both"] == pytest.approx(est_both, abs=1e-5)
 
 
+def test_uniques_weekly_kmv_union_oracle_merge_and_recompute(spark):
+    """Oracle parity at both SFs, the exact-merge property (the
+    merged weekly top-K is the TRUE weekly top-K — recomputed with
+    hashlib from raw events), the ±5% relative accuracy contract,
+    and sum-of-daily >= merged union (the overcount the mergeable
+    path exists to avoid)."""
+    import datetime
+    import hashlib
+
+    from big_data_code_spark.plans.llm import (
+        _KMV_ONE,
+        AUDIENCE_KMV_K,
+        uniques_weekly_kmv_union,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    assert_matches_oracle(spark, "uniques_weekly_kmv_union", SF_SMOKE)
+    assert_matches_oracle(spark, "uniques_weekly_kmv_union", SF_CORRECT)
+
+    rows = uniques_weekly_kmv_union(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_005"] for r in rows)
+    for r in rows:
+        # a week's daily-unique sum can never undercount its union
+        assert r["sum_daily_est"] >= r["est_uniques"] - 1e-6
+
+    # hand-rebuild one week's merged sketch from the raw events:
+    # per-day K-smallest, merged K-smallest-of-union must equal the
+    # true weekly top-K (exact mergeability), and u_k must match
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    weeks: dict[int, dict[int, set]] = {}
+    for e in ev:
+        day = int(e["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() // 86400)
+        week = (day + 3) // 7
+        weeks.setdefault(week, {}).setdefault(day, set()).add(e["user_id"])
+    r0 = rows[0]
+    week0 = (r0["week_start_day"] + 3) // 7
+    days = weeks[week0]
+
+    def h(uid):
+        return int(hashlib.md5(f"wk:{uid}".encode()).hexdigest()[:13], 16)
+
+    daily_tops = [
+        sorted({h(uid) for uid in users})[:AUDIENCE_KMV_K]
+        for users in days.values()
+    ]
+    merged = sorted(set().union(*map(set, daily_tops)))[:AUDIENCE_KMV_K]
+    true_top = sorted({h(uid) for us in days.values() for uid in us})[
+        :AUDIENCE_KMV_K
+    ]
+    assert merged == true_top  # KMV merge is exact
+    assert r0["n_days"] == len(days)
+    assert r0["k_x"] == len(merged)
+    assert r0["u_k"] == merged[-1]
+    if len(merged) == AUDIENCE_KMV_K:
+        est = (AUDIENCE_KMV_K - 1) * float(_KMV_ONE) / merged[-1]
+    else:
+        est = float(len(merged))
+    assert r0["est_uniques"] == pytest.approx(est, abs=1e-5)
+
+
 def test_training_export_roundtrip_oracle_and_layout(spark, tmp_path):
     """Oracle match + the physical layout contract on a fresh
     export: one file per shard directory, rows inside in exact pos

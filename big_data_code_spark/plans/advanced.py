@@ -5934,3 +5934,185 @@ FROM terms
 
 
 EWMA_BACKTEST_MAPE_SQL = _ewma_backtest_sql()
+
+
+#: Kaplan-Meier administrative censoring cutoff: epoch day 11139 =
+#: 2000-07-01 UTC, inside the corpus calendar (orders 1995..2001) at
+#: every SF — the tiling generator never moves the calendar, so the
+#: cutoff censors a real fraction of orders at all scales.
+KM_CUTOFF_DAY = 11139
+
+
+def survival_km_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order ship lag (days from
+    order placement until the LAST lineitem ships) under
+    administrative right-censoring at `KM_CUTOFF_DAY` — the "how
+    long until fully shipped, accounting for orders still open at
+    the analysis date" estimator (reference analog: the batch-layer
+    time-bucket views of `BatchWorkflow.java`; KM per Kaplan &
+    Meier 1958). Orders placed on/before the cutoff enter the study;
+    an order whose last ship day lands on/before the cutoff is an
+    EVENT at lag = ship−order days; otherwise (ships later, or has
+    no lineitems at all) it is CENSORED at lag = cutoff−order days.
+
+    Estimator: at each observed lag t, with n_t orders at risk
+    (lag ≥ t) and d_t events at t, S(t) = Π_{t'≤t} (1 − d_t'/n_t')
+    and the Nelson-Aalen cumulative hazard H(t) = Σ d_t'/n_t'.
+    Float discipline (the `unigram_logprob` convention): each
+    ln(1 − d/n) and d/n term is quantized to the 1e-9 grid as an
+    exact BIGINT, the running products/sums are integer cumsums,
+    and only the final exp/divide is float (rounded to 1e-6) — so
+    Spark and DuckDB fold identically in any order. If some t has
+    d = n (everyone remaining fails) S is exactly 0 from t on,
+    flagged via a running indicator instead of ln(0).
+
+    100 TB shape: one per-order max-shipdate rollup (combinable),
+    one (lag, Σevent, Σcensored) combinable agg, one broadcast
+    1-row total; the running sums run over the LAG-GRAIN rollup
+    (bounded by the ship-lag calendar span — ≤ a few thousand rows
+    at any corpus size; the `open_orders_over_time` pattern), never
+    the fact table.
+
+    Returns (t_day, n_risk, d_events, c_censored, surv,
+    na_cumhaz) for observed lags, ordered rows by t_day.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("start_day"),
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.floor(F.max(F.unix_timestamp("l_shipdate")) / 86400)
+            .cast("long")
+            .alias("end_day")
+        )
+    )
+    base = (
+        orders.where(F.col("start_day") <= KM_CUTOFF_DAY)
+        .join(ends, orders.o_orderkey == ends.l_orderkey, "left")
+        .select(
+            F.when(
+                F.col("end_day").isNotNull()
+                & (F.col("end_day") <= KM_CUTOFF_DAY),
+                F.greatest(F.col("end_day") - F.col("start_day"), F.lit(0)),
+            )
+            .otherwise(F.lit(KM_CUTOFF_DAY) - F.col("start_day"))
+            .cast("long")
+            .alias("t_day"),
+            F.when(
+                F.col("end_day").isNotNull()
+                & (F.col("end_day") <= KM_CUTOFF_DAY),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("event"),
+        )
+    )
+    grain = base.groupBy("t_day").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_censored"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cur = (
+        grain.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(wprev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "ln_fp",
+            F.when(
+                F.col("d_events") < F.col("n_risk"),
+                F.expr(
+                    "CAST(round(ln((n_risk - d_events) / CAST(n_risk AS"
+                    " DOUBLE)) * 1e9) AS BIGINT)"
+                ),
+            ),
+        )
+        .withColumn(
+            "hz_fp",
+            F.expr(
+                "CAST(round(d_events / CAST(n_risk AS DOUBLE) * 1e9) AS"
+                " BIGINT)"
+            ),
+        )
+        .withColumn("dead", (F.col("d_events") >= F.col("n_risk")).cast("int"))
+    )
+    return cur.select(
+        "t_day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d_events",
+        "c_censored",
+        F.when(F.max("dead").over(w) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("ln_fp").over(w).cast("long") / 1e9), 6)
+        )
+        .alias("surv"),
+        F.round(F.sum("hz_fp").over(w).cast("long") / 1e9, 6).alias(
+            "na_cumhaz"
+        ),
+    )
+
+
+SURVIVAL_KM_SHIP_LAG_SQL = f"""
+WITH ends AS (
+  SELECT l_orderkey,
+         CAST(floor(max(epoch(l_shipdate)) / 86400) AS BIGINT) AS end_day
+  FROM lineitem GROUP BY 1),
+base AS (
+  SELECT CASE WHEN e.end_day IS NOT NULL AND e.end_day <= {KM_CUTOFF_DAY}
+              THEN greatest(e.end_day
+                     - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT), 0)
+              ELSE {KM_CUTOFF_DAY}
+                     - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+         END AS t_day,
+         CASE WHEN e.end_day IS NOT NULL AND e.end_day <= {KM_CUTOFF_DAY}
+              THEN 1 ELSE 0 END AS event
+  FROM orders o LEFT JOIN ends e ON o.o_orderkey = e.l_orderkey
+  WHERE CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+        <= {KM_CUTOFF_DAY}),
+grain AS (
+  SELECT t_day, CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(sum(1 - event) AS BIGINT) AS c_censored
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+cur AS (
+  SELECT t_day, d_events, c_censored,
+         n_total - coalesce(sum(d_events + c_censored) OVER (
+           ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n_risk
+  FROM grain CROSS JOIN tot),
+fp AS (
+  SELECT t_day, n_risk, d_events, c_censored,
+         CASE WHEN d_events < n_risk
+              THEN CAST(round(ln((n_risk - d_events)
+                     / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln_fp,
+         CAST(round(d_events / CAST(n_risk AS DOUBLE) * 1e9) AS BIGINT)
+           AS hz_fp,
+         CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM cur)
+SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+       CASE WHEN max(dead) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) > 0 THEN 0.0
+            ELSE round(exp(CAST(sum(ln_fp) OVER (ORDER BY t_day ROWS
+                BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                / 1e9), 6) END AS surv,
+       round(CAST(sum(hz_fp) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) / 1e9, 6) AS na_cumhaz
+FROM fp
+"""

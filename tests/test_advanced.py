@@ -1973,3 +1973,85 @@ def test_ewma_backtest_mape_oracle_and_brute(spark):
         assert abs(r["mape"] - s_ape / 1e6 / n) < 1e-12
         assert abs(r["naive_mape"] - s_nape / 1e6 / n) < 1e-12
         assert r["beats_naive"] == (s_ape < s_nape)
+
+
+def test_survival_km_ship_lag_oracle_and_brute(spark):
+    """Oracle parity at both SFs, plus a full brute-force KM
+    recompute from the raw orders/lineitem rows (durations,
+    censoring, risk sets, product-limit with the plan's exact
+    1e-9 integer quantization) and the estimator invariants:
+    S nonincreasing in [0,1], H nondecreasing, risk-set
+    conservation Σ(d+c) = n_total."""
+    import datetime
+    import math
+
+    from big_data_code_spark.plans.advanced import (
+        KM_CUTOFF_DAY,
+        survival_km_ship_lag,
+    )
+
+    assert_matches_oracle(spark, "survival_km_ship_lag", SF_SMOKE)
+    assert_matches_oracle(spark, "survival_km_ship_lag", SF_CORRECT)
+
+    rows = sorted(
+        survival_km_ship_lag(spark, SF_SMOKE).collect(),
+        key=lambda r: r["t_day"],
+    )
+    assert rows
+
+    def day(d):
+        return (
+            d.replace(tzinfo=datetime.timezone.utc).timestamp() // 86400
+        )
+
+    orders = {
+        r["o_orderkey"]: int(day(r["o_orderdate"]))
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+    ends = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg({"l_shipdate": "max"})
+        .collect()
+    ):
+        ends[r["l_orderkey"]] = int(day(r["max(l_shipdate)"]))
+
+    durs = []
+    for ok, start in orders.items():
+        if start > KM_CUTOFF_DAY:
+            continue
+        end = ends.get(ok)
+        if end is not None and end <= KM_CUTOFF_DAY:
+            durs.append((max(end - start, 0), 1))
+        else:
+            durs.append((KM_CUTOFF_DAY - start, 0))
+    total = len(durs)
+    assert sum(r["d_events"] + r["c_censored"] for r in rows) == total
+
+    grain: dict[int, list[int]] = {}
+    for t, e in durs:
+        g = grain.setdefault(t, [0, 0])
+        g[0] += e
+        g[1] += 1 - e
+    at_risk = total
+    ln_acc = 0
+    hz_acc = 0
+    dead = False
+    prev_surv = 1.0
+    for r in rows:
+        t = r["t_day"]
+        d, c = grain[t]
+        assert (r["d_events"], r["c_censored"], r["n_risk"]) == (d, c, at_risk)
+        hz_acc += round(d / at_risk * 1e9)
+        if d >= at_risk:
+            dead = True
+        else:
+            ln_acc += round(math.log((at_risk - d) / at_risk) * 1e9)
+        surv = 0.0 if dead else round(math.exp(ln_acc / 1e9), 6)
+        assert r["surv"] == pytest.approx(surv, abs=1e-12)
+        assert r["na_cumhaz"] == pytest.approx(round(hz_acc / 1e9, 6), abs=1e-12)
+        assert 0.0 <= r["surv"] <= prev_surv + 1e-12
+        prev_surv = r["surv"]
+        at_risk -= d + c
+    assert at_risk == 0

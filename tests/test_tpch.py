@@ -362,6 +362,7 @@ WINDOW_SORT_ALLOWED = {
     "cross_source_dedup_matrix": "rank over the |sources|^2 pair matrix",
     "market_basket_lift": "rank over the <=|brands|^2 lift cells",
     "open_orders_over_time": "running net over the calendar-day rollup",
+    "survival_km_ship_lag": "KM product over the ship-lag-day rollup (calendar-bounded)",
     "cusum_changepoint": "running-extrema windows over the calendar-day rollup",
     "streaming_cusum_monitor": "running-extrema windows over the calendar-day rollup (static twin)",
     "revenue_pattern_match": "pattern windows over the calendar-day rollup",

@@ -13281,3 +13281,109 @@ SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
 FROM f CROSS JOIN n
 GROUP BY fold, n_total
 """
+
+
+def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band data pruning (r10) — the "when less is more"
+    selection rule (Marion et al. 2023, arXiv:2309.04564): score
+    every document with the corpus unigram LM (`unigram_logprob` —
+    the CCNet-style proxy-perplexity signal), rank the corpus by
+    mean token logprob, and KEEP the middle band (25%, 75%] — the
+    published finding is that dropping both the most-predictable
+    tail (boilerplate) and the most-surprising tail (noise/garble)
+    beats either one-sided rule. Reference analog: the quality-gate
+    stage of the batch pipeline (`BatchWorkflow.java` view chain);
+    the band rule is public literature.
+
+    Determinism: mean_logprob is (exact BIGINT grid sum)/n_tokens —
+    identical IEEE operands in both engines — tie-broken by doc_id,
+    and the band test is pure integer arithmetic (4·rank vs n): no
+    float threshold to disagree about. Per-source means fold the
+    1e-6-grid logprob sums as exact BIGINTs (order-free).
+
+    100 TB shape: the LM scoring is `unigram_logprob`'s two
+    combinable shuffles + broadcast dictionary; the corpus-grain
+    rank is the two-pass range-partitioned rank (never a global
+    window sort); the readout is a |sources|-row rollup. The band
+    bounds need only the broadcast total n.
+
+    Returns one row per source: (source, n_docs, n_kept,
+    retention, kept_tokens, mean_lp_kept, mean_lp_dropped).
+    """
+    from ..operators.ranking import two_pass_ranks
+
+    scores = unigram_logprob(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = two_pass_ranks(
+        scores.join(src, "doc_id"),
+        [F.col("mean_logprob"), F.col("doc_id")],
+        [{"partition": (), "rank": "rn", "n": "n_total"}],
+    )
+    lp_fp = F.expr("CAST(round(logprob_sum * 1e6) AS BIGINT)")
+    kept = (4 * F.col("rn") > F.col("n_total")) & (
+        4 * F.col("rn") <= 3 * F.col("n_total")
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_tokens",
+            lp_fp.alias("lp_fp"),
+            kept.cast("int").alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_tokens"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum((1 - F.col("keep")) * F.col("n_tokens"))
+            .cast("long")
+            .alias("drop_tokens"),
+            F.sum(F.col("keep") * F.col("lp_fp")).cast("long").alias("kfp"),
+            F.sum((1 - F.col("keep")) * F.col("lp_fp"))
+            .cast("long")
+            .alias("dfp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_docs")).alias("retention"),
+            "kept_tokens",
+            F.round(
+                F.col("kfp") / 1e6 / F.expr("nullif(kept_tokens, 0)"), 9
+            ).alias("mean_lp_kept"),
+            F.round(
+                F.col("dfp") / 1e6 / F.expr("nullif(drop_tokens, 0)"), 9
+            ).alias("mean_lp_dropped"),
+        )
+    )
+
+
+PERPLEXITY_BAND_PRUNE_SQL = f"""
+WITH scores AS ({UNIGRAM_LOGPROB_SQL}),
+ranked AS (
+  SELECT s.doc_id, s.n_tokens, s.logprob_sum, d.source,
+         row_number() OVER (ORDER BY s.mean_logprob, s.doc_id) AS rn,
+         count(*) OVER () AS n_total
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id),
+flagged AS (
+  SELECT source, n_tokens,
+         CAST(round(logprob_sum * 1e6) AS BIGINT) AS lp_fp,
+         CASE WHEN 4 * rn > n_total AND 4 * rn <= 3 * n_total
+              THEN 1 ELSE 0 END AS keep
+  FROM ranked)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       sum(keep) / CAST(count(*) AS DOUBLE) AS retention,
+       CAST(sum(keep * n_tokens) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(keep * lp_fp) AS BIGINT) / 1e6
+             / nullif(CAST(sum(keep * n_tokens) AS BIGINT), 0), 9)
+         AS mean_lp_kept,
+       round(CAST(sum((1 - keep) * lp_fp) AS BIGINT) / 1e6
+             / nullif(CAST(sum((1 - keep) * n_tokens) AS BIGINT), 0), 9)
+         AS mean_lp_dropped
+FROM flagged
+GROUP BY source
+"""

@@ -58,6 +58,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    window and keeps its r5 evidence). Nothing about a
     #    query's semantics depends on its position.
     # -- NEW r10 (never sampled)
+    ("streaming_kmv_uniques", speed.streaming_kmv_uniques, speed.STREAMING_KMV_UNIQUES_SQL),
+    ("perplexity_band_prune", llm.perplexity_band_prune, llm.PERPLEXITY_BAND_PRUNE_SQL),
     ("survival_km_ship_lag", advanced.survival_km_ship_lag, advanced.SURVIVAL_KM_SHIP_LAG_SQL),
     ("uniques_weekly_kmv_union", llm.uniques_weekly_kmv_union, llm.UNIQUES_WEEKLY_KMV_UNION_SQL),
     ("training_export_roundtrip", llm.training_export_roundtrip, llm.TRAINING_EXPORT_ROUNDTRIP_SQL),

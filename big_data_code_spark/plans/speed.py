@@ -1688,6 +1688,165 @@ FROM s
 STREAMING_CUSUM_MONITOR_SQL = _streaming_cusum_sql()
 
 
+def _kmv_partial(events: DataFrame) -> DataFrame:
+    """Per-micro-batch KMV partial: the K smallest distinct 52-bit
+    md5 user hashes per event_type in this batch. KMV merge is
+    EXACT — every member of the union's true top-K is inside its
+    own batch's top-K — so appending these partials and re-ranking
+    reproduces the full-stream sketch hash-identically (the
+    `uniques_weekly_kmv_union` mergeability argument, applied on
+    the trigger axis instead of the calendar axis)."""
+    from ..operators.ranking import two_pass_ranks
+    from .llm import AUDIENCE_KMV_K
+
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('skmv:', CAST(user_id AS STRING))),"
+        " 1, 13), 16, 10) AS BIGINT)"
+    )
+    hashed = events.select("event_type", u.alias("u")).distinct()
+    return (
+        two_pass_ranks(
+            hashed,
+            [F.col("u")],
+            [{"partition": ("event_type",), "rank": "r"}],
+        )
+        .where(F.col("r") <= AUDIENCE_KMV_K)
+        .select("event_type", "u")
+    )
+
+
+def _kmv_serve(spark: SparkSession, partials: DataFrame, exact: DataFrame) -> DataFrame:
+    """Merge appended KMV partials (re-rank the union to K per key)
+    and join the accuracy contract: (event_type, k_x, u_k,
+    est_uniques, exact_uniques, rel_err, within_005)."""
+    from ..operators.ranking import two_pass_ranks
+    from .llm import _KMV_ONE, AUDIENCE_KMV_K
+
+    merged = two_pass_ranks(
+        partials.distinct(),
+        [F.col("u")],
+        [{"partition": ("event_type",), "rank": "r"}],
+    ).where(F.col("r") <= AUDIENCE_KMV_K)
+    stats = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_x"),
+        F.max("u").alias("u_k"),
+    )
+    est = F.when(
+        F.col("k_x") < AUDIENCE_KMV_K, F.col("k_x").cast("double")
+    ).otherwise(F.lit(float(AUDIENCE_KMV_K - 1)) * _KMV_ONE / F.col("u_k"))
+    return (
+        exact.join(F.broadcast(stats), "event_type")
+        .withColumn("est_uniques", F.round(est, 6))
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_uniques") / F.col("exact_uniques") - 1.0), 6
+            ),
+        )
+        .select(
+            "event_type",
+            "k_x",
+            "u_k",
+            "est_uniques",
+            "exact_uniques",
+            "rel_err",
+            (F.col("rel_err") <= 0.05).alias("within_005"),
+        )
+    )
+
+
+def streaming_kmv_uniques(
+    spark: SparkSession, sf_dir: str, _static: bool = False
+) -> DataFrame:
+    """Streaming KMV uniques sketch (r10) — the mergeable
+    MERGEABLE-INTERSECTION path of the speed layer: each micro-batch
+    folds its events into a K-smallest-hash partial appended to the
+    sink (fixed ≤ K-row per-key state per trigger, independent of
+    stream length — the CMS argument); the serve step re-ranks the
+    union, which reproduces the FULL-stream KMV sketch exactly
+    (KMV merge is exact, unlike HLL register merge which is
+    estimate-exact only). This is what lets the speed layer answer
+    overlap/Jaccard questions (`audience_overlap_sketch`) on live
+    data — HLL can union but cannot intersect.
+
+    Deterministic md5 hashes ⇒ the DuckDB oracle restates the
+    ENTIRE sketch (k_x, u_k) hash-exactly from raw events plus the
+    exact per-type uniques, and the ±5% estimate contract rides
+    along (K = 1024 ⇒ ~3% rel error; below K the sketch IS exact).
+    ≙ the reference's Trident uniques state
+    (`TridentSpeedLayer.java:64-80`), upgraded from opaque counts
+    to a mergeable signature.
+
+    ``_static=True``: one batch ≡ merged partials (exact
+    mergeability), so the audit twin is the IDENTICAL partial
+    builder over `_static_events` fed through the IDENTICAL serve
+    step — every streamed frame shape swept by CI.
+    """
+    import uuid as _uuid
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_uniques"))
+    )
+    if _static:
+        return _kmv_serve(
+            spark, _kmv_partial(_static_events(spark, sf_dir)), exact
+        )
+    src = _chunked_events_dir(spark, sf_dir)
+    sink = os.path.join(
+        tempfile.gettempdir(), f"kmv_stream_{_uuid.uuid4().hex[:10]}"
+    )
+    spark.createDataFrame([], "event_type string, u long").write.mode(
+        "overwrite"
+    ).parquet(sink)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        _kmv_partial(batch_df).write.mode("append").parquet(sink)
+
+    stream = sl.events_file_stream(spark, src, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    partials = spark.read.parquet(sink).localCheckpoint(eager=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return _kmv_serve(spark, partials, exact)
+
+
+def _streaming_kmv_sql() -> str:
+    from .llm import _KMV_ONE, AUDIENCE_KMV_K
+
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('skmv:' || user_id::VARCHAR), 1, 13))::BIGINT AS u
+  FROM events),
+rk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+  FROM hashed),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k_x, max(u) AS u_k
+  FROM rk WHERE r <= {AUDIENCE_KMV_K} GROUP BY 1),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques
+  FROM events GROUP BY 1),
+est AS (
+  SELECT e.event_type, s.k_x, s.u_k,
+         round(CASE WHEN s.k_x < {AUDIENCE_KMV_K} THEN CAST(s.k_x AS DOUBLE)
+                    ELSE {AUDIENCE_KMV_K - 1}e0 * {_KMV_ONE} / s.u_k END, 6)
+           AS est_uniques,
+         e.exact_uniques
+  FROM exact e JOIN stats s ON e.event_type = s.event_type)
+SELECT event_type, k_x, u_k, est_uniques, exact_uniques,
+       round(abs(est_uniques / exact_uniques - 1.0), 6) AS rel_err,
+       round(abs(est_uniques / exact_uniques - 1.0), 6) <= 0.05 AS within_005
+FROM est
+"""
+
+
+STREAMING_KMV_UNIQUES_SQL = _streaming_kmv_sql()
+
+
 # ----------------------------------------- CI plan-audit twins (r10)
 
 #: Static audit twins for EVERY streaming registry query (VERDICT
@@ -1726,5 +1885,6 @@ STREAMING_AUDIT_PLANS: dict = {
         ("streaming_scd2_customers", streaming_scd2_customers),
         ("streaming_psi_monitor", streaming_psi_monitor),
         ("streaming_cusum_monitor", streaming_cusum_monitor),
+        ("streaming_kmv_uniques", streaming_kmv_uniques),
     )
 }

@@ -3938,3 +3938,55 @@ def test_training_export_roundtrip_oracle_and_layout(spark, tmp_path):
     f = next(f for f in os.listdir(p) if f.endswith(".parquet"))
     pos = pq.read_table(os.path.join(p, f), columns=["pos"])["pos"].to_pylist()
     assert pos == list(range(1, len(pos) + 1))
+
+
+def test_perplexity_band_prune_oracle_and_brute(spark):
+    """Oracle parity at both SFs plus a hand recompute of the band
+    rule from the unigram scores: exact middle-(25,75] retention by
+    rank, per-source token-weighted means on the 1e-6 grid, and the
+    global invariant Σn_kept ≈ n_total/2 (±1 from the integer band
+    bounds)."""
+    from big_data_code_spark.plans.llm import (
+        perplexity_band_prune,
+        unigram_logprob,
+    )
+    from big_data_code_spark.sources.tables import load_table
+
+    assert_matches_oracle(spark, "perplexity_band_prune", SF_SMOKE)
+    assert_matches_oracle(spark, "perplexity_band_prune", SF_CORRECT)
+
+    rows = {r["source"]: r for r in perplexity_band_prune(spark, SF_SMOKE).collect()}
+    scores = {
+        r["doc_id"]: (r["mean_logprob"], r["logprob_sum"], r["n_tokens"])
+        for r in unigram_logprob(spark, SF_SMOKE).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    order = sorted(scores, key=lambda d: (scores[d][0], d))
+    n = len(order)
+    per_src: dict[str, list] = {}
+    for rn, d in enumerate(order, start=1):
+        keep = 4 * rn > n and 4 * rn <= 3 * n
+        per_src.setdefault(src[d], []).append((d, keep))
+    total_kept = sum(k for rs in per_src.values() for _, k in rs)
+    assert abs(total_kept - n / 2) <= 1
+    for s, rs in per_src.items():
+        kept_ids = [d for d, k in rs if k]
+        r = rows[s]
+        assert r["n_docs"] == len(rs)
+        assert r["n_kept"] == len(kept_ids)
+        assert r["retention"] == pytest.approx(len(kept_ids) / len(rs))
+        ktok = sum(scores[d][2] for d in kept_ids)
+        assert r["kept_tokens"] == ktok
+        kfp = sum(round(scores[d][1] * 1e6) for d in kept_ids)
+        if ktok:
+            assert r["mean_lp_kept"] == pytest.approx(
+                round(kfp / 1e6 / ktok, 9), abs=1e-12
+            )
+    # band sanity on the global order: everything below the 25th
+    # percentile rank and above the 75th is dropped
+    for rn, d in enumerate(order, start=1):
+        if 4 * rn <= n or 4 * rn > 3 * n:
+            assert not dict(per_src[src[d]])[d]

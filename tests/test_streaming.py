@@ -719,3 +719,43 @@ def test_streaming_cusum_monitor_matches_batch_and_reference_stats(spark):
             sn = max(0.0, sn - round((z + CUSUM_SLACK) * 1e6))
             assert abs(r["cusum_pos"] - sp / 1e6) < 1e-9, (et, r)
             assert abs(r["cusum_neg"] - sn / 1e6) < 1e-9, (et, r)
+
+
+def test_streaming_kmv_uniques_oracle_merge_and_recompute(spark):
+    """Oracle parity at both SFs; the streamed merged sketch must
+    equal the batch sketch computed in one pass over raw events
+    (hashlib recompute — KMV merge across micro-batches is exact),
+    and the static audit twin must produce the identical rows."""
+    import hashlib
+
+    from big_data_code_spark.plans.llm import AUDIENCE_KMV_K
+    from big_data_code_spark.plans.speed import streaming_kmv_uniques
+    from tests.conftest import SF_CORRECT
+
+    assert_matches_oracle(spark, "streaming_kmv_uniques", SF_SMOKE)
+    assert_matches_oracle(spark, "streaming_kmv_uniques", SF_CORRECT)
+
+    rows = {r["event_type"]: r for r in streaming_kmv_uniques(spark, SF_SMOKE).collect()}
+    static_rows = {
+        r["event_type"]: r
+        for r in streaming_kmv_uniques(spark, SF_SMOKE, _static=True).collect()
+    }
+    assert sorted(rows) == sorted(static_rows)
+
+    by_type: dict[str, set] = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    ):
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    for et, users in by_type.items():
+        hs = sorted(
+            int(hashlib.md5(f"skmv:{u}".encode()).hexdigest()[:13], 16)
+            for u in users
+        )[:AUDIENCE_KMV_K]
+        for got in (rows[et], static_rows[et]):
+            assert got["k_x"] == len(hs)
+            assert got["u_k"] == hs[-1]
+            assert got["exact_uniques"] == len(users)
+            assert got["within_005"]

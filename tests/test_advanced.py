@@ -2055,3 +2055,78 @@ def test_survival_km_ship_lag_oracle_and_brute(spark):
         prev_surv = r["surv"]
         at_risk -= d + c
     assert at_risk == 0
+
+
+def test_events_near_pairs_capped_oracle_brute_and_uncapped_identity(spark):
+    """Oracle parity at both SFs for the r10 successor-scan
+    re-contract, a brute-force recompute of the capped counts from
+    the raw events (sort per type by (us, eid), walk cap+1
+    successors), and the coverage identity: wherever the cap does
+    NOT bind, pairs-assigned-to-earlier-endpoint must equal the
+    uncapped query's exact in-window pair count."""
+    from big_data_code_spark.plans.advanced import (
+        NEAR_PAIRS_EVENT_CAP,
+        RANGE_JOIN_WINDOW_SECS,
+        events_near_pairs,
+        events_near_pairs_capped,
+    )
+
+    assert_matches_oracle(spark, "events_near_pairs_capped", SF_SMOKE)
+    assert_matches_oracle(spark, "events_near_pairs_capped", SF_CORRECT)
+
+    rows = {
+        r["event_type"]: r
+        for r in events_near_pairs_capped(spark, SF_SMOKE).collect()
+    }
+    from big_data_code_spark.functions.timebuckets import epoch_us
+    from big_data_code_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "event_id", epoch_us(F.col("ts")).alias("us"))
+        .collect()
+    )
+    w = RANGE_JOIN_WINDOW_SECS * 1_000_000
+    cap = NEAR_PAIRS_EVENT_CAP
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["us"], r["event_id"]))
+    uncapped = {
+        r["event_type"]: r["n_pairs"]
+        for r in events_near_pairs(spark, SF_SMOKE).collect()
+    }
+    for et, es in by_type.items():
+        es.sort()
+        n_pairs = n_with = n_at = 0
+        exact_pairs = 0
+        for i, (us_a, _) in enumerate(es):
+            hits = 0
+            for j in range(i + 1, len(es)):
+                if es[j][0] - us_a <= w:
+                    hits += 1
+                else:
+                    break
+            exact_pairs += hits
+            n_pairs += min(hits, cap)
+            n_with += 1 if hits >= 1 else 0
+            n_at += 1 if hits >= cap + 1 else 0
+        # a type with zero in-window successors emits no row (both
+        # engines agree — the groupBy sees no hits)
+        got = rows.get(et)
+        got_t = (
+            (
+                got["n_pairs_capped"],
+                got["n_events_with_partners"],
+                got["n_events_at_cap"],
+            )
+            if got is not None
+            else (0, 0, 0)
+        )
+        assert got_t == (n_pairs, n_with, n_at)
+        # earlier-endpoint assignment covers every unordered pair
+        # exactly once — when no event hits the cap the capped count
+        # IS the exact pair mass (cross-plan identity vs the
+        # uncapped query's all-pairs join)
+        assert exact_pairs == uncapped.get(et, 0)
+        if n_at == 0:
+            assert n_pairs == uncapped.get(et, 0)

@@ -11,15 +11,13 @@ in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
 VERDICT r5 #6). The cumulative round-driver union r1-r9 covers all
 269 carried-over entries, none failing its latest check (VERDICT
-r9). The r10 prefix leads with the 2 NEW r10 entries
-(training_export_roundtrip, audience_overlap_sketch), then the 4
+r9). The r10 prefix leads with the 6 NEW r10 entries, then the 6
 queries whose plan code changed this round, then ALL 15
 oracle-backed streaming queries (plans/speed.py was refactored to
-expose static audit twins), then the 26 remaining r4-vintage and 3
-oldest r5-vintage entries — after r10 no entry's latest driver
-evidence predates r5. See the inline comments at the list, which
-are the authoritative description. Nothing about a query's
-semantics depends on its position.
+expose static audit twins), then the oldest-evidence r4-vintage
+fill. See the inline comments at the list, which are the
+authoritative description. Nothing about a query's semantics
+depends on its position.
 
 Every oracle-backed query has ALSO been verified locally by
 tools/driver_check.py full sweeps (plain stock session) at sf0.01;
@@ -40,23 +38,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # -- r10 prefix. ORDER (changed-first, then
-    #    oldest-evidence-next — the house rotation): positions 1-3
-    #    are the three NEW r10 entries (never driver-sampled);
-    #    4-7 are the queries whose plan code changed this round
+    #    oldest-evidence-next — the house rotation): positions 1-6
+    #    are the six NEW r10 entries (never driver-sampled);
+    #    7-12 are the queries whose plan code changed this round
     #    (unigram_logprob exact-BIGINT ln fold, cuped_abtest
     #    nullif/greatest guards, weighted_sample_es ln(0) clamp,
     #    pareto_user_concentration via the size-gated
-    #    two_pass_ranks fast path); 7-21 are ALL 15 oracle-backed
-    #    streaming queries (plans/speed.py was refactored this
-    #    round to expose static audit twins through the same
-    #    builder code — changed-first applies), ordered by oldest
-    #    last-green round; then the 26 remaining r4-vintage
-    #    entries (after r10 NO registry entry's latest driver
-    #    evidence predates r5); the window closes with the oldest
-    #    r5-vintage entries (the third of those, added when the
-    #    prefix was 50 long, now sits at position 51 just past the
-    #    window and keeps its r5 evidence). Nothing about a
-    #    query's semantics depends on its position.
+    #    two_pass_ranks fast path, events_near_pairs(+_capped)
+    #    re-planned onto the merge-count kernel); 13-27 are ALL 15
+    #    oracle-backed streaming queries (plans/speed.py was
+    #    refactored this round to expose static audit twins through
+    #    the same builder code — changed-first applies), ordered by
+    #    oldest last-green round; 28-50 are the first 23 of the 26
+    #    remaining r4-vintage entries. The prefix growth pushes 5
+    #    entries past the 50-entry driver window: 3 r4-vintage
+    #    (lang_id_confusion, dedup_eval_pr, zorder_layout_keys, at
+    #    51-53) and 2 r5-vintage (top_users_by_event_type,
+    #    lambda_merged_uniques_hll, at 54-55) — they keep their
+    #    old driver evidence plus this session's full local sweep,
+    #    and MUST lead the r11 prefix (changed-first permitting).
+    #    Nothing about a query's semantics depends on its position.
     # -- NEW r10 (never sampled)
     ("streaming_kmv_uniques", speed.streaming_kmv_uniques, speed.STREAMING_KMV_UNIQUES_SQL),
     ("perplexity_band_prune", llm.perplexity_band_prune, llm.PERPLEXITY_BAND_PRUNE_SQL),
@@ -69,6 +70,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("cuped_abtest", advanced.cuped_abtest, advanced.CUPED_ABTEST_SQL),
     ("weighted_sample_es", llm.weighted_sample_es, llm.WEIGHTED_SAMPLE_ES_SQL),
     ("pareto_user_concentration", advanced.pareto_user_concentration, advanced.PARETO_USER_CONCENTRATION_SQL),
+    ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
+    ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
     # -- all oracle-backed streaming queries (speed.py refactor), oldest first
     ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
     ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
@@ -114,7 +117,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("zorder_layout_keys", advanced.zorder_layout_keys, advanced.ZORDER_LAYOUT_KEYS_SQL),
     # -- oldest r5-vintage
     ("top_users_by_event_type", tpch.top_users_by_event_type, tpch.TOP_USERS_SQL),
-    ("events_near_pairs", advanced.events_near_pairs, advanced.EVENTS_NEAR_PAIRS_SQL),
     ("lambda_merged_uniques_hll", speed.lambda_merged_uniques_hll, speed.LAMBDA_MERGED_UNIQUES_SQL),
     # -- 51+: remaining entries, prior relative order; after the
     #    r10 prefix lands, cumulative round-driver union = all 271
@@ -135,7 +137,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("order_value_quantiles_exact", advanced.order_value_quantiles_exact, advanced.ORDER_VALUE_QUANTILES_EXACT_SQL),
     ("gini_user_concentration", advanced.gini_user_concentration, advanced.GINI_USER_CONCENTRATION_SQL),
     ("hill_tail_index", advanced.hill_tail_index, advanced.HILL_TAIL_INDEX_SQL),
-    ("events_near_pairs_capped", advanced.events_near_pairs_capped, advanced.EVENTS_NEAR_PAIRS_CAPPED_SQL),
     ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
     ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),

@@ -6096,3 +6096,150 @@ SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
            PRECEDING AND CURRENT ROW) AS BIGINT) / 1e9, 6) AS na_cumhaz
 FROM fp
 """
+
+
+def holt_backtest_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast backtest + model selection (r10)
+    — the next rung above `ewma_backtest_mape`: for every day
+    t ≥ 3 forecast the per-type daily volume from the STRICT
+    prefix under THREE models — persistence (f = x_{t−1}), EWMA
+    (α = 1/2 level fold), and Holt's linear method (α = 1/2,
+    β = 1/4: l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, f = l+b; Holt 1957) —
+    and report each model's MAPE plus the per-type winner. The
+    α/β halves/quarters are exact binary fractions and BOTH
+    engines run the IDENTICAL recursion over the identical
+    day-sorted array, so the folds agree bit-for-bit (the
+    `ewma_backtest_mape` argument); per-term ratios are quantized
+    to the 1e-6 grid before the order-free BIGINT sums, and the
+    winner is an integer-sum comparison (ties prefer the simpler
+    model: naive, then ewma, then holt).
+
+    100 TB shape: one combinable (type, day) rollup; the O(days²)
+    prefix folds run on arrays bounded by the CALENDAR, never the
+    corpus (the house `collect_list` contract).
+
+    Returns (event_type, n_evals, naive_mape, ewma_mape,
+    holt_mape, best_model).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("day", F.col("cnt").cast("double").alias("v"))
+            )
+        ).alias("xs")
+    )
+    ewma_fold = (
+        "aggregate(slice(xs, 1, t - 1), CAST(NULL AS DOUBLE),"
+        " (a, s) -> CASE WHEN a IS NULL THEN s.v"
+        " ELSE a * 0.5d + s.v * 0.5d END)"
+    )
+    holt_fold = (
+        "aggregate(slice(xs, 3, t - 3),"
+        " named_struct('l', CAST(xs[1].v AS DOUBLE),"
+        "              'b', xs[1].v - xs[0].v),"
+        " (a, s) -> named_struct("
+        "   'l', 0.5d * s.v + 0.5d * (a.l + a.b),"
+        "   'b', 0.25d * ((0.5d * s.v + 0.5d * (a.l + a.b)) - a.l)"
+        "        + 0.75d * a.b))"
+    )
+    grid = "CAST(round(abs(xs[t-1].v - ({f})) / xs[t-1].v * 1e6) AS BIGINT)"
+    terms = (
+        "transform(sequence(3, size(xs)), t -> named_struct("
+        "  'n', " + grid.format(f="xs[t-2].v") + ","
+        "  'e', " + grid.format(f=ewma_fold) + ","
+        "  'h', " + grid.format(f=f"({holt_fold}).l + ({holt_fold}).b")
+        + "))"
+    )
+    # filter BEFORE building terms: under ANSI mode a size < 3 row
+    # would hit sequence(3, size) descending and negative indexing
+    t = arrs.where(F.expr("size(xs) >= 3")).select(
+        "event_type",
+        F.expr("size(xs) - 2").cast("long").alias("n_evals"),
+        F.expr(terms).alias("ts"),
+    )
+    s_n = "aggregate(ts, 0L, (a, s) -> a + s.n)"
+    s_e = "aggregate(ts, 0L, (a, s) -> a + s.e)"
+    s_h = "aggregate(ts, 0L, (a, s) -> a + s.h)"
+    return t.select(
+        "event_type",
+        "n_evals",
+        F.expr(f"{s_n} / 1e6 / n_evals").alias("naive_mape"),
+        F.expr(f"{s_e} / 1e6 / n_evals").alias("ewma_mape"),
+        F.expr(f"{s_h} / 1e6 / n_evals").alias("holt_mape"),
+        F.expr(
+            f"CASE WHEN {s_n} <= {s_e} AND {s_n} <= {s_h} THEN 'naive'"
+            f" WHEN {s_e} <= {s_h} THEN 'ewma' ELSE 'holt' END"
+        ).alias("best_model"),
+    )
+
+
+def _holt_backtest_sql() -> str:
+    # DuckDB restatement: same day-sorted array, IDENTICAL EWMA and
+    # Holt recursions (α = 1/2, β = 1/4 — exact binary fractions;
+    # operand order matches the Spark folds token for token, so the
+    # doubles agree bit-for-bit), same 1e-6 grid sums. list_reduce
+    # has no init arg, so the Holt fold seeds the list with the
+    # (l₂, b₂) state struct and the remaining elements carry x in
+    # their `l` slot.
+    ewma_fold = (
+        "list_reduce(list_transform(xs[1 : t - 1], s -> s.v),"
+        " (a, b) -> a * 0.5 + b * 0.5)"
+    )
+    # DuckDB FOOTGUN (measured this round): a struct_pack-built
+    # list_reduce accumulator applies its fields SEQUENTIALLY — the
+    # second field's expression sees the first field's NEW value
+    # (l updated before b reads a.l), silently diverging from the
+    # simultaneous-update recursion. A LIST accumulator ([l, b])
+    # evaluates both elements against the OLD state, matching
+    # Spark's named_struct semantics — verified element-wise.
+    holt_fold = (
+        "list_reduce(list_concat("
+        " [[xs[2].v + 0.0, xs[2].v - xs[1].v]],"
+        " list_transform(xs[3 : t - 1], x -> [x.v + 0.0, 0.0])),"
+        " (a, s) -> ["
+        "   0.5 * s[1] + 0.5 * (a[1] + a[2]),"
+        "   0.25 * ((0.5 * s[1] + 0.5 * (a[1] + a[2])) - a[1])"
+        "        + 0.75 * a[2]])"
+    )
+    grid = "CAST(round(abs(xs[t].v - ({f})) / xs[t].v * 1e6) AS BIGINT)"
+    g_n = grid.format(f="xs[t-1].v")
+    g_e = grid.format(f=ewma_fold)
+    g_h = grid.format(f=f"({holt_fold})[1] + ({holt_fold})[2]")
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+arrs AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(day := day, v := CAST(cnt AS DOUBLE))))
+           AS xs
+  FROM daily GROUP BY 1),
+terms AS (
+  SELECT event_type, CAST(len(xs) - 2 AS BIGINT) AS n_evals,
+         list_transform(range(3, len(xs) + 1), t -> struct_pack(
+           n := {g_n}, e := {g_e}, h := {g_h})) AS ts
+  FROM arrs WHERE len(xs) >= 3),
+sums AS (
+  SELECT event_type, n_evals,
+         list_reduce(list_transform(ts, s -> s.n), (a, b) -> a + b) AS sn,
+         list_reduce(list_transform(ts, s -> s.e), (a, b) -> a + b) AS se,
+         list_reduce(list_transform(ts, s -> s.h), (a, b) -> a + b) AS sh
+  FROM terms)
+SELECT event_type, n_evals,
+       sn / 1e6 / n_evals AS naive_mape,
+       se / 1e6 / n_evals AS ewma_mape,
+       sh / 1e6 / n_evals AS holt_mape,
+       CASE WHEN sn <= se AND sn <= sh THEN 'naive'
+            WHEN se <= sh THEN 'ewma' ELSE 'holt' END AS best_model
+FROM sums
+"""
+
+
+HOLT_BACKTEST_MODEL_SELECT_SQL = _holt_backtest_sql()

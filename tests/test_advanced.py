@@ -2130,3 +2130,66 @@ def test_events_near_pairs_capped_oracle_brute_and_uncapped_identity(spark):
         assert exact_pairs == uncapped.get(et, 0)
         if n_at == 0:
             assert n_pairs == uncapped.get(et, 0)
+
+
+def test_holt_backtest_model_select_oracle_and_brute(spark):
+    """Oracle parity at both SFs plus a full Python recompute of
+    all three backtests (persistence / EWMA / Holt α=1/2 β=1/4)
+    from the raw daily counts, with the plan's exact 1e-6 term
+    quantization and tie-break rules."""
+    from big_data_code_spark.plans.advanced import (
+        holt_backtest_model_select,
+    )
+
+    assert_matches_oracle(spark, "holt_backtest_model_select", SF_SMOKE)
+    assert_matches_oracle(spark, "holt_backtest_model_select", SF_CORRECT)
+
+    rows = {
+        r["event_type"]: r
+        for r in holt_backtest_model_select(spark, SF_SMOKE).collect()
+    }
+    daily: dict[str, dict[int, int]] = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .collect()
+    ):
+        d = daily.setdefault(r["event_type"], {})
+        d[r["day"]] = d.get(r["day"], 0) + 1
+    for et, dd in daily.items():
+        xs = [float(dd[k]) for k in sorted(dd)]
+        if len(xs) < 3:
+            assert et not in rows
+            continue
+        sn = se = sh = 0
+        for t in range(3, len(xs) + 1):
+            x = xs[t - 1]
+            # naive
+            sn += round(abs(x - xs[t - 2]) / x * 1e6)
+            # ewma alpha=1/2 over strict prefix
+            e = xs[0]
+            for v in xs[1 : t - 1]:
+                e = e * 0.5 + v * 0.5
+            se += round(abs(x - e) / x * 1e6)
+            # holt: init at element 2
+            l, b = xs[1], xs[1] - xs[0]
+            for v in xs[2 : t - 1]:
+                ln = 0.5 * v + 0.5 * (l + b)
+                b = 0.25 * (ln - l) + 0.75 * b
+                l = ln
+            sh += round(abs(x - (l + b)) / x * 1e6)
+        n = len(xs) - 2
+        got = rows[et]
+        assert got["n_evals"] == n
+        assert got["naive_mape"] == pytest.approx(sn / 1e6 / n, abs=1e-12)
+        assert got["ewma_mape"] == pytest.approx(se / 1e6 / n, abs=1e-12)
+        assert got["holt_mape"] == pytest.approx(sh / 1e6 / n, abs=1e-12)
+        best = (
+            "naive"
+            if sn <= se and sn <= sh
+            else ("ewma" if se <= sh else "holt")
+        )
+        assert got["best_model"] == best

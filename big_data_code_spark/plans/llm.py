@@ -13387,3 +13387,115 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM flagged
 GROUP BY source
 """
+
+
+#: Sample size for the cluster-weighted draw; the 1e-6 key grid
+#: (NOT `_ES_KEY_GRID`) is the overflow audit: |ln(u)| < 37, so
+#: |key_fp| < 37·cluster_size·1e6 — inside BIGINT up to
+#: 2.5e11-member clusters (no real corpus clusters harder).
+DEDUP_WEIGHTED_K = 50
+_DWS_KEY_GRID = 1e6
+
+
+def dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-cluster-weighted sampling (r10) — the sampling rule
+    the dedup literature actually motivates (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping duplicates, weight each doc by
+    1/|its near-dup cluster| so every CLUSTER contributes unit
+    probability mass and boilerplate families stop dominating the
+    sample. Composition: `dedup_corpus_final`'s LSH→CC cluster map
+    (unchanged) × the `weighted_sample_es` A-Res draw — the ES key
+    ln(u)/w with w = 1/size becomes ln(u)·cluster_size (more
+    members ⇒ more negative key ⇒ proportionally less likely that
+    any ONE member ranks high, while the cluster's best member
+    keeps unit-mass odds).
+
+    Determinism: u from 52 md5 bits of 'dws:'||doc_id with the
+    ln(0) clamp; key on the 1e-6 grid (see the overflow note at
+    `_DWS_KEY_GRID`); top-K on the unique (key_fp DESC, doc_id)
+    order via TakeOrdered per-partition heaps — no global sort.
+
+    100 TB shape: the dedup is the cost (shared, cacheable); on top
+    sit one cluster-size rollup, one equi-join back on
+    canonical_id, a map-side key expression and a K-row heap merge.
+
+    Returns the K sample rows (doc_id, canonical_id, cluster_size,
+    es_key_fp).
+    """
+    base = dedup_corpus_final(spark, sf_dir)
+    cs = base.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    u = (
+        F.expr(
+            "conv(substring(md5(concat('dws:', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
+        ).cast("long")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    keyed = base.join(cs, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        u.alias("u"),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.expr(
+            "CAST(round(ln(greatest(u, 1.1102230246251565e-16))"
+            f" * cluster_size * {_DWS_KEY_GRID}) AS BIGINT)"
+        ).alias("es_key_fp"),
+    )
+    return keyed.orderBy(
+        F.desc("es_key_fp"), F.asc("doc_id")
+    ).limit(DEDUP_WEIGHTED_K)
+
+
+DEDUP_WEIGHTED_SAMPLE_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_SQL},
+pairs AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 17),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 16.0
+        >= {MINHASH_LSH_THRESHOLD}
+),
+undirected AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM undirected),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM undirected u JOIN reach ON u.b = reach.node
+),
+mapping AS (
+  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+),
+clustered AS (
+  SELECT c.doc_id,
+         CAST(coalesce(m.component, c.doc_id) AS BIGINT) AS canonical_id
+  FROM corpus c LEFT JOIN mapping m ON c.doc_id = m.doc_id
+),
+cs AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clustered GROUP BY 1
+),
+keyed AS (
+  SELECT k.doc_id, k.canonical_id, cs.cluster_size,
+         CAST(round(ln(greatest(
+             ('0x' || substr(md5('dws:' || k.doc_id::VARCHAR), 1, 13))::BIGINT
+               / 4503599627370496e0, 1.1102230246251565e-16))
+           * cs.cluster_size * {_DWS_KEY_GRID}) AS BIGINT) AS es_key_fp
+  FROM clustered k JOIN cs ON k.canonical_id = cs.canonical_id)
+SELECT doc_id, canonical_id, cluster_size, es_key_fp
+FROM keyed ORDER BY es_key_fp DESC, doc_id LIMIT {DEDUP_WEIGHTED_K}
+"""

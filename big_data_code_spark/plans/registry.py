@@ -11,7 +11,7 @@ in insertion order, so the prefix is kept 100% oracle-backed and is
 rotated each round (changed-first, then oldest-evidence-next —
 VERDICT r5 #6). The cumulative round-driver union r1-r9 covers all
 269 carried-over entries, none failing its latest check (VERDICT
-r9). The r10 prefix leads with the 7 NEW r10 entries, then the 6
+r9). The r10 prefix leads with the 8 NEW r10 entries, then the 6
 queries whose plan code changed this round, then ALL 15
 oracle-backed streaming queries (plans/speed.py was refactored to
 expose static audit twins), then the oldest-evidence r4-vintage
@@ -38,29 +38,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (name, callable, oracle SQL | None), in driver-sample order.
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # -- r10 prefix. ORDER (changed-first, then
-    #    oldest-evidence-next — the house rotation): positions 1-7
-    #    are the seven NEW r10 entries (never driver-sampled);
-    #    8-13 are the queries whose plan code changed this round
+    #    oldest-evidence-next — the house rotation): positions 1-8
+    #    are the eight NEW r10 entries (never driver-sampled);
+    #    9-14 are the queries whose plan code changed this round
     #    (unigram_logprob exact-BIGINT ln fold, cuped_abtest
     #    nullif/greatest guards, weighted_sample_es ln(0) clamp,
     #    pareto_user_concentration via the size-gated
     #    two_pass_ranks fast path, events_near_pairs(+_capped)
-    #    re-planned onto the merge-count kernel); 14-28 are ALL 15
+    #    re-planned onto the merge-count kernel); 15-29 are ALL 15
     #    oracle-backed streaming queries (plans/speed.py was
     #    refactored this round to expose static audit twins through
     #    the same builder code — changed-first applies), ordered by
-    #    oldest last-green round; 29-50 are the first 22 of the 26
-    #    remaining r4-vintage entries. The prefix growth pushes 6
-    #    entries past the 50-entry driver window: 4 r4-vintage
-    #    (skew_salted_quantity, lang_id_confusion, dedup_eval_pr,
-    #    zorder_layout_keys, at 51-54) and 2 r5-vintage
-    #    (top_users_by_event_type, lambda_merged_uniques_hll, at
-    #    55-56) — they keep their
+    #    oldest last-green round; 30-50 are the first 21 of the 26
+    #    remaining r4-vintage entries. The prefix growth pushes 7
+    #    entries past the 50-entry driver window: 5 r4-vintage
+    #    (multimodal_phash_dedup, skew_salted_quantity,
+    #    lang_id_confusion, dedup_eval_pr, zorder_layout_keys, at
+    #    51-55) and 2 r5-vintage (top_users_by_event_type,
+    #    lambda_merged_uniques_hll, at 56-57) — they keep their
     #    old driver evidence plus this session's full local sweep,
     #    and MUST lead the r11 prefix (changed-first permitting).
     #    Nothing about a query's semantics depends on its position.
     # -- NEW r10 (never sampled)
     ("holt_backtest_model_select", advanced.holt_backtest_model_select, advanced.HOLT_BACKTEST_MODEL_SELECT_SQL),
+    ("dedup_weighted_sample", llm.dedup_weighted_sample, llm.DEDUP_WEIGHTED_SAMPLE_SQL),
     ("streaming_kmv_uniques", speed.streaming_kmv_uniques, speed.STREAMING_KMV_UNIQUES_SQL),
     ("perplexity_band_prune", llm.perplexity_band_prune, llm.PERPLEXITY_BAND_PRUNE_SQL),
     ("survival_km_ship_lag", advanced.survival_km_ship_lag, advanced.SURVIVAL_KM_SHIP_LAG_SQL),

@@ -3990,3 +3990,47 @@ def test_perplexity_band_prune_oracle_and_brute(spark):
     for rn, d in enumerate(order, start=1):
         if 4 * rn <= n or 4 * rn > 3 * n:
             assert not dict(per_src[src[d]])[d]
+
+
+def test_dedup_weighted_sample_oracle_and_recompute(spark):
+    """Oracle parity at both SFs plus a full hashlib recompute of
+    the inverse-cluster A-Res draw from the cluster map: every
+    sampled row's key, grid value, cluster size, and rank must
+    match the brute-force top-K exactly."""
+    import hashlib
+    import math
+
+    from big_data_code_spark.plans.llm import (
+        _DWS_KEY_GRID,
+        DEDUP_WEIGHTED_K,
+        dedup_corpus_final,
+        dedup_weighted_sample,
+    )
+
+    assert_matches_oracle(spark, "dedup_weighted_sample", SF_SMOKE)
+    assert_matches_oracle(spark, "dedup_weighted_sample", SF_CORRECT)
+
+    got = dedup_weighted_sample(spark, SF_SMOKE).collect()
+    assert len(got) == DEDUP_WEIGHTED_K
+
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus_final(spark, SF_SMOKE).collect()
+    }
+    sizes: dict[int, int] = {}
+    for c in clusters.values():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    eps = 1.1102230246251565e-16
+    keys = []
+    for d, c in clusters.items():
+        u = int(hashlib.md5(f"dws:{d}".encode()).hexdigest()[:13], 16) / 4503599627370496.0
+        keys.append(
+            (round(math.log(max(u, eps)) * sizes[c] * _DWS_KEY_GRID), -d, d, c)
+        )
+    keys.sort(reverse=True)
+    expect = keys[:DEDUP_WEIGHTED_K]
+    for row, (kfp, _, d, c) in zip(got, expect):
+        assert (row["doc_id"], row["canonical_id"], row["cluster_size"], row["es_key_fp"]) == (
+            d, c, sizes[c], kfp
+        )

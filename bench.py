@@ -331,6 +331,12 @@ BENCH_QUERIES = (
     # r10 operators:
     "training_export_roundtrip",
     "audience_overlap_sketch",
+    "uniques_weekly_kmv_union",
+    "survival_km_ship_lag",
+    "perplexity_band_prune",
+    "streaming_kmv_uniques",
+    "holt_backtest_model_select",
+    "dedup_weighted_sample",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

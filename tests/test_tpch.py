@@ -127,6 +127,12 @@ BNLJ_ALLOWED = {
                                  # the LM's normalizing constants
     "perplexity_filter",         # inherits unigram_logprob's (N, V)
                                  # scalar broadcast
+    "perplexity_band_prune",     # r10: inherits unigram_logprob's
+                                 # (N, V) scalar broadcast under the
+                                 # two-pass band rank
+    "survival_km_ship_lag",      # r10: one-row n_total (risk-set
+                                 # seed) broadcast onto the
+                                 # lag-grain rollup
     "bigram_logprob",            # single-row vocabulary-size scalar
                                  # broadcast (same shape as unigram)
     "corpus_drift",              # single-row (sum_master, sum_batch)

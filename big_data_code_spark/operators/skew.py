@@ -121,3 +121,25 @@ def salted_broadcast_left_join(
         salted_left.join(F.broadcast(salted_right), [key, "_salt"])
         .drop("_salt")
     )
+
+
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Input-parallelism floor for compute-heavy map work (guide
+    §2.5 "input skew": one small file = one scan task, so an
+    expression-heavy map or a generator fan-out directly on the scan
+    serializes on one core).
+
+    Round-robin repartitions to the session's default parallelism
+    ONLY when the frame's current partitioning is narrower — on a
+    real cluster where scans are already wide this is a no-op (no
+    shuffle is inserted), so it is scale-adaptive rather than a
+    local-mode constant. Use it immediately before per-row work that
+    is much heavier than the row's bytes (hash fan-outs, codecs,
+    signature computation); do NOT use it before plain aggregations,
+    where the scan is already the cheapest pass.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -5103,11 +5103,16 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (n_orders, n_replicates, mean_value, ci_lo, ci_hi).
     """
+    from ..operators.skew import widen_for_compute
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    fan = orders.select(
+    # r10: the ×B md5 fan-out is ~B× heavier than the scan; floor the
+    # scan's parallelism so it doesn't serialize on one small file's
+    # single task (no-op on wide cluster scans).
+    fan = widen_for_compute(orders).select(
         "o_orderkey",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),

@@ -5029,6 +5029,14 @@ def _qlt_std_frames(labeled: DataFrame):
     (`_qlt_std_consts`), so the frozen serving constants can never
     diverge from what training standardizes with (r7 review — the
     helper previously re-implemented this derivation verbatim)."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: three consumers (stats1, the z-frame, stats2 through it)
+    # would each re-run the tokenize-heavy feature pass — persist the
+    # labeled frame once (tracked, so harness loops release it).
+    labeled = track_persisted(labeled.persist(StorageLevel.MEMORY_AND_DISK))
     stats1 = labeled.agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -5139,27 +5147,35 @@ def quality_logit_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    labeled = _qlt_labeled_std(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from ..cacheutil import track_persisted
+
+    labeled = track_persisted(
+        _qlt_labeled_std(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from ..session import no_aqe
+
     wrow = _qlt_w0(spark)
     out_rounds = []
-    for rnd in range(1, QL_TRAIN_ROUNDS + 1):
-        wrow = _qlt_round_step(labeled, wrow)
-        # 1-row, executor-side; truncates the doubled-per-round lineage
-        # (round k references round k-1 twice) to keep analysis linear.
-        wrow = wrow.localCheckpoint(eager=True)
-        out_rounds.append(
-            wrow.select(
-                F.lit(rnd).cast("long").alias("round"),
-                F.col("wb").alias("w_bias"),
-                F.col("ws").alias("w_stop"),
-                F.col("wp").alias("w_punct"),
-                F.col("wm").alias("w_mtl"),
-                F.col("wt").alias("w_sat"),
-                F.col("wu").alias("w_sat2"),
+    cols = _qlt_round_cols()  # r10: parse expressions once, not per round
+    report = [
+        F.col("wb").alias("w_bias"),
+        F.col("ws").alias("w_stop"),
+        F.col("wp").alias("w_punct"),
+        F.col("wm").alias("w_mtl"),
+        F.col("wt").alias("w_sat"),
+        F.col("wu").alias("w_sat2"),
+    ]
+    # r10: AQE off for the fixed-shape round loop — it adds a shuffle-
+    # materialization job per round and can improve nothing here.
+    with no_aqe(spark):
+        for rnd in range(1, QL_TRAIN_ROUNDS + 1):
+            wrow = _qlt_round_step(labeled, wrow, cols)
+            # 1-row, executor-side; truncates the doubled-per-round lineage
+            # (round k references round k-1 twice) to keep analysis linear.
+            wrow = wrow.localCheckpoint(eager=True)
+            out_rounds.append(
+                wrow.select(F.lit(rnd).cast("long").alias("round"), *report)
             )
-        )
     out = out_rounds[0]
     for s in out_rounds[1:]:
         out = out.unionByName(s)
@@ -5172,29 +5188,38 @@ def _qlt_w0(spark: SparkSession) -> DataFrame:
     )
 
 
-def _qlt_round_step(labeled: DataFrame, wrow: DataFrame) -> DataFrame:
+def _qlt_round_cols():
+    """Pre-parsed Column objects for one GD round (r10): the round
+    loop re-parsed ~13 SQL expression strings per round through
+    py4j, a fixed driver-side cost that dominated the sub-second
+    round jobs. Parse once per query call, reuse every round —
+    Columns are immutable name-resolved-at-analysis wrappers, safe
+    to attach to any frame with the right columns."""
+    p = F.expr(f"round(1e0 / (1e0 + exp(-({_QLT_MARGIN}))), 9)")
+    grads = [
+        F.sum(F.expr(_qlt_contrib(x))).alias(f"g{tag}")
+        for tag, x in _QLT_FEATS
+    ] + [F.count(F.lit(1)).alias("n")]
+    updates = [
+        F.expr(_qlt_update(f"w{tag}", f"g{tag}")).alias(f"w{tag}")
+        for tag, _ in _QLT_FEATS
+    ]
+    return p, grads, updates
+
+
+def _qlt_round_step(
+    labeled: DataFrame, wrow: DataFrame, cols=None
+) -> DataFrame:
     """One batch-GD round: score every doc against the broadcast
     1-row weight vector, sum fixed-point gradient contributions,
     update. Returns the new 1-row weight frame PRE-checkpoint —
     `quality_logit_train_audit_plans` hands exactly this shape to
     the scale audit (`tests/test_tpch.py`), which otherwise only
     sees the post-checkpoint union of executed RDD scans."""
-    scored = labeled.crossJoin(F.broadcast(wrow)).withColumn(
-        "p", F.expr(f"round(1e0 / (1e0 + exp(-({_QLT_MARGIN}))), 9)")
-    )
-    gsum = scored.agg(
-        *[
-            F.sum(F.expr(_qlt_contrib(x))).alias(f"g{tag}")
-            for tag, x in _QLT_FEATS
-        ],
-        F.count(F.lit(1)).alias("n"),
-    )
-    return gsum.crossJoin(F.broadcast(wrow)).select(
-        *[
-            F.expr(_qlt_update(f"w{tag}", f"g{tag}")).alias(f"w{tag}")
-            for tag, _ in _QLT_FEATS
-        ]
-    )
+    p, grads, updates = cols if cols is not None else _qlt_round_cols()
+    scored = labeled.crossJoin(F.broadcast(wrow)).withColumn("p", p)
+    gsum = scored.agg(*grads)
+    return gsum.crossJoin(F.broadcast(wrow)).select(*updates)
 
 
 def quality_logit_train_audit_plans(spark: SparkSession, sf_dir: str):
@@ -5212,7 +5237,12 @@ def quality_logit_train_audit_plans(spark: SparkSession, sf_dir: str):
 
 
 def _qlt_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import widen_for_compute
+
+    # r10: tokenize + the array-fold features are ~100× heavier than
+    # the row bytes; floor the scan's parallelism (guide §2.5 — one
+    # small parquet file = one task; no-op on wide cluster scans).
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
     feats = toks.select(
         "doc_id",
@@ -5427,9 +5457,15 @@ def quality_logit_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from ..session import no_aqe
+
     wrow = _qlt_w0(spark)
-    for _ in range(QL_TRAIN_ROUNDS):
-        wrow = _qlt_round_step(lab_train, wrow).localCheckpoint(eager=True)
+    cols = _qlt_round_cols()  # r10: parse expressions once, not per round
+    with no_aqe(spark):  # r10: see quality_logit_train
+        for _ in range(QL_TRAIN_ROUNDS):
+            wrow = _qlt_round_step(lab_train, wrow, cols).localCheckpoint(
+                eager=True
+            )
     lab_train.unpersist()
 
     val = labeled_all.where(~is_train)

@@ -82,3 +82,22 @@ def get_cluster_spark(app_name: str = "big-data-code-spark") -> SparkSession:
     for k, v in CLUSTER_PROFILE.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable AQE for a block of tiny fixed-shape per-round queries
+    (r10): an iterative driver loop issues dozens of sub-second jobs
+    whose plans AQE cannot improve (1-row/K-row states, single tiny
+    shuffles) but whose every shuffle AQE materializes as an extra
+    job. Restores the caller's setting on exit. Result-neutral: AQE
+    never changes query results, only physical planning."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -41,7 +41,15 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (the reference's "smallest
     PersonID wins" rule). Node columns must be orderable (bigint)."""
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # r10: the edge list is consumed four times below (twice by the
+    # symmetric-union e, twice by the label seeds) — without
+    # truncation each consumer re-runs the whole upstream pair
+    # generation (e.g. the LSH band join feeding dedup's CC).
+    # Materialize it once; edge lists are the SMALL side of these
+    # pipelines at any scale (pairs, not corpora).
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     und = raw.where(F.col("a") != F.col("b"))
     # symmetric neighbor list, deduped once; cached via checkpoint —
     # reused every iteration

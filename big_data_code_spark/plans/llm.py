@@ -9565,7 +9565,11 @@ def _doremi_base(spark: SparkSession, sf_dir: str):
     totals, and the one-row global vocab scalar — the sufficient
     statistics every DoReMi round reads (the corpus collapses to
     these once; rounds never touch documents again)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import widen_for_compute
+
+    # r10: tokenize+explode is the heavy map; floor the one-file
+    # scan's parallelism (guide §2.5; no-op on wide cluster scans).
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         F.col("source").alias("dom"),
         F.explode(tokenize(F.col("text"))).alias("tok"),
@@ -9739,6 +9743,11 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dom", F.round(F.lit(1.0) / F.col("k"), 9).alias("w"))
         .localCheckpoint(eager=True)
     )
+    # r10 note: unlike the quality_logit loops, this round step has a
+    # non-hinted dt⋈sm join that NEEDS AQE's runtime broadcast
+    # decision (sm is vocab-sized — statically hinting it broadcast
+    # would be wrong at 100 TB corpora); `no_aqe` measured 2× slower
+    # here. AQE stays on.
     out_rounds = []
     for rnd in range(1, DOREMI_ROUNDS + 1):
         step = _doremi_round_step(dt, nd, v, hown, w)

@@ -101,7 +101,15 @@ def ngram_jaccard_pairs(
     the candidate set scales with near-duplicates rather than with
     shingle-frequency².
     """
-    sh = (
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: three consumers (prefix candidate gen + both sides of the
+    # scoring join) — persist so the shingle explode + per-doc
+    # sorted-set build runs once, not three times (the signature-
+    # table convention of `minhash_lsh_pairs`).
+    sh = track_persisted(
         _exploded_shingles(docs, id_col, text_col, n)
         .select("id", F.xxhash64("shingle").alias("sh"))
         .groupBy("id")
@@ -113,6 +121,7 @@ def ngram_jaccard_pairs(
                 F.size("shs") - F.ceil(F.size("shs") * F.lit(threshold)).cast("int") + 1,
             ).alias("prefix"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pref = sh.select("id", "n_sh", F.explode("prefix").alias("sh"))
     cand = (

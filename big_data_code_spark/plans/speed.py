@@ -767,6 +767,12 @@ def streaming_ingest_dedup(
     master_sigs = track_persisted(
         dd.minhash_signatures(master).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r10: the exact-dup hash set is likewise per-ingest-constant —
+    # un-persisted, every micro-batch re-ran the master scan + md5 +
+    # distinct shuffle behind the semi-join.
+    master_hashes = track_persisted(
+        master_hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sink = os.path.join(tempfile.gettempdir(), f"ingest_dedup_{_uuid.uuid4().hex[:10]}")
     # seed the sink with a zero-row file of the verdict schema so
     # the final read succeeds even if every micro-batch is empty

@@ -10236,22 +10236,28 @@ def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (round, vec_id, score) — the pick per round.
     """
+    from ..session import no_aqe
+
     cand, anchor = _sel_base(spark, sf_dir)
-    state = _mmr_state0(cand, anchor).localCheckpoint(eager=True)
     out = []
-    for rnd in range(1, SELECT_K + 1):
-        pick = _sel_argmax(_mmr_score(state), "score").localCheckpoint(
-            eager=True
-        )
-        out.append(
-            pick.select(
-                F.lit(rnd).cast("long").alias("round"),
-                F.col("p_id").alias("vec_id"),
-                F.col("p_score").alias("score"),
+    # r10: AQE off around the fixed-shape greedy loop (broadcast
+    # crossJoins + one map-side argmax per round — nothing for AQE
+    # to re-plan, one extra materialization job per shuffle saved).
+    with no_aqe(spark):
+        state = _mmr_state0(cand, anchor).localCheckpoint(eager=True)
+        for rnd in range(1, SELECT_K + 1):
+            pick = _sel_argmax(_mmr_score(state), "score").localCheckpoint(
+                eager=True
             )
-        )
-        if rnd < SELECT_K:
-            state = _mmr_update(state, pick).localCheckpoint(eager=True)
+            out.append(
+                pick.select(
+                    F.lit(rnd).cast("long").alias("round"),
+                    F.col("p_id").alias("vec_id"),
+                    F.col("p_score").alias("score"),
+                )
+            )
+            if rnd < SELECT_K:
+                state = _mmr_update(state, pick).localCheckpoint(eager=True)
     res = out[0]
     for s in out[1:]:
         res = res.unionByName(s)
@@ -10310,20 +10316,23 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (round, vec_id, dist_to_centers).
     """
+    from ..session import no_aqe
+
     cand, anchor = _sel_base(spark, sf_dir)
-    state = _kc_state0(cand, anchor).localCheckpoint(eager=True)
     out = []
-    for rnd in range(1, SELECT_K + 1):
-        pick = _sel_argmax(state, "dmin").localCheckpoint(eager=True)
-        out.append(
-            pick.select(
-                F.lit(rnd).cast("long").alias("round"),
-                F.col("p_id").alias("vec_id"),
-                F.col("p_score").alias("dist_to_centers"),
+    with no_aqe(spark):  # r10: see mmr_select
+        state = _kc_state0(cand, anchor).localCheckpoint(eager=True)
+        for rnd in range(1, SELECT_K + 1):
+            pick = _sel_argmax(state, "dmin").localCheckpoint(eager=True)
+            out.append(
+                pick.select(
+                    F.lit(rnd).cast("long").alias("round"),
+                    F.col("p_id").alias("vec_id"),
+                    F.col("p_score").alias("dist_to_centers"),
+                )
             )
-        )
-        if rnd < SELECT_K:
-            state = _kc_update(state, pick).localCheckpoint(eager=True)
+            if rnd < SELECT_K:
+                state = _kc_update(state, pick).localCheckpoint(eager=True)
     res = out[0]
     for s in out[1:]:
         res = res.unionByName(s)

@@ -4080,9 +4080,21 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, n_tokens, n_removed, kept_text); kept_text is
     NULL when every token was removed.
     """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+    from ..operators.skew import widen_for_compute
+
     k = SUBSTR_WIN_K
     corpus = _corpus(spark, sf_dir)
-    toks = corpus.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # r10: tokenized frame is consumed three times (windows, token
+    # positions, per-doc totals) — widen the tokenize map (guide
+    # §2.5) and persist it once instead of re-tokenizing per branch.
+    toks = track_persisted(
+        widen_for_compute(corpus)
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     win = (
         toks.where(F.size("toks") >= k)
         .select(

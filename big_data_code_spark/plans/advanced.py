@@ -3026,13 +3026,25 @@ def _markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(wp).alias("first_p"),
         F.max("pos").over(wp).alias("last_pos"),
     )
-    kept = pos2.where(
-        F.col("first_p").isNull() | (F.col("pos") <= F.col("first_p"))
-    ).select(
-        "user_id", "session_id", "ts", "event_id", "pos", "first_p", "last_pos",
-        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-        .otherwise(F.col("event_type"))
-        .alias("dst"),
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: both the transition branch and the terminal branch consume
+    # this frame — persist so the sessionize + two window passes run
+    # once, not twice.
+    kept = track_persisted(
+        pos2.where(
+            F.col("first_p").isNull() | (F.col("pos") <= F.col("first_p"))
+        )
+        .select(
+            "user_id", "session_id", "ts", "event_id", "pos", "first_p",
+            "last_pos",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     trans = kept.select(
         F.coalesce(F.lag("dst").over(wk), F.lit("START")).alias("src"), "dst"

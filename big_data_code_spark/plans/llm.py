@@ -2394,7 +2394,18 @@ def training_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("tokens")
         ).between(QF_MIN_MEAN_TOKLEN, QF_MAX_MEAN_TOKLEN)
     )
-    qual = toks.select("doc_id", "text", keep.alias("keep_quality"))
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: qual feeds the dedup stage (survivors) AND the final
+    # verdict join — persist so the tokenize + quality-feature pass
+    # runs once, not twice.
+    qual = track_persisted(
+        toks.select("doc_id", "text", keep.alias("keep_quality")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     survivors = qual.where("keep_quality").select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(survivors, threshold=MINHASH_LSH_THRESHOLD)
     mapping = connected_components(
@@ -9467,8 +9478,18 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (anchor_id, positive_id, pos_est_j, negative_id,
     neg_cos, neg_rank).
     """
-    pos = dedup.minhash_lsh_pairs(
-        _corpus(spark, sf_dir), threshold=MINHASH_LSH_THRESHOLD
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: the LSH pair frame feeds both symmetric-union branches,
+    # and the union feeds the best-positive window AND the negative
+    # anti-join — un-persisted, the band join + est-Jaccard filter
+    # re-ran up to 4×. Persist the small pair frame once.
+    pos = track_persisted(
+        dedup.minhash_lsh_pairs(
+            _corpus(spark, sf_dir), threshold=MINHASH_LSH_THRESHOLD
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sympos = pos.select(
         F.col("doc_id_a").alias("anchor"),
@@ -12884,16 +12905,24 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train slice. Returns (vec_id, n_eval_hits, is_contaminated)
     for every NON-eval corpus vector.
     """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
     vc = _vector_corpus(spark, sf_dir)
     is_eval = (F.col("vec_id") < DUP_SEED_OFFSET) & (
         F.col("vec_id") % DECON_EVAL_MOD == 0
     )
-    pairs = ann.cosine_dup_pairs_lsh(
-        vc,
-        threshold=COSINE_DUP_THRESHOLD,
-        n_planes=SEMANTIC_N_PLANES,
-        n_bands=SEMANTIC_N_BANDS,
-        arrow_sig=True,
+    # r10: both symmetric-union branches consume the LSH pair frame —
+    # persist so the signature + band join + cosine filter runs once.
+    pairs = track_persisted(
+        ann.cosine_dup_pairs_lsh(
+            vc,
+            threshold=COSINE_DUP_THRESHOLD,
+            n_planes=SEMANTIC_N_PLANES,
+            n_bands=SEMANTIC_N_BANDS,
+            arrow_sig=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     both = pairs.select(
         F.col("vec_id_a").alias("target"), F.col("vec_id_b").alias("partner")

@@ -657,10 +657,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann.cosine_topk(emb, queries, k=ANN_K).select(
         "q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
     )
-    from pyspark import StorageLevel
-
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    # r10: localCheckpoint instead of persist+count — same
+    # materialization, but it also TRUNCATES the logical plan to a
+    # scan of the checkpointed rows (guide §3.3). With a plain
+    # persist the cached frame keeps its full build lineage, and
+    # every eval consumer re-optimizes that subtree at each
+    # reference (mrr/ndcg/recall plans carried 30-50 Exchange nodes
+    # of pure plan text); the blocks are freed by the ContextCleaner
+    # once the cache entry is dropped and GC'd.
+    out = out.localCheckpoint(eager=True)
     _ANN_EXACT_CACHE[key] = out
     return out
 
@@ -4460,13 +4465,21 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    # r10: localCheckpoint instead of persist+count — identical
+    # materialized rows, but the cached frame's logical plan is
+    # TRUNCATED to a scan of the checkpointed rows (guide §3.3).
+    # With a plain persist every one of the 8+ graph consumers
+    # re-optimized the full banded-LSH build lineage at EVERY
+    # self-join reference — triangle_count_knn's explain carried
+    # 2,126 Exchange / 5,896 ArrowEval nodes of pure plan text and
+    # paid whole seconds of Catalyst time per query. Blocks are
+    # freed by the ContextCleaner once the cache entry drops.
     edges = (
         sym.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= KNN_K)
         .select("src", "rank", "dst", "cos")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    edges.count()  # the index build — serve path reads this cache
     pairs.unpersist()
     _KNN_GRAPH_CACHE[key] = edges
     return edges

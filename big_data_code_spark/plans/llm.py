@@ -4693,8 +4693,22 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
     top2_frac, dup3_frac, keep).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+    from ..operators.skew import widen_for_compute
+
+    # r10: the tokenize pass feeds TWO branches (the per-doc scalar
+    # map `base` and the 2-gram explode `g2`) — widen the 1-file scan
+    # so the regex tokenize + rlike HOFs run at full parallelism
+    # (guide §2.5 input skew), and persist the tokenized frame once
+    # so both branches read it instead of re-tokenizing (§5).
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = track_persisted(
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     all3 = word_shingles(F.col("toks"), distinct=False)
     stop_best = F.greatest(
         *[stopword_hits(F.col("toks"), lang) for lang in sorted(STOPWORDS)]
@@ -9963,10 +9977,21 @@ def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     fcols = [f"f{i}" for i in range(len(_GOPHER_ABLATION_RULES))]
-    nf = flags.select(
-        "doc_id",
-        *fcols,
-        sum([F.col(c) for c in fcols[1:]], F.col(fcols[0])).alias("n_fails"),
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10: nf feeds THREE consumers (the stack unpivot, the 'any'
+    # union branch, and the totals agg) — un-persisted, each re-ran
+    # the whole Gopher feature pass (tokenize + rlike HOFs + the
+    # 2-gram agg). nf is doc_id + 8 small ints, the cheapest possible
+    # frame to hold (§5).
+    nf = track_persisted(
+        flags.select(
+            "doc_id",
+            *fcols,
+            sum([F.col(c) for c in fcols[1:]], F.col(fcols[0])).alias("n_fails"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     stack_args = ", ".join(
         f"'{key}', f{i}" for i, (key, _) in enumerate(_GOPHER_ABLATION_RULES)

@@ -168,10 +168,21 @@ def test_no_python_udf_in_llm_ops(spark):
 
 
 def test_ann_topk_broadcasts_queries(spark):
+    """The exact top-k BUILD broadcasts the small query side; since
+    r10 the registered query serves a localCheckpoint-truncated cache
+    (its plan is a checkpoint scan), so the broadcast is asserted on
+    the underlying operator plan."""
+    from big_data_code_spark.operators import ann
+    from big_data_code_spark.plans.llm import ANN_K, ANN_N_QUERIES, _embeddings
     from big_data_code_spark.plans.registry import QUERIES
 
-    plan = physical_plan(QUERIES["ann_cosine_topk"](spark, SF_SMOKE))
+    emb = _embeddings(spark, SF_SMOKE)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    plan = physical_plan(ann.cosine_topk(emb, queries, k=ANN_K))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    cached_plan = physical_plan(QUERIES["ann_cosine_topk"](spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in cached_plan
 
 
 def test_text_ops_prune_columns(spark):

@@ -478,7 +478,9 @@ CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
 
 
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_chunking(
+    spark: SparkSession, sf_dir: str, _widen: bool = False
+) -> DataFrame:
     """Overlapping fixed-window chunking (r3) — split each document
     into 32-token windows with stride 24 (8-token overlap), the
     preprocessing step every embedding/RAG indexing pipeline and
@@ -492,8 +494,18 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, chunk_id, chunk_tokens, chunk_text).
     """
+    from ..operators.skew import widen_for_compute
+
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
     docs = load_table(spark, sf_dir, "documents")
+    if _widen:
+        # r10, opt-in only: tokenize + per-chunk slice/join is a
+        # heavy map; downstream consumers that keep chunking inside
+        # a larger plan (chunk_bm25_search) floor the one-file
+        # scan's parallelism (guide §2.5; no-op on wide cluster
+        # scans). The REGISTERED query keeps the shuffle-free
+        # contract the docstring advertises (and CI asserts).
+        docs = widen_for_compute(docs)
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     base = toks.where(F.size("toks") > 0).select(
         "doc_id", "toks",
@@ -2557,17 +2569,32 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set is the join key, so cost scales with corpus size, not
     corpus².
     """
-    from ..functions.text import tokenize, word_shingles
+    from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..cacheutil import track_persisted
+    from ..functions.text import tokenize, word_shingles
+    from ..operators.skew import widen_for_compute
+
+    # r10: the tokenize+shingle pass fed TWO consumers (val-gram set
+    # + train side) through disjoint split filters — no shared
+    # exchange to reuse, so it ran twice, single-core on the 1-file
+    # scan. Widen the scan (guide §2.5) and persist the pre-explode
+    # shingle arrays once (§5 — the gopher_repetition_rules shape);
+    # both consumers now explode from the cache.
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long") % 100
-    grams = docs.select(
-        "doc_id",
-        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias("split"),
-        F.explode(word_shingles(tokenize(F.col("text")))).alias("g"),
+    sh = track_persisted(
+        docs.select(
+            "doc_id",
+            F.when(bucket < TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+            word_shingles(tokenize(F.col("text"))).alias("shingles"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams = sh.select("doc_id", "split", F.explode("shingles").alias("g"))
     val_grams = grams.where(F.col("split") == "val").select("g").distinct()
     return (
         grams.where(F.col("split") == "train")
@@ -10089,7 +10116,7 @@ def chunk_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-query window. Returns (q_id, rank, doc_id, chunk_id,
     score) — rank over (score desc, doc_id, chunk_id).
     """
-    ch = doc_chunking(spark, sf_dir)
+    ch = doc_chunking(spark, sf_dir, _widen=True)
     ctok = ch.select(
         "doc_id",
         "chunk_id",
@@ -10098,12 +10125,25 @@ def chunk_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ctok.groupBy("doc_id", "chunk_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    scal = (
-        ch.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("chunk_tokens").alias("_sumdl"),
-        ).select("n_docs", F.expr("_sumdl / n_docs").alias("avgdl"))
-    )
+    # r10: dl and the corpus scalars are DERIVED from the postings
+    # frame instead of re-reading doc_chunking. Every chunk is a
+    # nonempty token window whose chunk_text re-tokenizes to exactly
+    # its tokens (chunk_text = array_join of already-tokenized
+    # words), so sum(tf) per (doc_id, chunk_id) == chunk_tokens and
+    # the chunk count == doc_chunking's row count — identical
+    # BIGINTs, identical long/long avgdl division; oracle re-proved.
+    # Why: dl/scal previously re-ran the whole tokenize+chunk
+    # explode (a map-only subtree with NO exchange, so runtime
+    # exchange reuse could not dedup it). Now all four consumers
+    # (scored join, dfreq, dl, scal) sit on tf's aggregate exchange,
+    # which AQE stage reuse dedupes to ONE chunk+term pass — the
+    # rrf_hybrid_search lesson that a shared exchange beats an
+    # explicit persist.
+    dlf = tf.groupBy("doc_id", "chunk_id").agg(F.sum("tf").alias("dl"))
+    scal = dlf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("_sumdl"),
+    ).select("n_docs", F.expr("_sumdl / n_docs").alias("avgdl"))
     docs = load_table(spark, sf_dir, "documents")
     q = docs.where(F.col("doc_id") < BM25_N_QUERIES).select(
         F.col("doc_id").alias("q_id"),
@@ -10113,10 +10153,7 @@ def chunk_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         q.join(tf, "term")
         .join(dfreq, "term")
-        .join(
-            ch.select("doc_id", "chunk_id", F.col("chunk_tokens").alias("dl")),
-            ["doc_id", "chunk_id"],
-        )
+        .join(dlf, ["doc_id", "chunk_id"])
         .crossJoin(F.broadcast(scal))
         .select(
             "q_id", "doc_id", "chunk_id", "term",
@@ -12559,6 +12596,11 @@ def chunk_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, n_chunks, n_langs, major_lang, major_share).
     """
+    # r10: a widen_for_compute experiment here (the stopword map on
+    # the 1-file scan) measured NEUTRAL on interleaved A/B (warm
+    # mins 1.98/2.06 new vs 2.17/1.94 old) — the per-chunk scoring
+    # is not the dominant cost; left on the default shuffle-free
+    # chunking path.
     chunks = doc_chunking(spark, sf_dir)
     toks = chunks.select(
         "doc_id", "chunk_id", tokenize(F.col("chunk_text")).alias("tokens")

@@ -10122,8 +10122,22 @@ def chunk_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         F.explode(tokenize(F.col("chunk_text"))).alias("term"),
     )
-    tf = ctok.groupBy("doc_id", "chunk_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # The not-null filters are semantic no-ops (explode output is
+    # never null) but load-bearing for PERFORMANCE: each consumer
+    # join infers a DIFFERENT IsNotNull subset and pushes it into
+    # its copy of this subtree, so without them the four copies
+    # canonicalize differently and AQE exchange reuse dedupes only
+    # two of the four (verified on the executed final plan). With
+    # the union of the inferred filters stated once here, all four
+    # copies are canonically identical.
+    tf = (
+        ctok.where(
+            F.col("doc_id").isNotNull()
+            & F.col("chunk_id").isNotNull()
+            & F.col("term").isNotNull()
+        )
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     # r10: dl and the corpus scalars are DERIVED from the postings
     # frame instead of re-reading doc_chunking. Every chunk is a

@@ -2062,8 +2062,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
     )
+    # r10 canonical-alignment recipe (see bm25_search): state the
+    # join-inferred not-null filters once and keep tf's count
+    # referenced in the df aggregate, so the scored copy and the
+    # broadcast df copy of the postings subtree stay canonically
+    # identical and AQE executes the tokenize pass ONCE (the
+    # executed-plan audit showed 3 passes before).
+    terms = terms.where(
+        F.col("doc_id").isNotNull() & F.col("term").isNotNull()
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)) + 1.0
     scored = (
         tf.join(F.broadcast(df_tbl), "term")
@@ -2569,32 +2580,25 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set is the join key, so cost scales with corpus size, not
     corpus².
     """
-    from pyspark import StorageLevel
-
-    from ..cacheutil import track_persisted
     from ..functions.text import tokenize, word_shingles
-    from ..operators.skew import widen_for_compute
 
-    # r10: the tokenize+shingle pass fed TWO consumers (val-gram set
-    # + train side) through disjoint split filters — no shared
-    # exchange to reuse, so it ran twice, single-core on the 1-file
-    # scan. Widen the scan (guide §2.5) and persist the pre-explode
-    # shingle arrays once (§5 — the gopher_repetition_rules shape);
-    # both consumers now explode from the cache.
-    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
+    # r10: a widen+persist of the pre-explode shingle frame was
+    # TRIED here (the two split-filtered consumers look like a
+    # doubled tokenize) and REVERTED: the md5-split filters push
+    # BELOW the shingle Generate, so the "two passes" tokenize
+    # DISJOINT 90%/10% subsets — total shingle work is already one
+    # corpus pass, the persist materializes that same work into a
+    # corpus-sized cache to save only a second scan+md5, and the
+    # interleaved A/B was neutral (2.28/2.27, 1.50/1.62 warm mins).
+    docs = load_table(spark, sf_dir, "documents")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long") % 100
-    sh = track_persisted(
-        docs.select(
-            "doc_id",
-            F.when(bucket < TRAIN_PCT, F.lit("train"))
-            .otherwise(F.lit("val"))
-            .alias("split"),
-            word_shingles(tokenize(F.col("text"))).alias("shingles"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+        F.explode(word_shingles(tokenize(F.col("text")))).alias("g"),
     )
-    grams = sh.select("doc_id", "split", F.explode("shingles").alias("g"))
     val_grams = grams.where(F.col("split") == "val").select("g").distinct()
     return (
         grams.where(F.col("split") == "train")
@@ -2983,8 +2987,18 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    # r10 canonical-alignment recipe (see bm25_search): the corpus
+    # dictionary `ct` previously aggregated the explode directly at
+    # token grain — a second full tokenize pass (different grouping
+    # keys, so no exchange to share). Deriving it from `dt`
+    # (sum of per-doc counts == corpus count, exact BIGINTs) puts
+    # both consumers on dt's exchange; the stated not-null filters
+    # keep the copies canonically identical under join-inferred
+    # pushdown. Executed-plan audit: 2 tokenize passes → 1. Oracle
+    # re-proved (restructure).
+    tok = tok.where(F.col("doc_id").isNotNull() & F.col("tok").isNotNull())
     dt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
-    ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = dt.groupBy("tok").agg(F.sum("n").alias("c"))
     scalars = ct.agg(
         F.sum("c").alias("tot_n"), F.count(F.lit(1)).alias("vocab_v")
     )
@@ -3085,8 +3099,22 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.cur")
+    # r10 canonical-alignment recipe (see bm25_search): c2 formerly
+    # re-aggregated the bigram explode at (prev, cur) grain — a
+    # second full pass with no shared exchange. Derive it from dt
+    # (sum of per-doc counts == corpus count, exact BIGINTs) and
+    # state the filter union once so every copy of dt's subtree is
+    # canonically identical under join-inferred pushdown. The vocab
+    # pass stays separate by necessity (1-token docs are in the
+    # vocabulary but produce no bigrams). Executed-plan audit: 4
+    # tokenize passes → 2. Oracle re-proved (restructure).
+    bg = bg.where(
+        F.col("doc_id").isNotNull()
+        & F.col("prev").isNotNull()
+        & F.col("cur").isNotNull()
+    )
     dt = bg.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("n"))
-    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = dt.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     vocab = (
         toks.select(F.explode("toks").alias("tok"))
@@ -5928,9 +5956,17 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_a", "doc_id_b"
     )
     tok = corpus.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    # r10 canonical-alignment recipe (see bm25_search): one stated
+    # filter union + a count that references tf keep every copy of
+    # the postings subtree identical, so AQE executes the tokenize
+    # pass once (audit: 2 full passes before — the dfreq copy was
+    # pruned into a distinct-style agg).
+    tok = tok.where(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     nd = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     w = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
@@ -6053,8 +6089,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    # r10: the executed-final-plan audit showed FOUR full tokenize
+    # passes — each consumer's copy of the postings subtree picked
+    # up a different join-inferred IsNotNull / column-pruning
+    # rewrite and stopped canonically matching, so AQE exchange
+    # reuse could not dedup them. Three alignments (all semantic
+    # no-ops, oracle re-proved) make every copy identical so ONE
+    # pass executes: state the filter union once; derive dl from tf
+    # (sum of per-term counts == token count); keep tf's count
+    # column referenced in dfreq (count(1) gets pruned into a
+    # distinct-style agg that no longer matches). Same recipe as
+    # rrf_hybrid_search / chunk_bm25_search.
+    tok = tok.where(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     scal = (
         docs.agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(dl.agg(F.sum("dl").alias("_sumdl")))
@@ -6064,7 +6112,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"),
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     scored = (
         q.join(tf, "term")
         .join(dfreq, "term")
@@ -9241,15 +9291,28 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     ex = dedup._shingle_table(corpus, "doc_id", "text", 3)
     firsts = ex.groupBy("sh").agg(F.min("id").alias("first_doc"))
-    per = (
-        ex.join(firsts, "sh")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("id")).cast("long"))
-            .cast("long")
-            .alias("n_novel"),
-        )
+    # r10: the old plan joined the full shingle table back against
+    # `firsts` to count per-doc novel shingles — a corpus-grain
+    # shuffle join. But n_novel(doc) is just |{sh : min-id(sh) =
+    # doc}| = a COUNT per first_doc over the (vocabulary-grain)
+    # firsts frame, and n_shingles is a direct per-doc agg — both
+    # map-side-combinable, no join. Same two shingle builds, but
+    # the big Exchange-both-sides join is gone (guide §2: shuffle
+    # agg partials, not the corpus). A persist of the shingle table
+    # was also tried and REVERTED (interleaved A/B: 3.67/3.31 new
+    # vs 2.58/3.49 old warm mins — the exploded 8-byte-key table is
+    # cheaper to rebuild than to cache, unlike ngram_jaccard's
+    # collect_set+sort signature). Oracle re-proved (restructure).
+    ns = ex.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    nv = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    per = ns.join(
+        nv.withColumnRenamed("first_doc", "id"), "id", "left"
+    ).select(
+        "id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     )
     return (
         corpus.select("doc_id")
@@ -11195,9 +11258,30 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    # r10: the not-null filters are semantic no-ops (explode output
+    # is never null) but load-bearing for the ReusedExchange dedup
+    # this docstring advertises — each consumer join infers a
+    # DIFFERENT IsNotNull subset and pushes it into its copy of the
+    # postings subtree, so the copies canonicalize differently and
+    # AQE deduped only part of them (executed-final-plan audit;
+    # same finding as chunk_bm25_search). Stating the union once
+    # here makes the inferred duplicates redundant and every copy
+    # identical. The doc_id<5 query legs still specialize their own
+    # (tiny) scans — that duplication is the cheap, desirable kind.
+    tok = tok.where(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count(when(tf > 0, 1)) == count(1) here (tf is a count, always
+    # >= 1) but keeps the count column REFERENCED in this copy of
+    # the postings subtree — with count(1), column pruning rewrites
+    # the copy into a distinct-style aggregate (functions=[]) that
+    # no longer canonically matches the other copies, and the
+    # executed plan runs a SECOND full tokenize pass (ReusedExchange
+    # audit; plain count("tf") doesn't survive either — Catalyst
+    # rewrites count(non-nullable) back to count(1) and prunes).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
 
     # BM25 leg over the shared postings (same expressions as
     # `bm25_search` — identical scores, one tokenize pass)

@@ -7475,10 +7475,20 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    # the three consumers each re-run the explode deliberately: the
-    # two bucket LMs partial-aggregate to 256 rows MAP-SIDE straight
-    # off the explode (a nearly-free shuffle), which beats funneling
-    # them through the doc-grain (doc, bucket) shuffle — measured 2×
+    # r10 canonical-alignment (the bm25_search recipe): isnotnull(b)
+    # is a semantic no-op (b is md5-derived from non-null tokens)
+    # but stating it once keeps every copy of the bucket subtree
+    # canonically identical — the model-join copies of `raw`/`tgt`
+    # pick up a join-inferred isnotnull(b) that their nr/nt scalar
+    # copies lack, so the executed plan ran the raw pass twice and
+    # the en pass twice (5 tokenize passes total). With the filter
+    # stated once, AQE reuses each LM exchange: 5 passes → 3.
+    tok = tok.where(F.col("b").isNotNull())
+    # the three REMAINING passes (doc-grain db + one raw + one en)
+    # re-run the explode deliberately: the two bucket LMs
+    # partial-aggregate to 256 rows MAP-SIDE straight off the
+    # explode (a nearly-free shuffle), which beats funneling them
+    # through the doc-grain (doc, bucket) shuffle — measured 2×
     # worse at sf1 and sf10 when restructured that way (r6).
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))

@@ -3876,6 +3876,25 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select(
         "doc_id", F.explode(word_shingles(tokenize(F.col("text")))).alias("s")
     )
+    # r10: the three consumers (sizes agg, a-side, b-side) each
+    # re-ran the tokenize+shingle explode — and no two copies could
+    # share an exchange (the b-join shuffles by (doc_id, s), the
+    # sizes agg by doc_id, the a-side is map-side). The b-side join
+    # ALREADY pays a full (doc_id, s) shuffle of the exploded rows,
+    # so make that the one shared exchange: an explicit repartition
+    # puts all three consumers on it (AQE ReusedExchange), executing
+    # the explode ONCE with zero new shuffle work — the sizes agg
+    # and a-side now re-read shuffle output instead of re-tokenizing
+    # the corpus (guide §2.4). Executed text passes: 3 → 1. Row set
+    # unchanged (repartition is a no-op on content); oracle
+    # re-proved.
+    # the stated not-null union (semantic no-ops) keeps every copy
+    # of the pre-repartition subtree canonically identical — the
+    # join-inferred isnotnull filters push THROUGH a repartition,
+    # so without this the a/b copies diverge from the sizes copy
+    # and the exchange is not reused (the family recipe).
+    sh = sh.where(F.col("doc_id").isNotNull() & F.col("s").isNotNull())
+    sh = sh.repartition("doc_id", "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "s")

@@ -9196,51 +9196,89 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    parts = []
-    for b, r in BAND_SWEEP_CONFIGS:
-        bands = sigs.select(
-            "id", F.explode(dedup._band_keys(F.col("sig"), b, r)).alias("bk")
+    # r10 (guide §2.4): the per-config loop built one band-explode +
+    # bucket self-join + distinct + two signature joins + agg
+    # SUBTREE PER CONFIG — three reads of the signature table, three
+    # bucket-join exchanges, three distincts (the plan audit counted
+    # 24 HashAggregates / 99 cached-scan reprints). All configs ride
+    # ONE pass instead: explode every config's band keys tagged with
+    # the config index, self-join once on (cfg, bk), distinct once on
+    # (cfg, a, b), verify once, aggregate grouped by cfg. Same pair
+    # sets per config (the cfg tag keeps buckets config-local — the
+    # join is on BOTH cfg and bk, so no cross-config candidates), so
+    # the grouped counts equal the per-config aggregates; a config
+    # with zero candidates is restored by the left join from the
+    # 3-row literal config frame with the same coalesce-to-0 the
+    # union branches applied. Oracle re-proved (driver-grade).
+    def _cfg_tag(i: int):
+        # single-arg lambda ONLY: a two-parameter lambda would be
+        # taken by F.transform as its (element, index) form and the
+        # second arg silently bound to the array INDEX.
+        return lambda k: F.struct(
+            F.lit(i).cast("int").alias("cfg"), k.alias("bk")
         )
-        x, y = bands.alias("x"), bands.alias("y")
-        cand = (
-            x.join(
-                y,
-                (F.col("x.bk") == F.col("y.bk"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(
-                F.col("x.id").alias("doc_id_a"), F.col("y.id").alias("doc_id_b")
-            )
-            .distinct()
+
+    tagged = [
+        F.transform(dedup._band_keys(F.col("sig"), b, r), _cfg_tag(i))
+        for i, (b, r) in enumerate(BAND_SWEEP_CONFIGS)
+    ]
+    bands = sigs.select(
+        "id", F.explode(F.flatten(F.array(*tagged))).alias("e")
+    ).select("id", F.col("e.cfg").alias("cfg"), F.col("e.bk").alias("bk"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cfg") == F.col("y.cfg"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.id") < F.col("y.id")),
         )
-        est = (
-            cand.join(sa, "doc_id_a")
-            .join(sb, "doc_id_b")
-            .select((n_eq / F.lit(float(dedup.N_MINHASHES))).alias("ej"))
+        .select(
+            F.col("x.cfg").alias("cfg"),
+            F.col("x.id").alias("doc_id_a"),
+            F.col("y.id").alias("doc_id_b"),
         )
-        p = _band_sweep_detect_prob(b, r, MINHASH_LSH_THRESHOLD)
-        parts.append(
-            est.agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(
-                    (F.col("ej") >= MINHASH_LSH_THRESHOLD).cast("long")
-                ).alias("n_verified"),
-            ).select(
-                F.lit(b).cast("long").alias("n_bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(p).alias("detect_prob_at_tau"),
-                "n_candidates",
-                F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
-            )
+        .distinct()
+    )
+    stats = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "cfg", (n_eq / F.lit(float(dedup.N_MINHASHES))).alias("ej")
         )
-    out = parts[0]
-    for q in parts[1:]:
-        out = out.unionByName(q)
-    return out.select(
-        "*",
-        F.when(
-            F.col("n_candidates") > 0, F.col("n_verified") / F.col("n_candidates")
-        ).alias("precision"),
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                (F.col("ej") >= MINHASH_LSH_THRESHOLD).cast("long")
+            ).alias("n_verified"),
+        )
+    )
+    cfgs = spark.createDataFrame(
+        [
+            (i, b, r, _band_sweep_detect_prob(b, r, MINHASH_LSH_THRESHOLD))
+            for i, (b, r) in enumerate(BAND_SWEEP_CONFIGS)
+        ],
+        "cfg int, n_bands long, rows_per_band long, detect_prob_at_tau double",
+    )
+    return (
+        cfgs.join(stats, "cfg", "left")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "detect_prob_at_tau",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified") / F.col("n_candidates"),
+            ).alias("precision"),
+        )
     )
 
 

@@ -3136,22 +3136,47 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (channel, p_conv_base, p_conv_removed, removal_effect,
     attribution_share).
     """
-    prob = _markov_prob(
-        spark, _markov_transition_counts(spark, sf_dir)
-    ).localCheckpoint(eager=True)
+    from ..session import no_aqe
+
+    # r10: checkpoint the ≤|states|²-row transition counts FIRST —
+    # the one corpus-scale pass, executed WITH AQE (the sessionize
+    # window shuffles want runtime coalescing) — then build the
+    # 5-chain matrix from the materialized counts under no_aqe:
+    # every frame after counts is ≤ 245 rows, so AQE's per-shuffle
+    # stage materialization was pure job overhead (14 jobs for the
+    # matrix build alone).
+    counts = _markov_transition_counts(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    with no_aqe(spark):
+        prob = _markov_prob(spark, counts).localCheckpoint(eager=True)
     v = spark.createDataFrame(
         [(chain, "START", 1.0) for chain in ("base", *MARKOV_CHANNELS)],
         "chain string, state string, v double",
     )
     # MARKOV_STEPS is small and every frame is ≤ 5·|states| rows:
-    # the steps chain lazily into ONE job over the checkpointed
-    # matrix (no per-step materialization needed — contrast the
-    # corpus-sized iterates in quality_logit_train/mmr_select).
+    # the steps chain lazily over the checkpointed matrix.
     for _ in range(MARKOV_STEPS):
         v = _markov_step(v, F.broadcast(prob))
-    pcs = v.where(F.col("state") == "CONV").select(
-        "chain", F.col("v").alias("pc")
-    )
+    # r10: the LAZY step chain was referenced by basef, eff, tot AND
+    # the final select — the plan embedded the 8-step subtree ~9
+    # times (1,786 lines, 148 Exchange / 70 BroadcastExchange / 76
+    # checkpoint-scan reprints) and every reference re-executed the
+    # chain as its own AQE broadcast/shuffle job cascade (47 jobs
+    # for the query). Checkpoint the ≤5-row absorbing-state read
+    # ONCE (the quality_logit/hits iterate convention): every
+    # consumer now reads 5 materialized rows and the chain executes
+    # exactly once — under `no_aqe`, as ONE job (the join strategy
+    # is already hint-forced broadcast and every shuffle carries
+    # ≤ 25 rows, so AQE has nothing to improve and its per-step
+    # stage materialization is pure job overhead; the earlier
+    # "no_aqe neutral-to-worse" A/B predates the single-execution
+    # shape). Rows unchanged — localCheckpoint is content-neutral;
+    # oracle re-proved.
+    with no_aqe(spark):
+        pcs = v.where(F.col("state") == "CONV").select(
+            "chain", F.col("v").alias("pc")
+        ).localCheckpoint(eager=True)
     basef = pcs.where(F.col("chain") == "base").agg(
         F.coalesce(F.max("pc"), F.lit(0.0)).alias("p_base")
     )

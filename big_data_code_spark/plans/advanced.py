@@ -2308,8 +2308,32 @@ def _lambda_sessions_from_events(ev: DataFrame) -> DataFrame:
     speed_ev = ev2.where(
         F.col("us") > F.col("max_us") - SESSION_INCR_WINDOW_US
     ).drop("max_us")
-    b = _session_rollup_us(_sessionize_frame(batch_ev))
-    s = _session_rollup_us(_sessionize_frame(speed_ev))
+    from pyspark import StorageLevel
+
+    from ..cacheutil import track_persisted
+
+    # r10 (guide §5): the stitch references b THREE times (b_cnt,
+    # b_last, batch_keep) and s twice (s_first, speed_shift), and
+    # `merged`/`merged_users` re-embed both — the executed final
+    # plan ran THIRTY distinct events scans (each reference
+    # re-ran its slice's full sessionize window pass, and the
+    # post-BNLJ window subtrees canonicalize differently per
+    # consumer so no exchange is ever reused). Persist the two
+    # SESSION-grain rollups once: they are the plan's natural
+    # stored views (the batch side IS a stored view in production
+    # — docstring), an order of magnitude smaller than the event
+    # grain, and every consumer now reads the cache. Executed
+    # events scans drop to the 3 slice passes.
+    b = track_persisted(
+        _session_rollup_us(_sessionize_frame(batch_ev)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    s = track_persisted(
+        _session_rollup_us(_sessionize_frame(speed_ev)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     b_cnt = b.groupBy("user_id").agg(F.max("session_id").alias("b_cnt"))
     b_last = b.join(b_cnt, "user_id").where(F.col("session_id") == F.col("b_cnt"))

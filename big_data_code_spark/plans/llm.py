@@ -8405,7 +8405,20 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (type_a, type_b, n_a, n_b, n_both, jaccard).
     """
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # r10 (the family recipe): the three ut consumers (sizes, both
+    # self-join sides) each re-ran the corpus scan + distinct — the
+    # self-join copies pick up a join-inferred isnotnull(user_id)
+    # the sizes copy lacks, so the otherwise-identical distinct
+    # exchanges canonicalize differently and AQE cannot reuse them
+    # (executed plan: 4 distinct scan+distinct passes). Stating the
+    # union of the inferred filters once (semantic no-ops — the
+    # generator emits no NULL user/type) makes every copy identical:
+    # one executed corpus pass, the rest ReusedExchange.
+    ut = (
+        ev.select("user_id", "event_type")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .distinct()
+    )
     sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
@@ -8491,7 +8504,15 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import two_pass_ranks
 
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # r10: same stated not-null filters as audience_overlap's ut —
+    # the sketch's base distinct then canonicalizes identically to
+    # the exact side's, so ONE executed (user, type) distinct pass
+    # serves both halves of the comparison query (ReusedExchange).
+    ut = (
+        ev.select("user_id", "event_type")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .distinct()
+    )
     u = F.expr(
         "CAST(conv(substring(md5(concat('ao:', CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
     )

@@ -5745,6 +5745,10 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, n_chars, n_distinct_chars, entropy) in nats.
     """
+    # widen_for_compute on the char explode measured NEUTRAL on a
+    # quiet host (r10: warm mins 1.03-1.09 widened vs 1.16 plain) —
+    # the alphabet-bounded map-side combine keeps the fan-out cheap,
+    # so the §2.5 parallelism floor buys nothing here. Left unwidened.
     docs = load_table(spark, sf_dir, "documents")
     chars = docs.select(
         "doc_id",
@@ -6948,7 +6952,14 @@ def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column, metrics) format. Returns (col_name, n_rows, n_null,
     n_distinct, min_num, max_num, min_str, max_str).
     """
-    ev = load_table(spark, sf_dir, "events")
+    from ..operators.skew import widen_for_compute
+
+    # The multi-distinct compiles to an Expand (×|_PROFILE_COLS|+1
+    # row fan-out) evaluated INSIDE the scan stage — on a one-file
+    # local scan that serializes ~6× the table on one core (guide
+    # §2.5), so floor the parallelism before the agg. No-op on a
+    # cluster where the scan is already wide.
+    ev = widen_for_compute(load_table(spark, sf_dir, "events"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs += [

@@ -71,32 +71,7 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # 1. propagate: min label among self + neighbors
-        nbr = (
-            e.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("a", "node")
-        )
-        prop = labels.join(nbr, "node", "left").select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least("label", F.coalesce("nmin", "label")).alias("label"),
-        )
-        # 2. pointer jump: label ← label(label). The pre-iteration
-        # label rides along as old_label so the convergence check is
-        # a filter over the checkpointed result — no extra join (and
-        # its shuffle) per round just to diff against the old labels.
-        as_parent = prop.select(
-            F.col("node").alias("jlabel"), F.col("label").alias("plabel")
-        )
-        jumped = (
-            prop.join(as_parent, prop["label"] == as_parent["jlabel"], "left")
-            .select(
-                "node", "old_label", F.coalesce("plabel", "label").alias("label")
-            )
-            .localCheckpoint(eager=True)
-        )
+        jumped = _cc_round(e, labels).localCheckpoint(eager=True)
 
         changed = jumped.where(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")
@@ -106,3 +81,55 @@ def connected_components(
         raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagate+jump round, UN-checkpointed — the loop body of
+    `connected_components` and the plan surface `cc_audit_plans`
+    hands to the registry-wide scale audits (all rounds are
+    plan-identical)."""
+    # 1. propagate: min label among self + neighbors
+    nbr = (
+        e.join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.min("label").alias("nmin"))
+        .withColumnRenamed("a", "node")
+    )
+    prop = labels.join(nbr, "node", "left").select(
+        "node",
+        F.col("label").alias("old_label"),
+        F.least("label", F.coalesce("nmin", "label")).alias("label"),
+    )
+    # 2. pointer jump: label ← label(label). The pre-iteration
+    # label rides along as old_label so the convergence check is
+    # a filter over the checkpointed result — no extra join (and
+    # its shuffle) per round just to diff against the old labels.
+    as_parent = prop.select(
+        F.col("node").alias("jlabel"), F.col("label").alias("plabel")
+    )
+    return prop.join(as_parent, prop["label"] == as_parent["jlabel"], "left").select(
+        "node", "old_label", F.coalesce("plabel", "label").alias("label")
+    )
+
+
+def cc_audit_plans(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> list[DataFrame]:
+    """UNEXECUTED plan surface of a `connected_components` run over
+    ``edges`` for `AUDIT_PLAN_HOOKS` consumers: the eager
+    localCheckpoints inside the real run execute-and-vanish before
+    the registry-wide audits see the returned frame, so this rebuilds
+    the symmetric edge table and one representative round lazily over
+    un-checkpointed inputs."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = raw.where(F.col("a") != F.col("b"))
+    e = und.select("a", "b").union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    return [_cc_round(e, labels)]

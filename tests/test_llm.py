@@ -657,6 +657,30 @@ def test_dedup_cluster_stats_consistency(spark):
     assert any(r["cluster_size"] >= 2 for r in hist)
 
 
+def test_dedup_cc_cache_serves_identical_verdicts(spark):
+    """The r10 verdict-table cache: repeat calls serve the SAME
+    checkpoint-truncated frame (one LSH+CC build per corpus and
+    session), the cached rows are bit-identical to a fresh un-cached
+    build, and the truncated plan keeps its LSH+CC build under the
+    CI scale audits through the registered hook."""
+    from big_data_code_spark.plans.llm import (
+        _dedup_corpus_final_build,
+        dedup_corpus_final,
+    )
+    from big_data_code_spark.plans.registry import AUDIT_PLAN_HOOKS
+
+    first = dedup_corpus_final(spark, SF_SMOKE)
+    assert dedup_corpus_final(spark, SF_SMOKE) is first
+    assert "Scan ExistingRDD" in physical_plan(first)
+    cached = sorted(first.collect(), key=lambda r: r["doc_id"])
+    fresh = sorted(
+        _dedup_corpus_final_build(spark, SF_SMOKE).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert cached == fresh
+    assert "dedup_corpus_final" in AUDIT_PLAN_HOOKS
+
+
 def test_embedding_pq_invariants(spark):
     """Codes are 4 per vector in [0, K); reconstruction error is
     non-negative, deterministic across runs, and on average beats

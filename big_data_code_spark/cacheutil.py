@@ -37,3 +37,20 @@ def release_persisted() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+def evict_superseded(cache: dict, key: tuple) -> None:
+    """For build-once serve-many index caches keyed
+    (applicationId, (sf_dir, mtime, size)): unpersist + drop entries
+    for the SAME (application, sf_dir) whose corpus fingerprint
+    differs from ``key``'s — a regenerated corpus (new mtime/size)
+    must not leave the old materialized frame pinned for the session
+    lifetime, and a multi-SF sweep holds at most one live frame per
+    sf_dir (r7 advice #3)."""
+    app, (sf_dir, _, _) = key
+    stale = [k for k in cache if k[0] == app and k[1][0] == sf_dir and k != key]
+    for k in stale:
+        try:
+            cache.pop(k).unpersist()
+        except Exception:
+            pass  # session stopped — blocks already gone

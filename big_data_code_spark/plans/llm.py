@@ -638,24 +638,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_EXACT_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _evict_superseded(cache: dict, key: tuple) -> None:
-    """Unpersist + drop cache entries for the SAME (application,
-    sf_dir) whose corpus fingerprint differs from ``key``'s — a
-    regenerated corpus (new mtime/size) must not leave the old
-    MEMORY_AND_DISK frame pinned for the session lifetime, and a
-    multi-SF sweep holds at most one live frame per sf_dir
-    (r7 advice #3)."""
-    app, (sf_dir, _, _) = key
-    stale = [
-        k
-        for k in cache
-        if k[0] == app and k[1][0] == sf_dir and k != key
-    ]
-    for k in stale:
-        try:
-            cache.pop(k).unpersist()
-        except Exception:
-            pass  # session stopped — blocks already gone
+# shared with plans/swa.py's equiv-mapping cache; kept under the
+# historical local name for this module's call sites
+from ..cacheutil import evict_superseded as _evict_superseded
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,27 +40,31 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # -- r10 prefix. ORDER (changed-first, then
     #    oldest-evidence-next — the house rotation): positions 1-8
     #    are the eight NEW r10 entries (never driver-sampled);
-    #    9-17 are the queries whose plan code changed this round
+    #    9-21 are the queries whose plan code changed this round
     #    (unigram_logprob exact-BIGINT ln fold, cuped_abtest
     #    nullif/greatest guards, weighted_sample_es ln(0) clamp,
     #    pareto_user_concentration via the size-gated
     #    two_pass_ranks fast path, events_near_pairs(+_capped)
     #    re-planned onto the merge-count kernel, and — optimization
-    #    sessions — dedup_corpus_final/keep_best/eval_pr now served
-    #    from the once-per-corpus _DEDUP_CC_CACHE verdict table);
-    #    18-32 are ALL 15 oracle-backed streaming queries
-    #    (plans/speed.py was refactored this round to expose static
-    #    audit twins through the same builder code — changed-first
-    #    applies), ordered by oldest last-green round; 33-50 are the
-    #    first 18 of the 26 remaining r4-vintage entries (the
-    #    cache-changed dedup_cluster_stats and dedup_weighted_sample
-    #    already sit at 33 and 2). The prefix growth pushes 9
-    #    entries past the 50-entry driver window: 7 r4-vintage
-    #    (dp_noisy_counts, build_term_index, table_profile_events,
+    #    sessions — dedup_corpus_final/keep_best/eval_pr served from
+    #    the once-per-corpus _DEDUP_CC_CACHE verdict table plus
+    #    user_id_normalization/normalized_events/
+    #    uniques_over_time_normalized/cross_device_sessions served
+    #    from _EQUIV_MAP_CACHE); 22-36 are ALL 15 oracle-backed
+    #    streaming queries (plans/speed.py was refactored this round
+    #    to expose static audit twins through the same builder code —
+    #    changed-first applies), ordered by oldest last-green round;
+    #    37-50 are the first 14 of the 26 remaining r4-vintage
+    #    entries (the cache-changed dedup_cluster_stats and
+    #    dedup_weighted_sample already sit at 37 and 2). The prefix
+    #    growth pushes 13 entries past the 50-entry driver window:
+    #    11 r4-vintage (ann_recall_eval, tfidf_cosine_pairs,
+    #    bm25_search, pca_power_iteration, dp_noisy_counts,
+    #    build_term_index, table_profile_events,
     #    multimodal_phash_dedup, skew_salted_quantity,
-    #    lang_id_confusion, zorder_layout_keys, at 51-57) and 2
+    #    lang_id_confusion, zorder_layout_keys, at 51-61) and 2
     #    r5-vintage (top_users_by_event_type,
-    #    lambda_merged_uniques_hll, at 58-59) — they keep their
+    #    lambda_merged_uniques_hll, at 62-63) — they keep their
     #    old driver evidence plus this session's full local sweep,
     #    and MUST lead the r11 prefix (changed-first permitting).
     #    Nothing about a query's semantics depends on its position.
@@ -86,6 +90,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_corpus_final", llm.dedup_corpus_final, llm.DEDUP_CORPUS_FINAL_SQL),
     ("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_SQL),
     ("dedup_eval_pr", llm.dedup_eval_pr, llm.DEDUP_EVAL_PR_SQL),
+    #    ...and the equiv-graph user-ID mapping, likewise served
+    #    from _EQUIV_MAP_CACHE (results bit-identical; oracle-proved)
+    ("user_id_normalization", swa.user_id_normalization, swa.USER_ID_NORMALIZATION_SQL),
+    ("normalized_events", swa.normalized_events, swa.NORMALIZED_EVENTS_SQL),
+    ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
+    ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
     # -- all oracle-backed streaming queries (speed.py refactor), oldest first
     ("streaming_top_pages_hourly", speed.streaming_top_pages_hourly, speed.STREAMING_TOP_PAGES_SQL),
     ("streaming_ingest_dedup", speed.streaming_ingest_dedup, llm.DEDUP_INCREMENTAL_SQL),
@@ -153,7 +163,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("semdedup_hierarchical", llm.semdedup_hierarchical, llm.SEMDEDUP_HIERARCHICAL_SQL),
     ("chi2_segment_priority", advanced.chi2_segment_priority, advanced.CHI2_SEGMENT_PRIORITY_SQL),
     ("mutual_information_features", llm.mutual_information_features, llm.MUTUAL_INFORMATION_FEATURES_SQL),
-    ("cross_device_sessions", advanced.cross_device_sessions, advanced.CROSS_DEVICE_SESSIONS_SQL),
     ("revenue_pattern_match", advanced.revenue_pattern_match, advanced.REVENUE_PATTERN_MATCH_SQL),
     ("decontaminate_corpus", llm.decontaminate_corpus, llm.DECONTAMINATE_CORPUS_SQL),
     ("itemcf_eval", advanced.itemcf_eval, advanced.ITEMCF_EVAL_SQL),
@@ -326,12 +335,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("rich_customers", tpch.rich_customers, tpch.RICH_CUSTOMERS_SQL),
     ("pageviews_over_time", swa.pageviews_over_time, swa.PAGEVIEWS_OVER_TIME_SQL),
     ("uniques_over_time", swa.uniques_over_time, swa.UNIQUES_OVER_TIME_SQL),
-    ("uniques_over_time_normalized", swa.uniques_over_time_normalized, swa.UNIQUES_NORMALIZED_SQL),
     ("bounce_rate", swa.bounce_rate, swa.BOUNCE_RATE_SQL),
     ("dedup_events", swa.dedup_events, swa.DEDUP_EVENTS_SQL),
     ("normalize_urls", swa.normalize_urls, swa.NORMALIZE_URLS_SQL),
-    ("user_id_normalization", swa.user_id_normalization, swa.USER_ID_NORMALIZATION_SQL),
-    ("normalized_events", swa.normalized_events, swa.NORMALIZED_EVENTS_SQL),
     ("person_purge", swa.person_purge, swa.PERSON_PURGE_SQL),
     ("incremental_pageviews_update", swa.incremental_pageviews_update, swa.INCREMENTAL_PAGEVIEWS_SQL),
     ("rolling_7d_uniques", swa.rolling_7d_uniques, swa.ROLLING_7D_UNIQUES_SQL),
@@ -371,10 +377,13 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     "kcore_knn_graph": llm.kcore_knn_graph_audit_plans,
     "hits_knn_graph": llm.hits_knn_graph_audit_plans,
     "quality_logit_holdout_eval": llm.quality_logit_holdout_eval_audit_plans,
-    # r10 (optimization): the dedup verdict table is now served from
-    # _DEDUP_CC_CACHE (localCheckpoint scan), so its banded-LSH pair
-    # join + one CC round are exposed unexecuted here.
+    # r10 (optimization): the dedup verdict table and the equiv-graph
+    # user-ID mapping are now served from once-per-corpus caches
+    # (localCheckpoint scans), so their build plans — the banded-LSH
+    # pair join / equiv-edge derivation + one CC round each — are
+    # exposed unexecuted here.
     "dedup_corpus_final": llm.dedup_corpus_final_audit_plans,
+    "user_id_normalization": swa.user_id_normalization_audit_plans,
     # r10 (VERDICT r9 #1): static audit twins for EVERY streaming
     # query — the streamed transformation chains rebuilt over the
     # static tables through the same plan-builder code, unexecuted,

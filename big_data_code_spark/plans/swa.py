@@ -523,16 +523,65 @@ mapping AS (
 """
 
 
+#: Finished equiv-graph mapping per (Spark application, events
+#: fingerprint) — FOUR registered consumers (the mapping query
+#: itself, `normalized_events`, `uniques_over_time_normalized`,
+#: `cross_device_sessions`) start from it, and `connected_components`
+#: executes its fixed point eagerly at plan construction, so without
+#: the cache each consumer re-ran the whole CC (the
+#: `llm._DEDUP_CC_CACHE` verdict-table convention: production ships
+#: the normalization mapping once per master-dataset version, it
+#: does not re-run CC per downstream view). localCheckpoint
+#: truncates the served plan; the CC build stays under the CI scale
+#: audits via `user_id_normalization_audit_plans`. NOT
+#: release-tracked (it IS the index).
+_EQUIV_MAP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _events_cache_key(sf_dir: str) -> tuple[str, float, int]:
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime, st.st_size)
+    except OSError:
+        return (sf_dir, 0.0, 0)
+
+
 def user_id_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equiv-graph connected components, min-id labeling.
 
     Parity: `normalizeUserIds` (`BatchWorkflow.java:623-687`).
+    The finished mapping is cached per (session, events fingerprint)
+    — see `_EQUIV_MAP_CACHE`.
     """
+    from ..cacheutil import evict_superseded
+
+    key = (spark.sparkContext.applicationId, _events_cache_key(sf_dir))
+    cached = _EQUIV_MAP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    evict_superseded(_EQUIV_MAP_CACHE, key)
     edges = _equiv_edges(spark, sf_dir)
     mapping = connected_components(edges, "src", "dst")
-    return mapping.select(
+    out = mapping.select(
         F.col("node").alias("user_id"), F.col("component").alias("canonical_id")
-    )
+    ).localCheckpoint(eager=True)
+    _EQUIV_MAP_CACHE[key] = out
+    return out
+
+
+def user_id_normalization_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook (`dedup_corpus_final_audit_plans` convention): the
+    registered frame is a localCheckpoint scan and the CC fixed point
+    executes-and-vanishes at build time, so expose the UNEXECUTED
+    equiv-edge derivation and one representative CC propagate+jump
+    round over un-checkpointed inputs."""
+    from ..operators.graph import cc_audit_plans
+
+    edges = _equiv_edges(spark, sf_dir)
+    return [edges, *cc_audit_plans(edges, "src", "dst")]
 
 
 USER_ID_NORMALIZATION_SQL = (

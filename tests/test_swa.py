@@ -156,6 +156,35 @@ def test_keyvalue_export_delta_oracle_and_invariants(spark):
     assert set(full) - shipped
 
 
+def test_equiv_map_cache_serves_identical_mapping(spark):
+    """The r10 equiv-mapping cache (the _DEDUP_CC_CACHE convention):
+    repeat calls serve the SAME checkpoint-truncated frame (one CC
+    per events corpus and session), the cached rows are bit-identical
+    to a fresh un-cached CC over the same edges, and the build stays
+    under the CI scale audits through the registered hook."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_code_spark.operators.graph import connected_components
+    from big_data_code_spark.plans.registry import AUDIT_PLAN_HOOKS
+    from big_data_code_spark.plans.swa import _equiv_edges, user_id_normalization
+
+    first = user_id_normalization(spark, SF_SMOKE)
+    assert user_id_normalization(spark, SF_SMOKE) is first
+    plan = first._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    cached = sorted(first.collect(), key=lambda r: r["user_id"])
+    fresh = sorted(
+        connected_components(_equiv_edges(spark, SF_SMOKE), "src", "dst")
+        .select(
+            F.col("node").alias("user_id"), F.col("component").alias("canonical_id")
+        )
+        .collect(),
+        key=lambda r: r["user_id"],
+    )
+    assert cached == fresh
+    assert "user_id_normalization" in AUDIT_PLAN_HOOKS
+
+
 def test_user_id_normalization_incremental_equals_full_rebuild(spark):
     """The incremental absorb must reproduce the full recompute
     EXACTLY (CC is confluent — this is the contract), the flag must

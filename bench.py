@@ -337,6 +337,18 @@ BENCH_QUERIES = (
     "streaming_kmv_uniques",
     "holt_backtest_model_select",
     "dedup_weighted_sample",
+    # r11 (VERDICT r10 #1 — the bench must charge serve-many cache
+    # builds): cold-build twins of the build-once/serve-many index
+    # caches. Each bypasses its result cache entirely, so BOTH reps
+    # pay the full build and the reported min is the honest cold
+    # compute; the pre-existing rows for the served queries keep
+    # timing the serve path. Additions-only, as required.
+    "dedup_corpus_final_build",
+    "user_id_normalization_build",
+    "knn_graph_build",
+    "ann_cosine_topk_build",
+    "ann_ivf_build",
+    "semdedup_hierarchical_build",
 )
 
 #: Registry entries deliberately NOT benched, with the reason —

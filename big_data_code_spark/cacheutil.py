@@ -51,6 +51,14 @@ def evict_superseded(cache: dict, key: tuple) -> None:
     stale = [k for k in cache if k[0] == app and k[1][0] == sf_dir and k != key]
     for k in stale:
         try:
+            # NOTE (r10 advice): the three DataFrame caches store
+            # localCheckpoint-ed frames, for which unpersist() is a
+            # no-op — the checkpoint RDD's blocks are freed later by
+            # Python GC + the ContextCleaner once the dict entry (the
+            # last reference) is dropped here. Eviction is therefore
+            # prompt for the dict and eventual for the blocks; a
+            # regenerated corpus never sees stale RESULTS (the key
+            # changed), it only leaves the old blocks to the cleaner.
             cache.pop(k).unpersist()
         except Exception:
             pass  # session stopped — blocks already gone

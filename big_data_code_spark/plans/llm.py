@@ -667,6 +667,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ann_cosine_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `ann_cosine_topk` (r11, VERDICT r10 #1):
+    the identical exact brute-force top-k, computed from the corpus
+    on EVERY call — `_ANN_EXACT_CACHE` is never read and never
+    written, so the bench charges the ground-truth build to this row
+    on every rep while the eval consumers (recall/nDCG/MRR/
+    truncation) time the serve path. Same oracle (bit-identical)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return ann.cosine_topk(emb, queries, k=ANN_K).select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
+    )
+
+
 ANN_COSINE_TOPK_SQL = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
@@ -784,6 +798,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if centroids is None:
         centroids = ann.ivf_train(emb)
         _IVF_INDEX_CACHE[key] = centroids
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    out = ann.ivf_ann_topk(emb, queries, k=ANN_K, centroids=centroids)
+    return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+
+
+def ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `ann_ivf` (r11, VERDICT r10 #1): k-means
+    index training runs on EVERY call — `_IVF_INDEX_CACHE` is never
+    read and never written — so the bench charges train + search to
+    this row on every rep while `ann_ivf` itself times the
+    train-once/serve-many path (the documented IVF convention).
+    Training is deterministic (md5 init), so the freshly trained
+    index is bit-identical to the cached one; same oracle."""
+    emb = _embeddings(spark, sf_dir)
+    centroids = ann.ivf_train(emb)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     out = ann.ivf_ann_topk(emb, queries, k=ANN_K, centroids=centroids)
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
@@ -2346,6 +2375,21 @@ def dedup_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _dedup_corpus_final_build(spark, sf_dir).localCheckpoint(eager=True)
     _DEDUP_CC_CACHE[key] = out
     return out
+
+
+def dedup_corpus_final_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `dedup_corpus_final` (r11, VERDICT r10
+    #1): identical verdict table, but the LSH → CC → canonical-join
+    build runs on EVERY call — `_DEDUP_CC_CACHE` is never read and
+    never written, so the bench's min-of-reps protocol charges the
+    full build to this row on every rep. The five verdict consumers
+    time the serve path; THIS entry times the compute the session's
+    first consumer pays. Its registered frame also keeps the
+    corpus-sized final canonical left-join under the registry-wide
+    plan audits (r10 ADVICE #2 — the served frame is a checkpoint
+    scan, so the audits could no longer see that join). Same oracle
+    as `dedup_corpus_final` (bit-identical rows)."""
+    return _dedup_corpus_final_build(spark, sf_dir)
 
 
 def dedup_corpus_final_audit_plans(spark: SparkSession, sf_dir: str):
@@ -4554,13 +4598,22 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (src, rank, dst, cos).
     """
-    from pyspark import StorageLevel
-
     key = (spark.sparkContext.applicationId, _ivf_cache_key(sf_dir))
     cached = _KNN_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
     _evict_superseded(_KNN_GRAPH_CACHE, key)
+    edges = _knn_graph_build(spark, sf_dir)
+    _KNN_GRAPH_CACHE[key] = edges
+    return edges
+
+
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH kNN edge-list build (signatures → band self-
+    join → symmetric top-k), materialized via localCheckpoint —
+    runs the FULL build on every call; `knn_graph` caches the result
+    per (application, corpus), `knn_graph_build` serves it cold."""
+    from pyspark import StorageLevel
 
     emb = _embeddings(spark, sf_dir)
     rows = _knn_band_rows(spark, sf_dir)
@@ -4603,8 +4656,49 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pairs.unpersist()
-    _KNN_GRAPH_CACHE[key] = edges
     return edges
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `knn_graph` (r11, VERDICT r10 #1): the
+    identical edge list, but computed from the corpus on EVERY call
+    — `_KNN_GRAPH_CACHE` is never read and never written, so the
+    bench's min-of-reps protocol charges the full banded-LSH build
+    to this row on every rep. The nine graph-family consumers time
+    the serve path; THIS entry times the build the session's first
+    consumer pays. Same oracle as `knn_graph` (bit-identical rows)."""
+    return _knn_graph_build(spark, sf_dir)
+
+
+def knn_graph_build_audit_plans(spark: SparkSession, sf_dir: str):
+    """Audit hook (`dedup_corpus_final_audit_plans` convention): the
+    build twin's registered frame is a localCheckpoint scan (the
+    build executes-and-vanishes at call time), so expose the
+    UNEXECUTED banded-LSH pair join + symmetric top-k window over
+    un-persisted inputs for the registry-wide scale audits."""
+    emb = _embeddings(spark, sf_dir)
+    rows = _knn_band_rows(spark, sf_dir)
+    pairs = ann.cosine_dup_pairs_lsh(
+        emb,
+        threshold=-1.0,
+        n_planes=KNN_BANDS * rows,
+        n_bands=KNN_BANDS,
+        arrow_sig=True,
+        arrow_dot=True,
+    )
+    sym = pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_id_b").alias("src"), F.col("vec_id_a").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return [
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos")
+    ]
 
 
 KNN_GRAPH_SQL = f"""
@@ -8131,15 +8225,45 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         k2, cents1, cents2 = cached
     else:
-        n = corpus.count()
-        leaves = max(1.0, math.ceil(n / SEMDEDUP_TARGET_CELL))
-        k1 = max(1, math.ceil(math.sqrt(leaves)))
-        k2 = max(1, math.ceil(leaves / k1))
-        cents1 = ann.ivf_train(corpus, n_cells=k1)
-        cents2 = ann.ivf_train_grouped(
-            ann.ivf_assign(corpus, cents1, "vec_id", "embedding"), k2
-        )
+        k2, cents1, cents2 = _semdedup_hier_index(corpus)
         _SEMDEDUP_HIER_INDEX_CACHE[key] = (k2, cents1, cents2)
+    return _semdedup_hier_apply(corpus, k2, cents1, cents2)
+
+
+def _semdedup_hier_index(corpus: DataFrame) -> tuple:
+    """The two-stage k-means index train (k1 = ceil(√leaves) coarse
+    Lloyd, then k2 per-cell grouped Lloyd) — runs the train jobs on
+    every call; `semdedup_hierarchical` caches the result per
+    corpus, `semdedup_hierarchical_build` serves it cold."""
+    n = corpus.count()
+    leaves = max(1.0, math.ceil(n / SEMDEDUP_TARGET_CELL))
+    k1 = max(1, math.ceil(math.sqrt(leaves)))
+    k2 = max(1, math.ceil(leaves / k1))
+    cents1 = ann.ivf_train(corpus, n_cells=k1)
+    cents2 = ann.ivf_train_grouped(
+        ann.ivf_assign(corpus, cents1, "vec_id", "embedding"), k2
+    )
+    return k2, cents1, cents2
+
+
+def semdedup_hierarchical_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `semdedup_hierarchical` (r11, VERDICT r10
+    #1/#8): the two-level k-means index is TRAINED on every call —
+    `_SEMDEDUP_HIER_INDEX_CACHE` is never read and never written —
+    so the bench's min-of-reps protocol charges the full index train
+    + leaf assignment + pair sweep to this row on every rep, the
+    first-session cost the served entry's warm reps hide. Training
+    is deterministic (md5 init) → bit-identical output, same oracle."""
+    corpus = _vector_corpus(spark, sf_dir)
+    return _semdedup_hier_apply(corpus, *_semdedup_hier_index(corpus))
+
+
+def _semdedup_hier_apply(
+    corpus: DataFrame, k2: int, cents1: list, cents2: dict
+) -> DataFrame:
+    """Leaf assignment + within-leaf pair sweep over a trained
+    two-stage index — the shared tail of `semdedup_hierarchical`
+    and its cold-build twin."""
     from pyspark import StorageLevel
 
     from ..cacheutil import track_persisted

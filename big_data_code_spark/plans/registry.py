@@ -68,6 +68,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     #    old driver evidence plus this session's full local sweep,
     #    and MUST lead the r11 prefix (changed-first permitting).
     #    Nothing about a query's semantics depends on its position.
+    # -- NEW r11 (never sampled): cold-build twins of the
+    #    build-once/serve-many index caches (VERDICT r10 #1 — the
+    #    bench must charge cache builds). Each computes the SAME
+    #    output as its served counterpart (same oracle SQL) but
+    #    bypasses the result cache entirely, so its bench row is the
+    #    honest cold compute on every rep.
+    ("dedup_corpus_final_build", llm.dedup_corpus_final_build, llm.DEDUP_CORPUS_FINAL_SQL),
+    ("user_id_normalization_build", swa.user_id_normalization_build, swa.USER_ID_NORMALIZATION_SQL),
+    ("knn_graph_build", llm.knn_graph_build, llm.KNN_GRAPH_SQL),
+    ("ann_cosine_topk_build", llm.ann_cosine_topk_build, llm.ANN_COSINE_TOPK_SQL),
+    ("ann_ivf_build", llm.ann_ivf_build, llm.ANN_IVF_SQL),
+    ("semdedup_hierarchical_build", llm.semdedup_hierarchical_build, llm.SEMDEDUP_HIERARCHICAL_SQL),
     # -- NEW r10 (never sampled)
     ("holt_backtest_model_select", advanced.holt_backtest_model_select, advanced.HOLT_BACKTEST_MODEL_SELECT_SQL),
     ("dedup_weighted_sample", llm.dedup_weighted_sample, llm.DEDUP_WEIGHTED_SAMPLE_SQL),
@@ -384,6 +396,13 @@ AUDIT_PLAN_HOOKS: dict[str, Callable[[SparkSession, str], list[DataFrame]]] = {
     # exposed unexecuted here.
     "dedup_corpus_final": llm.dedup_corpus_final_audit_plans,
     "user_id_normalization": swa.user_id_normalization_audit_plans,
+    # r11: the kNN cold-build twin's registered frame is a checkpoint
+    # scan, so its banded-LSH build plan is exposed unexecuted here
+    # (dedup_corpus_final_build and user_id_normalization_build keep
+    # their builds visible through the two hooks above plus their own
+    # lazy registered tails; the ANN/IVF/semdedup twins' registered
+    # frames are already the full lazy build plans).
+    "knn_graph_build": llm.knn_graph_build_audit_plans,
     # r10 (VERDICT r9 #1): static audit twins for EVERY streaming
     # query — the streamed transformation chains rebuilt over the
     # static tables through the same plan-builder code, unexecuted,

@@ -572,6 +572,22 @@ def user_id_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def user_id_normalization_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-build twin of `user_id_normalization` (r11, VERDICT r10
+    #1): the identical mapping, but the equiv-edge derivation +
+    connected components run on EVERY call — `_EQUIV_MAP_CACHE` is
+    never read and never written, so the bench's min-of-reps
+    protocol charges the full CC build to this row on every rep.
+    The four mapping consumers time the serve path; THIS entry times
+    the compute the session's first consumer pays. Same oracle as
+    `user_id_normalization` (bit-identical rows)."""
+    edges = _equiv_edges(spark, sf_dir)
+    mapping = connected_components(edges, "src", "dst")
+    return mapping.select(
+        F.col("node").alias("user_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def user_id_normalization_audit_plans(spark: SparkSession, sf_dir: str):
     """Audit hook (`dedup_corpus_final_audit_plans` convention): the
     registered frame is a localCheckpoint scan and the CC fixed point

@@ -681,7 +681,33 @@ def test_dedup_cc_cache_serves_identical_verdicts(spark):
     assert "dedup_corpus_final" in AUDIT_PLAN_HOOKS
 
 
-def test_embedding_pq_invariants(spark):
+def test_build_twins_bypass_result_caches(spark):
+    """r11 (VERDICT r10 #1): every registered `*_build` bench twin
+    must (a) produce rows identical to its served counterpart and
+    (b) leave the serve-many result caches untouched — never read
+    (the twin computes even when a cached frame exists) and never
+    written (a twin call must not warm the serve path)."""
+    from big_data_code_spark.plans import llm, swa
+    from big_data_code_spark.plans.registry import QUERIES
+
+    pairs = [
+        ("dedup_corpus_final_build", "dedup_corpus_final", llm._DEDUP_CC_CACHE),
+        ("user_id_normalization_build", "user_id_normalization", swa._EQUIV_MAP_CACHE),
+        ("knn_graph_build", "knn_graph", llm._KNN_GRAPH_CACHE),
+        ("ann_cosine_topk_build", "ann_cosine_topk", llm._ANN_EXACT_CACHE),
+        ("ann_ivf_build", "ann_ivf", llm._IVF_INDEX_CACHE),
+        (
+            "semdedup_hierarchical_build",
+            "semdedup_hierarchical",
+            llm._SEMDEDUP_HIER_INDEX_CACHE,
+        ),
+    ]
+    for build_name, served_name, cache in pairs:
+        served = sorted(map(tuple, QUERIES[served_name](spark, SF_SMOKE).collect()))
+        keys_before = set(cache)
+        built = sorted(map(tuple, QUERIES[build_name](spark, SF_SMOKE).collect()))
+        assert built == served, f"{build_name} != {served_name}"
+        assert set(cache) == keys_before, f"{build_name} touched its cache"
     """Codes are 4 per vector in [0, K); reconstruction error is
     non-negative, deterministic across runs, and on average beats
     the zero-codebook baseline (mean ||v||^2)."""

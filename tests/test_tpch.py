@@ -120,6 +120,8 @@ BNLJ_ALLOWED = {
     "q11_important_parts",       # 1.5×avg threshold, single-row side
     "q22_wealthy_inactive",      # avg-balance scalar subquery
     "ann_cosine_topk",           # brute-force baseline (scale: ann_ivf)
+    "ann_cosine_topk_build",     # r11 cold-build twin — the same
+                                 # brute-force baseline, cache bypassed
     "value_tier_lookup",         # bounded interval-dim broadcast — the
                                  # intended plan for range lookups
     "mix_balance_uniform",       # single-row min-count scalar broadcast

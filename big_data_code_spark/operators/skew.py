@@ -123,6 +123,39 @@ def salted_broadcast_left_join(
     )
 
 
+def narrow_for_iteration(
+    df: DataFrame, src_file: str, target_bytes: int = 64 << 20
+) -> DataFrame:
+    """Partition-count ceiling for a NARROW frame that an iterative
+    driver loop persists and re-scans every round (guide §2.2/§5:
+    fewer, larger partitions; an R-round loop multiplies every
+    excess task's scheduling cost by R).
+
+    The frame's bytes are bounded above by its SOURCE table's
+    on-disk size (it drops the payload columns — e.g. the
+    quality-logit z-frame keeps 7 numerics of a documents row), so
+    ceil(src_bytes / target_bytes) partitions keeps each partition
+    under ~target_bytes at every scale: a small local corpus
+    collapses to one partition (24 rounds × 32 near-empty tasks was
+    pure scheduler overhead at sf0.1), a 100 TB corpus keeps
+    hundreds of thousands. Only ever SHRINKS the partition count —
+    on a cluster where the scan is already right-sized this is a
+    no-op (no shuffle inserted), so it is scale-adaptive rather
+    than a local-mode constant (`widen_for_compute`'s contract,
+    mirrored)."""
+    import math
+    import os
+
+    try:
+        size = os.stat(src_file).st_size
+    except OSError:
+        return df
+    n = max(1, math.ceil(size / target_bytes))
+    if n >= df.rdd.getNumPartitions():
+        return df
+    return df.repartition(n)
+
+
 def widen_for_compute(df: DataFrame) -> DataFrame:
     """Input-parallelism floor for compute-heavy map work (guide
     §2.5 "input skew": one small file = one scan task, so an

@@ -5411,12 +5411,23 @@ def quality_logit_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the weight vector after each round (r7: over the standardized
     features, with the z_sat² curvature weight).
     """
+    import os
+
     from pyspark import StorageLevel
 
     from ..cacheutil import track_persisted
+    from ..operators.skew import narrow_for_iteration
 
+    # r11 (VERDICT r10 #2): the standardized frame is 7 numerics per
+    # doc — size its persisted partition count to its bytes, not to
+    # the tokenize pass's width (24 rounds × 32 near-empty tasks was
+    # the loop's dominant scheduler cost at sf0.1; no-op on a
+    # cluster where the scan is already right-sized).
     labeled = track_persisted(
-        _qlt_labeled_std(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        narrow_for_iteration(
+            _qlt_labeled_std(spark, sf_dir),
+            os.path.join(sf_dir, "documents.parquet"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     from ..session import no_aqe
 
@@ -5462,7 +5473,16 @@ def _qlt_round_cols():
     Columns are immutable name-resolved-at-analysis wrappers, safe
     to attach to any frame with the right columns."""
     p = F.expr(f"round(1e0 / (1e0 + exp(-({_QLT_MARGIN}))), 9)")
+    # r11 (VERDICT r10 #2): the old weights ride THROUGH the
+    # gradient aggregation (min of a column that is constant within
+    # the round — bit-identical to the broadcast value), so the
+    # update is a plain select over the 1-row agg output instead of
+    # a second crossJoin(broadcast(wrow)). That second broadcast of
+    # the checkpointed weight row cost one collect job per round —
+    # 24 of the loop's ~61 jobs were exactly these.
     grads = [
+        F.min(f"w{tag}").alias(f"w{tag}") for tag, _ in _QLT_FEATS
+    ] + [
         F.sum(F.expr(_qlt_contrib(x))).alias(f"g{tag}")
         for tag, x in _QLT_FEATS
     ] + [F.count(F.lit(1)).alias("n")]
@@ -5477,15 +5497,15 @@ def _qlt_round_step(
     labeled: DataFrame, wrow: DataFrame, cols=None
 ) -> DataFrame:
     """One batch-GD round: score every doc against the broadcast
-    1-row weight vector, sum fixed-point gradient contributions,
-    update. Returns the new 1-row weight frame PRE-checkpoint —
+    1-row weight vector, sum fixed-point gradient contributions
+    (carrying the round's constant weights along), update. Returns
+    the new 1-row weight frame PRE-checkpoint —
     `quality_logit_train_audit_plans` hands exactly this shape to
     the scale audit (`tests/test_tpch.py`), which otherwise only
     sees the post-checkpoint union of executed RDD scans."""
     p, grads, updates = cols if cols is not None else _qlt_round_cols()
     scored = labeled.crossJoin(F.broadcast(wrow)).withColumn("p", p)
-    gsum = scored.agg(*grads)
-    return gsum.crossJoin(F.broadcast(wrow)).select(*updates)
+    return scored.agg(*grads).select(*updates)
 
 
 def quality_logit_train_audit_plans(spark: SparkSession, sf_dir: str):
@@ -5710,16 +5730,23 @@ def quality_logit_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once, not once per downstream consumer
     consts = consts.localCheckpoint(eager=True)
     consts2 = consts2.localCheckpoint(eager=True)
+    import os
+
+    from ..operators.skew import narrow_for_iteration
+
+    # r11: same iteration-frame sizing as quality_logit_train
     lab_train = (
-        z4t.crossJoin(F.broadcast(consts2))
-        .select(
-            "doc_id",
-            "y",
-            "zs",
-            "zp",
-            "zm",
-            "zt",
-            F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+        narrow_for_iteration(
+            z4t.crossJoin(F.broadcast(consts2)).select(
+                "doc_id",
+                "y",
+                "zs",
+                "zp",
+                "zm",
+                "zt",
+                F.expr("(zt * zt - mu_u) / sd_u").alias("zu"),
+            ),
+            os.path.join(sf_dir, "documents.parquet"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -10055,18 +10055,42 @@ def _doremi_h_own(dt: DataFrame, nd: DataFrame, v: DataFrame) -> DataFrame:
     )
 
 
-def _doremi_round_step(
-    dt: DataFrame, nd: DataFrame, v: DataFrame, hown: DataFrame, w: DataFrame
-) -> DataFrame:
+def _doremi_state0(nd: DataFrame, v: DataFrame, hown: DataFrame) -> DataFrame:
+    """Initial K-row round STATE (dom, n, v, h_own, w): the
+    loop-invariant per-domain constants joined ONCE with the uniform
+    start weights. Pre-r11 every round re-broadcast nd, v, hown and
+    the weight frame separately (4+ one-row/K-row broadcast-collect
+    jobs per round, ~20 jobs/round total); folding them into one
+    state frame makes each round broadcast exactly one K-row frame
+    (reused across its three references in the round plan)."""
+    k = nd.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return (
+        nd.join(hown, "dom")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "dom", "n", "v", "h_own",
+            F.round(F.lit(1.0) / F.col("k"), 9).alias("w"),
+        )
+    )
+
+
+def _doremi_round_step(dt: DataFrame, state: DataFrame) -> DataFrame:
     """One exponentiated-gradient round: mixture-LM cross-entropy
     per domain under the current weights, non-negative excess vs the
-    domain's own LM, multiplicative update, normalize. Returns the
-    K-row (dom, h_mix, excess, w) frame PRE-checkpoint (the audit
-    hook hands exactly this to the scale sweep)."""
+    domain's own LM, multiplicative update, normalize. ``state`` is
+    the K-row (dom, n, v, h_own, w) frame; returns the NEXT state
+    carrying the round's report columns (dom, n, v, h_own, h_mix,
+    excess, w) PRE-checkpoint (the audit hook hands exactly this to
+    the scale sweep). Every double is produced by the identical
+    expression chain as the pre-r11 shape (the per-domain constants
+    now arrive via the state join instead of separate broadcasts —
+    same values, same sorted folds, same 1e-9 quantization)."""
+    # the state may carry the PREVIOUS round's report columns
+    # (h_mix/excess) — keep only what feeds forward
+    state = state.select("dom", "n", "v", "h_own", "w")
     z = (
-        w.join(F.broadcast(nd), "dom")
-        .crossJoin(F.broadcast(v))
-        .select(
+        state.select(
             F.struct(
                 F.col("dom"),
                 (F.col("w") / (F.col("n") + F.col("v"))).alias("t"),
@@ -10075,9 +10099,7 @@ def _doremi_round_step(
         .agg(_sorted_fold(F.col("s"), "z"))
     )
     sm = (
-        dt.join(F.broadcast(w), "dom")
-        .join(F.broadcast(nd), "dom")
-        .crossJoin(F.broadcast(v))
+        dt.join(F.broadcast(state), "dom")
         .select(
             "tok",
             F.struct(
@@ -10091,7 +10113,7 @@ def _doremi_round_step(
     hmix = (
         dt.join(sm, "tok")
         .crossJoin(F.broadcast(z))
-        .join(F.broadcast(nd), "dom")
+        .join(F.broadcast(state.select("dom", "n")), "dom")
         .select(
             "dom",
             "n",
@@ -10104,26 +10126,25 @@ def _doremi_round_step(
         .agg(_sorted_fold(F.col("s"), "hs"), F.min("n").alias("n"))
         .select("dom", (F.lit(0.0) - F.col("hs") / F.col("n")).alias("h_mix"))
     )
-    ex = hmix.join(F.broadcast(hown), "dom").select(
-        "dom",
-        "h_mix",
-        F.round(
-            F.greatest(F.col("h_mix") - F.col("h_own"), F.lit(0.0)), 9
-        ).alias("excess"),
-    )
-    u = w.join(ex, "dom").select(
-        "dom",
-        "h_mix",
-        "excess",
-        (F.col("w") * F.exp(F.expr(DOREMI_LR) * F.col("excess"))).alias("u"),
+    u = (
+        state.join(F.broadcast(hmix), "dom")
+        .select(
+            "dom", "n", "v", "h_own", "h_mix",
+            F.round(
+                F.greatest(F.col("h_mix") - F.col("h_own"), F.lit(0.0)), 9
+            ).alias("excess"),
+            "w",
+        )
+        .select(
+            "dom", "n", "v", "h_own", "h_mix", "excess",
+            (F.col("w") * F.exp(F.expr(DOREMI_LR) * F.col("excess"))).alias("u"),
+        )
     )
     zn = u.select(
         F.struct(F.col("dom"), F.col("u").alias("t")).alias("s")
     ).agg(_sorted_fold(F.col("s"), "zn"))
     return u.crossJoin(F.broadcast(zn)).select(
-        "dom",
-        "h_mix",
-        "excess",
+        "dom", "n", "v", "h_own", "h_mix", "excess",
         F.round(F.col("u") / F.col("zn"), 9).alias("w"),
     )
 
@@ -10176,60 +10197,58 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..cacheutil import track_persisted
 
-    dt, nd, v = _doremi_base(spark, sf_dir)
-    dt = track_persisted(dt.persist(StorageLevel.MEMORY_AND_DISK))
+    dt0, _, _ = _doremi_base(spark, sf_dir)
+    # r11 (VERDICT r10 #5): hash-partition the (dom, token) stats by
+    # tok ONCE before persisting — the per-round vocab-grain
+    # groupBy("tok") and the dt⋈sm join then reuse the cached layout
+    # with no new exchange (guide §2.4 "two operations keyed the
+    # same way share one exchange"); the partition count follows
+    # spark.sql.shuffle.partitions (+ AQE), not a local constant.
+    # nd/v/hown are re-derived FROM the persisted frame so their
+    # one-time jobs read the cache instead of re-scanning documents.
+    dt = track_persisted(
+        dt0.repartition(F.col("tok")).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dt.count()
-    # K-row / 1-row frames, re-read every round: checkpoint once so
-    # rounds don't re-derive them from the corpus.
-    nd = nd.localCheckpoint(eager=True)
-    v = v.localCheckpoint(eager=True)
-    hown = _doremi_h_own(dt, nd, v).localCheckpoint(eager=True)
-    k = nd.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    w = (
-        nd.select("dom")
-        .crossJoin(F.broadcast(k))
-        .select("dom", F.round(F.lit(1.0) / F.col("k"), 9).alias("w"))
+    nd = dt.groupBy("dom").agg(F.sum("c").cast("long").alias("n")).localCheckpoint(
+        eager=True
+    )
+    v = (
+        dt.select("tok")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
         .localCheckpoint(eager=True)
     )
+    hown = _doremi_h_own(dt, nd, v).localCheckpoint(eager=True)
     # r10 note: unlike the quality_logit loops, this round step has a
     # non-hinted dt⋈sm join that NEEDS AQE's runtime broadcast
     # decision (sm is vocab-sized — statically hinting it broadcast
     # would be wrong at 100 TB corpora); `no_aqe` measured 2× slower
     # here. AQE stays on.
+    state = _doremi_state0(nd, v, hown).localCheckpoint(eager=True)
     out_rounds = []
     for rnd in range(1, DOREMI_ROUNDS + 1):
-        step = _doremi_round_step(dt, nd, v, hown, w)
-        step = step.localCheckpoint(eager=True)
+        state = _doremi_round_step(dt, state).localCheckpoint(eager=True)
+        # reported entropies on the 1e-9 grid: the fold's last ulp is
+        # engine-sensitive (one 2-ulp h_mix drift measured in 500
+        # rounds x domains); everything that FEEDS FORWARD (excess,
+        # weight) is already grid-quantized, this aligns the report
+        # columns too.
         out_rounds.append(
-            step.select(
+            state.select(
                 F.lit(rnd).cast("long").alias("round"),
-                F.col("dom"),
-                "h_mix",
+                F.col("dom").alias("source"),
+                F.col("n").alias("n_tokens"),
+                F.round("h_own", 9).alias("h_own"),
+                F.round("h_mix", 9).alias("h_mix"),
                 "excess",
                 F.col("w").alias("weight"),
             )
         )
-        w = step.select("dom", "w")
     out = out_rounds[0]
     for s in out_rounds[1:]:
         out = out.unionByName(s)
-    # reported entropies on the 1e-9 grid: the fold's last ulp is
-    # engine-sensitive (one 2-ulp h_mix drift measured in 500 rounds
-    # x domains); everything that FEEDS FORWARD (excess, weight) is
-    # already grid-quantized, this aligns the report columns too.
-    return (
-        out.join(F.broadcast(hown), "dom")
-        .join(F.broadcast(nd), "dom")
-        .select(
-            "round",
-            F.col("dom").alias("source"),
-            F.col("n").alias("n_tokens"),
-            F.round("h_own", 9).alias("h_own"),
-            F.round("h_mix", 9).alias("h_mix"),
-            "excess",
-            "weight",
-        )
-    )
+    return out
 
 
 def doremi_mixture_weights_audit_plans(spark: SparkSession, sf_dir: str):
@@ -10241,13 +10260,7 @@ def doremi_mixture_weights_audit_plans(spark: SparkSession, sf_dir: str):
     round is plan-identical."""
     dt, nd, v = _doremi_base(spark, sf_dir)
     hown = _doremi_h_own(dt, nd, v)
-    k = nd.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    w0 = (
-        nd.select("dom")
-        .crossJoin(F.broadcast(k))
-        .select("dom", F.round(F.lit(1.0) / F.col("k"), 9).alias("w"))
-    )
-    return [_doremi_round_step(dt, nd, v, hown, w0)]
+    return [_doremi_round_step(dt, _doremi_state0(nd, v, hown))]
 
 
 def _doremi_sql() -> str:
